@@ -1,0 +1,98 @@
+"""Encoder configuration (TPU-native equivalent of HVENC_Cfg).
+
+Mirrors the reference's public config surface (ref:
+homer_hevc_enc_api.h:137-165) and the derivations done in
+HENC_SETCFG (ref: hmr_encoder_lib.c:502-1346): CU-size/depth clipping,
+conformance-window padding, mode clamping.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class BitrateMode(enum.IntEnum):
+    FIXED_QP = 0
+    CBR = 1
+    VBR = 2
+
+
+class RDMode(enum.IntEnum):
+    RD_FULL = 0
+    RD_FAST = 1
+    RD_ULTRAFAST = 2
+
+
+class PerfMode(enum.IntEnum):
+    FULL_COMPUTATION = 0
+    FAST = 1
+    UFAST = 2
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    width: int = 1280
+    height: int = 720
+    frame_rate: float = 25.0
+    qp: int = 32
+    intra_period: int = 100
+    gop_size: int = 100          # reference: num_b=0, IPPP within GOP
+    num_ref_frames: int = 1
+    cu_size: int = 64
+    max_pred_depth: int = 4      # quadtree depth below CTU
+    max_intra_tr_depth: int = 1
+    max_inter_tr_depth: int = 1
+    motion_estimation_precision: int = 2   # 0=int, 1=half, 2=quarter pel
+    bitrate_mode: BitrateMode = BitrateMode.FIXED_QP
+    bitrate: int = 1250          # kbps (CBR/VBR)
+    vbv_size: float = 1.0        # seconds at target bitrate
+    vbv_init: float = 0.35
+    sign_hiding: bool = True
+    sao: bool = True
+    deblocking: bool = True
+    rd_mode: RDMode = RDMode.RD_FAST
+    performance_mode: PerfMode = PerfMode.UFAST
+    chroma_qp_offset: int = 0
+    bit_depth: int = 8
+    # TPU specifics
+    num_chips: int = 1           # row-band sharding within a frame
+    num_hosts: int = 1           # GOP sharding across hosts
+
+    # ---- derived ----
+    @property
+    def ctu_size(self) -> int:
+        return self.cu_size
+
+    @property
+    def padded_width(self) -> int:
+        c = self.ctu_size
+        return (self.width + c - 1) // c * c
+
+    @property
+    def padded_height(self) -> int:
+        c = self.ctu_size
+        return (self.height + c - 1) // c * c
+
+    @property
+    def ctus_x(self) -> int:
+        return self.padded_width // self.ctu_size
+
+    @property
+    def ctus_y(self) -> int:
+        return self.padded_height // self.ctu_size
+
+    @property
+    def conf_win_right(self) -> int:
+        # conformance window offsets in chroma units (4:2:0 -> /2)
+        return (self.padded_width - self.width) // 2
+
+    @property
+    def conf_win_bottom(self) -> int:
+        return (self.padded_height - self.height) // 2
+
+    def validate(self) -> "EncoderConfig":
+        assert self.cu_size in (16, 32, 64)
+        assert 0 <= self.qp <= 51
+        assert self.bit_depth == 8, "only 8-bit in round 1"
+        assert self.width % 2 == 0 and self.height % 2 == 0
+        return self

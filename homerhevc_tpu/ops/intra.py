@@ -1,0 +1,225 @@
+"""HEVC intra prediction: reference substitution, smoothing, 35 modes.
+
+TPU-native re-design of the reference's per-block scalar generators
+(ref: fill_reference_samples hmr_motion_intra.c:246-404, adi_filter
+:189-244, planar/DC/angular :408-625).  All 35 predictions for a block
+are produced in ONE batched gather+blend — every index that depends on
+the mode/angle is a compile-time constant, so XLA sees static gathers
+and fuses the whole mode stack.
+
+Reference sample layout ("adi", matching the reference's ADI buffer,
+hmr_common.h:221): a [4S+1] vector
+    adi[0 .. 2S-1]  = left column bottom -> top   (adi[k] = p(2S-1-k, -1))
+    adi[2S]         = corner p(-1, -1)
+    adi[2S+1+j]     = top row left -> right        (p(-1, j)), j = 0..2S-1
+where the block occupies rows/cols 0..S-1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu import tables
+
+PLANAR, DC = 0, 1
+
+
+def substitute_refs(adi: jnp.ndarray, avail: jnp.ndarray,
+                    bit_depth: int = 8) -> jnp.ndarray:
+    """Reference sample substitution (spec 8.4.4.2.2).
+
+    adi: int32 [..., 4S+1]; avail: bool [..., 4S+1].
+    Scan from adi[0] upward/rightward: each unavailable sample takes the
+    previous (filled) one; a leading unavailable run takes the first
+    available value; all-unavailable yields 1 << (bd-1).
+    """
+    n = adi.shape[-1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    avail_i = avail.astype(jnp.int32)
+    # forward-fill index: last available position <= k (or -1)
+    ff = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(avail, pos, -1), axis=-1)
+    first_avail = jnp.argmax(avail_i, axis=-1).astype(jnp.int32)
+    any_avail = jnp.any(avail, axis=-1)
+    idx = jnp.where(ff >= 0, ff, first_avail[..., None])
+    filled = jnp.take_along_axis(adi, idx, axis=-1)
+    default = jnp.int32(1 << (bit_depth - 1))
+    return jnp.where(any_avail[..., None], filled, default)
+
+
+def filter_refs(adi: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[1,2,1] smoothing of reference samples (spec 8.4.4.2.3).
+
+    End samples adi[0] and adi[4S] are kept unfiltered.
+    """
+    left = jnp.concatenate([adi[..., :1], adi[..., :-1]], axis=-1)
+    right = jnp.concatenate([adi[..., 1:], adi[..., -1:]], axis=-1)
+    f = (left + 2 * adi + right + 2) >> 2
+    n = adi.shape[-1]
+    keep = jnp.zeros((n,), dtype=bool).at[0].set(True).at[n - 1].set(True)
+    return jnp.where(keep, adi, f)
+
+
+@functools.lru_cache(maxsize=None)
+def _angular_tables(size: int):
+    """Static per-(mode,row/col) gather tables for the 33 angular modes.
+
+    Returns (src_idx, fact) with src_idx int32 [33, S, S, 2] indexing the
+    adi vector for the two blended taps, and fact int32 [33, S] blend
+    weights.  Horizontal modes (2..17) are generated transposed; the
+    caller transposes their predictions back.
+    """
+    s = size
+    n_adi = 4 * s + 1
+    corner = 2 * s
+
+    def main_adi_index(k: int, is_ver: bool) -> int:
+        # refMain[k]: k=0 -> corner; k>=1 -> main row/col sample k-1.
+        if k == 0:
+            return corner
+        return corner + k if is_ver else corner - k
+
+    def side_adi_index(i: int, is_ver: bool) -> int:
+        # refSide[i]: i=0 -> corner; i>=1 -> side sample at offset i-1.
+        if i == 0:
+            return corner
+        return corner - i if is_ver else corner + i
+
+    src = np.zeros((33, s, s, 2), dtype=np.int32)
+    fact = np.zeros((33, s), dtype=np.int32)
+    for mode in range(2, 35):
+        m = mode - 2
+        is_ver = mode >= 18
+        ang = tables.intra_pred_angle(mode)
+        inv_ang = tables.intra_inv_angle(mode)
+        # refMain over k = -S .. 2S as adi indices
+        ref_main = np.zeros(3 * s + 1, dtype=np.int32)
+        for k in range(0, 2 * s + 1):
+            ref_main[s + k] = main_adi_index(k, is_ver)
+        if ang < 0:
+            # extend refMain[-1 .. (S*ang>>5)+1] by projecting the side
+            # array (HM's invAngleSum loop)
+            inv_sum = 128
+            for j in range(1, -((s * ang) >> 5)):
+                inv_sum += inv_ang
+                ref_main[s - j] = side_adi_index(inv_sum >> 8, is_ver)
+        for r in range(s):
+            pos = (r + 1) * ang
+            i_idx = pos >> 5
+            fact[m, r] = pos & 31
+            for c in range(s):
+                src[m, r, c, 0] = ref_main[s + c + i_idx + 1]
+                src[m, r, c, 1] = ref_main[min(s + c + i_idx + 2, 3 * s)]
+    return src, fact
+
+
+@functools.lru_cache(maxsize=None)
+def _filter_flags(size: int, is_luma: bool) -> np.ndarray:
+    """Per-mode reference smoothing selection (spec 8.4.4.2.3;
+    ref intra_filter table hmr_motion_intra.c:148-155)."""
+    flags = np.zeros(35, dtype=bool)
+    if not is_luma or size == 4:
+        return flags
+    log2 = int(np.log2(size))
+    thresh = int(tables.INTRA_FILTER_THRESH[log2 - 2])
+    for mode in range(35):
+        if mode == DC:
+            continue
+        if mode == PLANAR:
+            min_dist = 10  # convention: planar filtered when thresh < 10
+        else:
+            min_dist = min(abs(mode - 26), abs(mode - 10))
+        flags[mode] = min_dist > thresh
+    return flags
+
+
+def predict_all_modes(adi: jnp.ndarray, size: int, is_luma: bool,
+                      bit_depth: int = 8) -> jnp.ndarray:
+    """All 35 intra predictions from a substituted adi vector.
+
+    adi: int32 [..., 4S+1] (unfiltered; smoothing applied internally
+    per-mode).  Returns int32 [..., 35, S, S].
+    """
+    s = size
+    log2 = int(np.log2(s))
+    corner = 2 * s
+    adi_f = filter_refs(adi, s)
+
+    top = adi[..., corner + 1: corner + 1 + s]          # p(-1, 0..S-1)
+    left_idx = np.arange(2 * s - 1, s - 1, -1)           # p(0..S-1, -1)
+    left = adi[..., left_idx]
+    top_f = adi_f[..., corner + 1: corner + 1 + s]
+    left_f = adi_f[..., left_idx]
+
+    batch = adi.shape[:-1]
+    col = jnp.arange(s, dtype=jnp.int32)
+    row = col[:, None]
+
+    # --- Planar (spec 8.4.4.2.4) — uses filtered refs for sizes >= 8.
+    use_f = bool(_filter_flags(s, is_luma)[PLANAR])
+    t = top_f if use_f else top
+    l = left_f if use_f else left
+    tr = (adi_f if use_f else adi)[..., corner + 1 + s]     # p(-1, S)
+    bl = (adi_f if use_f else adi)[..., s - 1]              # p(S, -1)
+    planar = ((s - 1 - col)[None, :] * l[..., :, None]
+              + (col + 1)[None, :] * tr[..., None, None]
+              + (s - 1 - col)[:, None] * t[..., None, :]
+              + (row + 1) * bl[..., None, None]
+              + s) >> (log2 + 1)
+
+    # --- DC (spec 8.4.4.2.5) — always unfiltered refs.
+    dc_val = (jnp.sum(top, axis=-1) + jnp.sum(left, axis=-1) + s) >> (log2 + 1)
+    dc = jnp.broadcast_to(dc_val[..., None, None], batch + (s, s))
+    if is_luma and s < 32:
+        dc_row0 = (top + 3 * dc_val[..., None] + 2) >> 2
+        dc_col0 = (left + 3 * dc_val[..., None] + 2) >> 2
+        dc_corner = (left[..., 0] + 2 * dc_val + top[..., 0] + 2) >> 2
+        dc = dc.at[..., 0, :].set(dc_row0)
+        dc = dc.at[..., :, 0].set(dc_col0)
+        dc = dc.at[..., 0, 0].set(dc_corner)
+
+    # --- Angular 2..34 (spec 8.4.4.2.6) — static gathers per mode.
+    src_idx, fact_np = _angular_tables(s)
+    flags = _filter_flags(s, is_luma)
+    # choose filtered/unfiltered adi per mode (static selection)
+    adi_stack = jnp.stack([adi, adi_f], axis=-2)         # [..., 2, 4S+1]
+    sel = jnp.asarray(flags[2:].astype(np.int32))         # [33]
+    src = jnp.asarray(src_idx)                            # [33,S,S,2]
+    fact = jnp.asarray(fact_np)[:, :, None]               # [33,S,1]
+
+    def gather_mode(adi2):
+        # adi2: [2, 4S+1] -> taps [33, S, S, 2]
+        per_mode = adi2[sel]                              # [33, 4S+1]
+        return jnp.take_along_axis(
+            per_mode, src.reshape(33, -1), axis=-1).reshape(33, s, s, 2)
+
+    flat = adi_stack.reshape((-1, 2, 4 * s + 1))
+    taps = jax.vmap(gather_mode)(flat)
+    taps = taps.reshape(batch + (33, s, s, 2))
+    ang = ((32 - fact) * taps[..., 0] + fact * taps[..., 1] + 16) >> 5
+
+    # Pure horizontal/vertical edge filter (luma, size < 32, spec
+    # 8.4.4.2.6 final clause).  In each mode's generation domain the
+    # filter lands on column 0:  pred[r][0] = main[0] + (side[r]-cor)>>1,
+    # with (main, side) = (top, left) for mode 26 and swapped for the
+    # transposed mode 10.
+    if is_luma and s < 32:
+        maxv = (1 << bit_depth) - 1
+        cor = adi[..., corner]
+        v26 = jnp.clip(top[..., 0][..., None]
+                       + ((left - cor[..., None]) >> 1), 0, maxv)
+        ang = ang.at[..., 26 - 2, :, 0].set(v26)
+        v10 = jnp.clip(left[..., 0][..., None]
+                       + ((top - cor[..., None]) >> 1), 0, maxv)
+        ang = ang.at[..., 10 - 2, :, 0].set(v10)
+
+    # Horizontal modes (2..17) were generated transposed; swap back.
+    hor = jnp.swapaxes(ang[..., :16, :, :], -1, -2)
+    ver = ang[..., 16:, :, :]
+    ang_all = jnp.concatenate([hor, ver], axis=-3)
+
+    return jnp.concatenate(
+        [planar[..., None, :, :], dc[..., None, :, :], ang_all], axis=-3)

@@ -1,0 +1,131 @@
+"""Bit-exact HEVC quantization / dequantization (flat scaling lists).
+
+TPU-native equivalent of the reference's scalar quant loops
+(ref: hmr_quant.c:172-258).  Operates on batched int32 blocks
+[..., N, N]; all shifts/rounds/clips match the spec with
+scaling_list_enabled_flag = 0 (flat lists), which this framework signals
+in its SPS.
+
+Sign-bit hiding (ref: hmr_quant.c:61-169) is implemented as a vectorized
+per-coefficient-group parity fix over scan-ordered coefficients.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu import tables
+
+_CLIP_MIN = -32768
+_CLIP_MAX = 32767
+
+
+def quant_params(qp: int, size: int, bit_depth: int = 8):
+    """(per, rem, qbits, transform_shift) for a size x size TB."""
+    log2 = int(np.log2(size))
+    per, rem = qp // 6, qp % 6
+    transform_shift = tables.MAX_TR_DYNAMIC_RANGE - bit_depth - log2
+    qbits = tables.QUANT_SHIFT + per + transform_shift
+    return per, rem, qbits, transform_shift
+
+
+def quantize(coeff: jnp.ndarray, qp: int, size: int, is_intra: bool = True,
+             bit_depth: int = 8):
+    """Quantize coefficients; returns (levels int32 [..., N, N], delta_u).
+
+    Rounding offset 171/512 for intra, 85/512 for inter (HM convention;
+    the reference uses 171 unconditionally, hmr_quant.c:185 — an encoder
+    choice, both conformant).  delta_u is the sign-bit-hiding residue.
+    """
+    per, rem, qbits, _ = quant_params(qp, size, bit_depth)
+    q = int(tables.QUANT_SCALES[rem])
+    add = (171 if is_intra else 85) << (qbits - 9)
+    c = coeff.astype(jnp.int32)
+    absc = jnp.abs(c)
+    scaled = absc * q
+    level = (scaled + add) >> qbits
+    delta_u = (scaled - (level << qbits)) >> (qbits - 8)
+    level = jnp.clip(jnp.sign(c) * level, _CLIP_MIN, _CLIP_MAX)
+    return level, delta_u
+
+
+def dequantize(level: jnp.ndarray, qp: int, size: int,
+               bit_depth: int = 8) -> jnp.ndarray:
+    """Inverse quantization with flat scaling (spec 8.6.3)."""
+    per, rem, _, transform_shift = quant_params(qp, size, bit_depth)
+    iq_shift = (tables.QUANT_IQUANT_SHIFT - tables.QUANT_SHIFT
+                - transform_shift + 4)
+    dq = int(tables.INV_QUANT_SCALES[rem]) * 16
+    lv = level.astype(jnp.int32)
+    if iq_shift > per:
+        sh = iq_shift - per
+        out = (lv * dq + (1 << (sh - 1))) >> sh
+    else:
+        out = (lv * dq) << (per - iq_shift)
+    return jnp.clip(out, _CLIP_MIN, _CLIP_MAX)
+
+
+def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
+                  scan: np.ndarray, size: int) -> jnp.ndarray:
+    """Sign-bit hiding over 4x4 coefficient groups (spec 8.6.3 encoder
+    side; ref hmr_quant.c:61-169).
+
+    level/delta_u: int32 [..., N, N]; scan: raster index per scan pos
+    (tables.scan_order).  For each CG whose (last_nz - first_nz) >= 4 in
+    scan order, if the parity of the absolute-level sum mismatches the
+    sign of the first nonzero, adjust the coefficient with best delta_u
+    cost by +/-1 (never the first-nz when decrementing it to zero would
+    move first_nz, per the reference's exclusions).
+    """
+    n = size * size
+    flat = level.reshape(level.shape[:-2] + (n,))
+    du = delta_u.reshape(flat.shape)
+    sl = jnp.take(flat, jnp.asarray(scan), axis=-1)     # scan order
+    sdu = jnp.take(du, jnp.asarray(scan), axis=-1)
+    ncg = n // 16
+    slg = sl.reshape(sl.shape[:-1] + (ncg, 16))
+    sdug = sdu.reshape(slg.shape)
+
+    nz = slg != 0
+    pos = jnp.arange(16, dtype=jnp.int32)
+    big = jnp.int32(100)
+    first = jnp.min(jnp.where(nz, pos, big), axis=-1)
+    last = jnp.max(jnp.where(nz, pos, -1), axis=-1)
+    any_nz = last >= 0
+    hide_ok = any_nz & ((last - first) >= 4)
+
+    abs_sum = jnp.sum(jnp.abs(slg), axis=-1)
+    first_level = jnp.take_along_axis(
+        slg, jnp.minimum(first, 15)[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    sign_first = (first_level < 0).astype(jnp.int32)
+    parity = (abs_sum & 1).astype(jnp.int32)
+    need_fix = hide_ok & (parity != sign_first)
+
+    # Candidate selection: minimum |delta_u| among positions in
+    # [first, last], excluding magnitude-decrements that would zero the
+    # first or last nonzero (they would move the hiding window and could
+    # desync the decoder's hide condition).
+    in_range = (pos[None] >= first[..., None]) & (pos[None] <= last[..., None])
+    is_edge = (pos[None] == first[..., None]) | (pos[None] == last[..., None])
+    abs_lv = jnp.abs(slg)
+    would_decrement = sdug <= 0
+    illegal = is_edge & (abs_lv == 1) & would_decrement
+    cost = jnp.where(in_range & ~illegal, -jnp.abs(sdug), -big * 1000)
+    best_pos = jnp.argmax(cost, axis=-1).astype(jnp.int32)
+
+    # Apply a +/-1 magnitude change at best_pos: grow magnitude when the
+    # quantization residue delta_u is positive, shrink otherwise, keeping
+    # the coefficient's sign (zero levels become +1).
+    best_du = jnp.take_along_axis(sdug, best_pos[..., None], axis=-1)[..., 0]
+    best_lv = jnp.take_along_axis(slg, best_pos[..., None], axis=-1)[..., 0]
+    mag_change = jnp.where(best_du > 0, 1, -1)
+    signed_dir = jnp.where(best_lv >= 0, mag_change, -mag_change)
+    delta = jnp.where(need_fix, signed_dir, 0)
+    slg = slg + jnp.where(pos[None] == best_pos[..., None],
+                          delta[..., None], 0)
+
+    out_scan = slg.reshape(sl.shape)
+    inv = np.argsort(scan)
+    out = jnp.take(out_scan, jnp.asarray(inv), axis=-1)
+    return out.reshape(level.shape)
