@@ -67,7 +67,7 @@ class Encoder:
         # round 1: all frames intra (inter path lands next)
         out = intra_frame.encode_frame_jit(
             yp, up, vp, qp=cfg.qp, cu=16, ctu=ctu,
-            sign_hiding=cfg.sign_hiding)
+            sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
         rec = self._record_from_device(out, yp.shape, cfg)
         slice_bytes = binding.encode_slice(self.ccfg, rec)
         nalus = (self._headers if is_idr else b"") + slice_bytes

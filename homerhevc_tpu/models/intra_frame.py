@@ -29,7 +29,7 @@ import numpy as np
 
 from homerhevc_tpu import tables
 from homerhevc_tpu.models import schedule
-from homerhevc_tpu.ops import intra, quant, transform
+from homerhevc_tpu.ops import deblock, intra, quant, transform
 
 
 def _segment_avail_layout(s: int) -> np.ndarray:
@@ -118,7 +118,8 @@ def _tq_recon(orig, pred, size, qp, is_intra_slice=True, sbh_scan=None):
 
 
 def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
-                 sign_hiding: bool = False, rd_lambda_scale: float = 1.0):
+                 sign_hiding: bool = False, rd_lambda_scale: float = 1.0,
+                 deblocking: bool = False):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).
@@ -246,10 +247,25 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
     carry, _ = jax.lax.scan(step, carry0, xs)
     rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, cbfs = carry
 
+    out_y = rec_y[1:1 + h, 1:1 + w]
+    out_u = rec_u[1:1 + h // 2, 1:1 + w // 2]
+    out_v = rec_v[1:1 + h // 2, 1:1 + w // 2]
+    if deblocking:
+        # decoder-side in-loop filter: recon must match (spec 8.7.2);
+        # all-intra => BS=2 at every TU boundary
+        bs_v, bs_h = deblock.uniform_intra_bs(h, w, s)
+        bs_vc, bs_hc = deblock.uniform_intra_bs_chroma(h // 2, w // 2, cs)
+        out_y = deblock.deblock_luma(
+            out_y, jnp.asarray(bs_v), jnp.asarray(bs_h), qp)
+        out_u = deblock.deblock_chroma(
+            out_u, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
+        out_v = deblock.deblock_chroma(
+            out_v, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
+
     return dict(
-        recon_y=rec_y[1:1 + h, 1:1 + w],
-        recon_u=rec_u[1:1 + h // 2, 1:1 + w // 2],
-        recon_v=rec_v[1:1 + h // 2, 1:1 + w // 2],
+        recon_y=out_y,
+        recon_u=out_u,
+        recon_v=out_v,
         coeff_y=cf_y.astype(jnp.int16),
         coeff_cb=cf_u.astype(jnp.int16),
         coeff_cr=cf_v.astype(jnp.int16),
@@ -260,4 +276,4 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
 
 encode_frame_jit = jax.jit(
     encode_frame, static_argnames=("qp", "cu", "ctu", "sign_hiding",
-                                   "rd_lambda_scale"))
+                                   "rd_lambda_scale", "deblocking"))

@@ -1,0 +1,41 @@
+"""End-to-end conformance of the public Encoder API (the JAX compute
+path + native entropy stage): streams must decode in libde265 to
+reconstructions bit-identical to the encoder's own (decode-loop
+invariant, SURVEY.md §4) — including non-CTU-multiple frame sizes
+(conformance window) and with the deblocking filter enabled."""
+import numpy as np
+import pytest
+
+from homerhevc_tpu.api import Encoder
+from homerhevc_tpu.config import EncoderConfig
+
+
+def _content(i, h, w, rng):
+    y = (((np.mgrid[0:h, 0:w][1] * 2) % 230)
+         + rng.integers(0, 16, (h, w)) + 3 * i).astype(np.uint8)
+    u = rng.integers(0, 255, (h // 2, w // 2)).astype(np.uint8)
+    v = rng.integers(0, 255, (h // 2, w // 2)).astype(np.uint8)
+    return y, u, v
+
+
+@pytest.mark.parametrize("w,h,deblocking", [
+    (176, 144, True),    # non-CTU-multiple + in-loop filter
+    (128, 64, False),    # CTU multiple, unfiltered
+])
+def test_encoder_decode_loop_invariant(w, h, deblocking):
+    from tools import de265
+    rng = np.random.default_rng(42)
+    cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=1,
+                        deblocking=deblocking)
+    enc = Encoder(cfg)
+    stream = b""
+    recons = []
+    for i in range(2):
+        f = enc.encode(*_content(i, h, w, rng))
+        stream += f.nalus
+        recons.append(f.recon)
+    decoded = de265.decode(stream)
+    assert len(decoded) == 2
+    for i, planes in enumerate(decoded):
+        for d, r in zip(planes, recons[i]):
+            np.testing.assert_array_equal(d, r)
