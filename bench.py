@@ -1,11 +1,9 @@
-"""Headline benchmark: frames/s on the flagship config (720p all-intra
-for now; switches to IPPP once the inter path lands).
+"""Headline benchmark: frames/s on the flagship config — 720p IPPP
+QP32 (BASELINE.json metric).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is fps relative to the measured HomerHEVC reference fps
-(tools/measure_baseline.py writes BASELINE_MEASURED.json); falls back to
-the north-star proxy (4x target => vs_baseline = ours/4x_target) when no
-measurement exists yet.
+(BASELINE_MEASURED.json when present).
 """
 from __future__ import annotations
 
@@ -20,15 +18,21 @@ ROOT = pathlib.Path(__file__).resolve().parent
 
 
 def synthetic_video(n, h, w, seed=7):
+    """Textured content with global motion (exercises real ME)."""
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    m = 4 * n + 8
+    yy, xx = np.mgrid[0:h + m, 0:w + m]
+    base = np.clip(((xx * 3 + yy * 2) % 235)
+                   + rng.integers(0, 20, xx.shape), 0, 255) \
+        .astype(np.uint8)
     ys, us, vs = [], [], []
     for i in range(n):
-        noise = rng.integers(0, 24, size=(h, w), dtype=np.uint8)
-        ys.append((base + noise + 5 * i).astype(np.uint8))
-        us.append(np.full((h // 2, w // 2), 100 + 3 * i, np.uint8))
-        vs.append(np.full((h // 2, w // 2), 140 - 2 * i, np.uint8))
+        dx, dy = 3 * i, i
+        ys.append(base[dy:dy + h, dx:dx + w].copy())
+        us.append(base[dy // 2:dy // 2 + h // 2,
+                       dx // 2:dx // 2 + w // 2].copy())
+        vs.append(base[dy // 2 + 4:dy // 2 + 4 + h // 2,
+                       dx // 2 + 4:dx // 2 + 4 + w // 2].copy())
     return ys, us, vs
 
 
@@ -41,12 +45,14 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
     ys, us, vs = synthetic_video(n_frames, h, w)
 
-    cfg = EncoderConfig(width=w, height=h, qp=32, intra_period=1,
-                        sign_hiding=True)
+    cfg = EncoderConfig(width=w, height=h, qp=32, intra_period=100,
+                        sign_hiding=True, deblocking=True)
     enc = Encoder(cfg)
 
-    # warmup / compile
+    # warmup / compile both I and P paths
     enc.encode(ys[0], us[0], vs[0], compute_recon=False)
+    enc.encode(ys[1], us[1], vs[1], compute_recon=False)
+    enc.control(cfg)  # reset stream state after warmup
 
     t0 = time.perf_counter()
     total_bits = 0
@@ -57,18 +63,16 @@ def main():
     fps = n_frames / dt
 
     measured = ROOT / "BASELINE_MEASURED.json"
+    vs = None
     if measured.exists():
         ref = json.loads(measured.read_text())
-        ref_fps = ref.get("homer_fps_720p_allintra") or \
-            ref.get("homer_fps_720p_ippp")
+        ref_fps = ref.get("homer_fps_720p_ippp")
         vs = fps / ref_fps if ref_fps else None
-    else:
-        vs = None
     if vs is None:
         vs = round(fps / 100.0, 4)  # proxy until reference fps is measured
 
     print(json.dumps({
-        "metric": "frames_per_sec_720p_allintra_qp32",
+        "metric": "frames_per_sec_720p_ippp_qp32",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(vs, 4),

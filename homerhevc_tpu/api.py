@@ -15,7 +15,7 @@ import numpy as np
 
 from homerhevc_tpu.config import EncoderConfig
 from homerhevc_tpu.entropy import binding
-from homerhevc_tpu.models import intra_frame
+from homerhevc_tpu.models import inter_frame, intra_frame
 
 
 @dataclasses.dataclass
@@ -45,7 +45,9 @@ class Encoder:
         self.ccfg = binding.make_cfg(cfg)
         binding.load_library()
         self._headers = binding.write_parameter_sets(self.ccfg)
-        self._poc = 0
+        self._poc = 0          # frame counter (display = coding order)
+        self._gop_poc = 0      # POC since last IDR (slice header POC lsb)
+        self._ref = None       # previous frame's (deblocked) recon planes
         self._out: list[CodedFrame] = []
 
     # -- control (HENC_SETCFG re-configuration) --
@@ -63,12 +65,19 @@ class Encoder:
         vp = _pad_plane(np.asarray(v, np.uint8), ctu // 2)
 
         is_idr = cfg.intra_period <= 1 or \
-            (self._poc % max(cfg.intra_period, 1)) == 0
-        # round 1: all frames intra (inter path lands next)
-        out = intra_frame.encode_frame_jit(
-            yp, up, vp, qp=cfg.qp, cu=16, ctu=ctu,
-            sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
-        rec = self._record_from_device(out, yp.shape, cfg)
+            (self._poc % max(cfg.intra_period, 1)) == 0 or self._ref is None
+        if is_idr:
+            self._gop_poc = 0
+            out = intra_frame.encode_frame_jit(
+                yp, up, vp, qp=cfg.qp, cu=16, ctu=ctu,
+                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
+            rec = self._record_from_device(out, yp.shape, cfg)
+        else:
+            out = inter_frame.encode_p_frame_jit(
+                yp, up, vp, *self._ref, qp=cfg.qp, block=16,
+                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
+            rec = self._p_record_from_device(out, yp.shape, cfg)
+        self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         slice_bytes = binding.encode_slice(self.ccfg, rec)
         nalus = (self._headers if is_idr else b"") + slice_bytes
         frame = CodedFrame(
@@ -82,6 +91,7 @@ class Encoder:
             frame.psnr = tuple(
                 _psnr(a, b) for a, b in zip((y, u, v), frame.recon))
         self._poc += 1
+        self._gop_poc += 1
         self._out.append(frame)
         return frame
 
@@ -116,6 +126,28 @@ class Encoder:
             coeff_cb=np.asarray(out["coeff_cb"], np.int16),
             coeff_cr=np.asarray(out["coeff_cr"], np.int16),
             pred_mode=np.ones((h4, w4), np.uint8),
+        )
+        return rec
+
+    def _p_record_from_device(self, out, padded_shape, cfg) \
+            -> binding.FrameRecord:
+        h, w = padded_shape
+        h4, w4 = h // 4, w // 4
+        k = 16 // 4
+        cbf = np.asarray(out["cbf"], np.uint8)
+        mv = np.asarray(out["mv"], np.int16)            # [bh, bw, 2] (y,x)
+        rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
+        rec = binding.FrameRecord(
+            width=w, height=h, slice_type=1, slice_qp=cfg.qp,
+            poc=self._gop_poc, is_idr=False, num_merge_cands=2,
+            cu_depth=np.full((h4, w4), 2, np.uint8),   # 16x16 CUs (ctu 64)
+            pred_mode=np.zeros((h4, w4), np.uint8),    # all inter
+            mv_x=rep(mv[..., 1]).astype(np.int16),
+            mv_y=rep(mv[..., 0]).astype(np.int16),
+            cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),
+            coeff_y=np.asarray(out["coeff_y"], np.int16),
+            coeff_cb=np.asarray(out["coeff_cb"], np.int16),
+            coeff_cr=np.asarray(out["coeff_cr"], np.int16),
         )
         return rec
 

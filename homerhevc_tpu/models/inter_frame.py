@@ -1,0 +1,154 @@
+"""Batched P-frame (inter) encoder — the TPU compute path for IPPP.
+
+Re-designs the reference's per-CTU inter loop (ref: motion_inter_full
+hmr_motion_inter.c:2791, wfpp_encoder_thread hmr_encoder_lib.c:2357) as
+a fully batched JAX program with NO intra-frame sequencing: every block
+predicts from the previous frame's (deblocked) reconstruction, so ME,
+MC, transform/quant and reconstruction all run as single dense launches
+over all blocks of the frame — the wavefront disappears entirely.
+
+Round-1 scope: 16x16 2Nx2N inter CUs, 1 reference frame, quarter-pel
+ME (dense hierarchical search, ops/me.py), inter deblocking.  The host
+entropy stage derives merge/skip/AMVP from the MV field decoder-exactly
+(native/mvpred.cpp), so the device needs no candidate-list logic.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from homerhevc_tpu import tables
+from homerhevc_tpu.ops import deblock, interp, me, quant, transform
+
+
+def _blocks(plane: jnp.ndarray, b: int):
+    h, w = plane.shape
+    return plane.reshape(h // b, b, w // b, b).transpose(0, 2, 1, 3) \
+        .reshape(-1, b, b)
+
+
+def _unblocks(blocks: jnp.ndarray, h: int, w: int):
+    b = blocks.shape[-1]
+    return blocks.reshape(h // b, w // b, b, b).transpose(0, 2, 1, 3) \
+        .reshape(h, w)
+
+
+def _tq(resid, size, qp, is_intra, sbh_scan):
+    coeff = transform.forward_transform(resid, size)
+    level, du = quant.quantize(coeff, qp, size, is_intra=is_intra)
+    if sbh_scan is not None:
+        level = quant.sign_bit_hide(level, du, sbh_scan, size)
+    deq = quant.dequantize(level, qp, size)
+    r = transform.inverse_transform(deq, size)
+    return level, r
+
+
+def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
+                            block: int, h: int, w: int):
+    """BS maps for an all-inter frame (spec 8.7.2.4; ref
+    get_boundary_strength_single hmr_deblocking_filter.c:138): BS=1 at a
+    PU/TU boundary when either side has cbf or the MVs differ by >= 4
+    quarter-pel in any component; never 2 (no intra CUs)."""
+    bh, bw = cbf.shape
+    mvdiff_v = (jnp.abs(mv[:, :-1] - mv[:, 1:]) >= 4).any(-1)
+    cond_v = (cbf[:, :-1] | cbf[:, 1:]).astype(bool) | mvdiff_v  # [bh,bw-1]
+    mvdiff_h = (jnp.abs(mv[:-1] - mv[1:]) >= 4).any(-1)
+    cond_h = (cbf[:-1] | cbf[1:]).astype(bool) | mvdiff_h        # [bh-1,bw]
+
+    step = block // 8
+    bs_v = jnp.zeros((h // 4, w // 8), jnp.int32)
+    colv = jnp.repeat(cond_v.astype(jnp.int32), block // 4, axis=0)
+    bs_v = bs_v.at[:, step::step].set(colv)
+    bs_h = jnp.zeros((h // 8, w // 4), jnp.int32)
+    rowh = jnp.repeat(cond_h.astype(jnp.int32), block // 4, axis=1)
+    bs_h = bs_h.at[step::step, :].set(rowh)
+    return bs_v, bs_h
+
+
+def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
+                   sign_hiding: bool = False, deblocking: bool = False):
+    """Encode one P frame against one reference.
+
+    y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
+    deblocked) reference planes of the same shapes.
+    Returns FrameRecord fields incl. quarter-pel MVs [bh, bw, 2] (y, x).
+    """
+    h, w = y.shape
+    s = block
+    cs = block // 2
+    bh, bw = h // s, w // s
+    qp_c = int(tables.CHROMA_QP_TABLE[min(max(qp, 0), 57)])
+    sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
+        if sign_hiding else None
+    sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
+        if sign_hiding else None
+
+    cur = jnp.asarray(y, jnp.int32)
+    refy = jnp.asarray(ref_y, jnp.int32)
+    mv, _sad = me.motion_estimate(cur, refy, block=s)   # [bh, bw, 2] qpel
+
+    # ---- luma MC with the final MVs
+    mv_f = mv.reshape(-1, 2)
+    pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
+    pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
+    pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
+    pos_x = jnp.broadcast_to(pos_x, (bh, bw)).reshape(-1)
+    ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
+    win = me._gather_windows(
+        ref_pad,
+        me.REF_PAD + pos_y + (mv_f[:, 0] >> 2) - 3,
+        me.REF_PAD + pos_x + (mv_f[:, 1] >> 2) - 3, s + 7)
+    pred = jax.vmap(lambda wn, a, b: interp.mc_luma(wn, a, b, s))(
+        win, mv_f[:, 1] & 3, mv_f[:, 0] & 3)
+
+    cur_b = _blocks(cur, s)
+    level_y, rres = _tq(cur_b - pred, s, qp, False, sbh_scan)
+    recon_y = jnp.clip(pred + rres, 0, 255)
+    cbf_y = jnp.any(level_y != 0, axis=(-1, -2)).reshape(bh, bw)
+
+    # ---- chroma MC (4-tap, eighth-pel = luma quarter-pel values)
+    cpad = me.REF_PAD // 2
+
+    def chroma(plane, refp, scan):
+        refc = jnp.asarray(refp, jnp.int32)
+        rp = jnp.pad(refc, cpad, mode="edge")
+        cw = me._gather_windows(
+            rp,
+            cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
+            cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1, cs + 3)
+        cpred = jax.vmap(lambda wn, a, b: interp.mc_chroma(wn, a, b, cs))(
+            cw, mv_f[:, 1] & 7, mv_f[:, 0] & 7)
+        cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
+        lvl, rr = _tq(cb - cpred, cs, qp_c, False, scan)
+        rec = jnp.clip(cpred + rr, 0, 255)
+        cbf = jnp.any(lvl != 0, axis=(-1, -2)).reshape(bh, bw)
+        return lvl, rec, cbf
+
+    level_u, recon_u, cbf_u = chroma(u, ref_u, sbh_scan_c)
+    level_v, recon_v, cbf_v = chroma(v, ref_v, sbh_scan_c)
+
+    out_y = _unblocks(recon_y, h, w)
+    out_u = _unblocks(recon_u, h // 2, w // 2)
+    out_v = _unblocks(recon_v, h // 2, w // 2)
+
+    if deblocking:
+        # spec 8.7.2.4: the cbf term of the BS is the LUMA TB only
+        bs_v, bs_h = inter_boundary_strength(cbf_y.astype(jnp.int32),
+                                             mv, s, h, w)
+        out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
+        # chroma filters only BS==2 edges; all-inter frame has none
+
+    return dict(
+        recon_y=out_y, recon_u=out_u, recon_v=out_v,
+        coeff_y=_unblocks(level_y, h, w).astype(jnp.int16),
+        coeff_cb=_unblocks(level_u, h // 2, w // 2).astype(jnp.int16),
+        coeff_cr=_unblocks(level_v, h // 2, w // 2).astype(jnp.int16),
+        mv=mv,
+        cbf=jnp.stack([cbf_y, cbf_u, cbf_v]).astype(jnp.int32),
+    )
+
+
+encode_p_frame_jit = jax.jit(
+    encode_p_frame,
+    static_argnames=("qp", "block", "sign_hiding", "deblocking"))

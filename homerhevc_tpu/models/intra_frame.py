@@ -61,14 +61,16 @@ def build_plan(width: int, height: int, cu: int, ctu: int = 64):
     seg_avail = amask[by_c, bx_c]                       # [n_steps, nb, 5]
     # "above PU in another CTU row -> treat as DC" flag for MPM (spec 8.4.2)
     top_other_ctu = (by_c * cu) % ctu == 0
+    # numpy only: this plan is lru_cached across jit traces, and arrays
+    # created inside a trace are tracers that must not escape it
     plan = dict(
         n_steps=n_steps, nb=nb,
-        by=jnp.asarray(by_c, jnp.int32), bx=jnp.asarray(bx_c, jnp.int32),
-        valid=jnp.asarray(valid),
-        seg_avail=jnp.asarray(seg_avail),
-        top_other_ctu=jnp.asarray(top_other_ctu),
-        left_avail=jnp.asarray(avail["left"][by_c, bx_c]),
-        top_avail=jnp.asarray(avail["top"][by_c, bx_c]),
+        by=np.asarray(by_c, np.int32), bx=np.asarray(bx_c, np.int32),
+        valid=np.asarray(valid),
+        seg_avail=np.asarray(seg_avail),
+        top_other_ctu=np.asarray(top_other_ctu),
+        left_avail=np.asarray(avail["left"][by_c, bx_c]),
+        top_avail=np.asarray(avail["top"][by_c, bx_c]),
     )
     return plan
 

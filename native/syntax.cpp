@@ -89,7 +89,9 @@ class SliceWriter {
     min_cu_log2_ = log2i(cfg_.min_cu_size);
     ctus_x_ = w_ >> ctu_log2_;
     ctus_y_ = h_ >> ctu_log2_;
+    h4_ = h_ >> 2;
     is_p_ = rec_.slice_type != 2;
+    if (is_p_) derive_inter_fields();
   }
 
   std::vector<uint8_t> encode() {
@@ -120,7 +122,143 @@ class SliceWriter {
     return rec_.slice_type == 2 || m4(rec_.pred_mode, x, y) != 0;
   }
   bool skip_at(int x, int y) const {
-    return rec_.skip_flag && m4(rec_.skip_flag, x, y);
+    return !d_skip_.empty() && d_skip_[(y >> 2) * w4_ + (x >> 2)];
+  }
+
+  // ---- merge/AMVP derivation (spec 8.5.3.2.3 / 8.5.3.2.5-8) ----
+  //
+  // The device ships only the final per-4x4 MV field (mv_x/mv_y) and
+  // pred_mode; this pre-pass re-derives, decoder-exactly, which CUs are
+  // expressible as merge/skip and computes mvd + mvp_idx for the rest
+  // (role of ref get_merge_mvp_candidates/get_amvp_candidates
+  // hmr_motion_inter.c:1786/1864, lifted into the host stage so the
+  // device needs no candidate-list logic).  P slice, 1 reference,
+  // temporal MVP disabled in SPS.
+  struct MV {
+    int x = 0, y = 0;
+  };
+  static bool mv_eq(const MV& a, const MV& b) {
+    return a.x == b.x && a.y == b.y;
+  }
+  uint32_t zaddr(int x, int y) const {  // 4x4 z-scan address within CTU
+    uint32_t x4 = (x & (cfg_.ctu_size - 1)) >> 2;
+    uint32_t y4 = (y & (cfg_.ctu_size - 1)) >> 2;
+    uint32_t z = 0;
+    for (int b = 0; b < 8; ++b)
+      z |= ((x4 >> b) & 1u) << (2 * b) | ((y4 >> b) & 1u) << (2 * b + 1);
+    return z;
+  }
+  // z-scan-order availability (spec 6.4.1), single slice / no tiles
+  bool zavail(int xn, int yn, int xc, int yc) const {
+    if (xn < 0 || yn < 0 || xn >= w_ || yn >= h_) return false;
+    int cn = (yn >> ctu_log2_) * ctus_x_ + (xn >> ctu_log2_);
+    int cc = (yc >> ctu_log2_) * ctus_x_ + (xc >> ctu_log2_);
+    if (cn != cc) return cn < cc;
+    return zaddr(xn, yn) < zaddr(xc, yc);
+  }
+  bool avail_inter(int xn, int yn, int xc, int yc) const {
+    return zavail(xn, yn, xc, yc) && !is_intra(xn, yn);
+  }
+  MV mv_at(int x, int y) const {
+    int i = (y >> 2) * w4_ + (x >> 2);
+    return {rec_.mv_x[i], rec_.mv_y[i]};
+  }
+
+  void derive_inter_fields() {
+    d_merge_.assign(h4_ * w4_, 0);
+    d_mergeidx_.assign(h4_ * w4_, 0);
+    d_skip_.assign(h4_ * w4_, 0);
+    d_mvp_.assign(h4_ * w4_, 0);
+    d_mvdx_.assign(h4_ * w4_, 0);
+    d_mvdy_.assign(h4_ * w4_, 0);
+    for (int cy = 0; cy < ctus_y_; ++cy)
+      for (int cx = 0; cx < ctus_x_; ++cx)
+        derive_qt(cx << ctu_log2_, cy << ctu_log2_, ctu_log2_, 0);
+  }
+
+  void derive_qt(int x0, int y0, int log2, int depth) {
+    if (depth_at(x0, y0) > depth) {
+      int half = 1 << (log2 - 1);
+      derive_qt(x0, y0, log2 - 1, depth + 1);
+      derive_qt(x0 + half, y0, log2 - 1, depth + 1);
+      derive_qt(x0, y0 + half, log2 - 1, depth + 1);
+      derive_qt(x0 + half, y0 + half, log2 - 1, depth + 1);
+      return;
+    }
+    derive_cu(x0, y0, 1 << log2);
+  }
+
+  void derive_cu(int x0, int y0, int s) {
+    if (is_intra(x0, y0)) return;
+    const MV cur = mv_at(x0, y0);
+    // neighbour sample positions (spec 8.5.3.2.3)
+    const int a1x = x0 - 1, a1y = y0 + s - 1;
+    const int b1x = x0 + s - 1, b1y = y0 - 1;
+    const int b0x = x0 + s, b0y = y0 - 1;
+    const int a0x = x0 - 1, a0y = y0 + s;
+    const int b2x = x0 - 1, b2y = y0 - 1;
+    const bool aa1 = avail_inter(a1x, a1y, x0, y0);
+    const bool ab1 = avail_inter(b1x, b1y, x0, y0);
+    const bool ab0 = avail_inter(b0x, b0y, x0, y0);
+    const bool aa0 = avail_inter(a0x, a0y, x0, y0);
+    const bool ab2 = avail_inter(b2x, b2y, x0, y0);
+    const MV mA1 = aa1 ? mv_at(a1x, a1y) : MV{};
+    const MV mB1 = ab1 ? mv_at(b1x, b1y) : MV{};
+    const MV mB0 = ab0 ? mv_at(b0x, b0y) : MV{};
+    const MV mA0 = aa0 ? mv_at(a0x, a0y) : MV{};
+    const MV mB2 = ab2 ? mv_at(b2x, b2y) : MV{};
+
+    // ---- merge candidate list (8.5.3.2.3: A1,B1,B0,A0,[B2]; zero pad)
+    MV list[5];
+    int n = 0;
+    if (aa1) list[n++] = mA1;
+    if (ab1 && !(aa1 && mv_eq(mB1, mA1))) list[n++] = mB1;
+    if (ab0 && !(ab1 && mv_eq(mB0, mB1))) list[n++] = mB0;
+    if (aa0 && !(aa1 && mv_eq(mA0, mA1))) list[n++] = mA0;
+    if (n < 4 && ab2 && !(aa1 && mv_eq(mB2, mA1)) &&
+        !(ab1 && mv_eq(mB2, mB1)))
+      list[n++] = mB2;
+    while (n < rec_.num_merge_cands) list[n++] = MV{};
+
+    int merge_idx = -1;
+    for (int k = 0; k < rec_.num_merge_cands; ++k)
+      if (mv_eq(list[k], cur)) {
+        merge_idx = k;
+        break;
+      }
+
+    int mvp_idx = 0, mvdx = 0, mvdy = 0;
+    bool merge = merge_idx >= 0;
+    bool skip = merge && !any_cbf_cu(x0, y0, s);
+    if (!merge) {
+      // ---- AMVP (8.5.3.2.5-8): with one reference picture the scaled
+      // branches are identity, so A = first of {A0,A1}, B = first of
+      // {B0,B1,B2}, dedup, zero-pad to 2.
+      MV amvp[2];
+      int m = 0;
+      bool has_a = aa0 || aa1;
+      MV a = aa0 ? mA0 : mA1;
+      bool has_b = ab0 || ab1 || ab2;
+      MV b = ab0 ? mB0 : (ab1 ? mB1 : mB2);
+      if (has_a) amvp[m++] = a;
+      if (has_b && (!has_a || !mv_eq(a, b))) amvp[m++] = b;
+      while (m < 2) amvp[m++] = MV{};
+      int c0 = std::abs(cur.x - amvp[0].x) + std::abs(cur.y - amvp[0].y);
+      int c1 = std::abs(cur.x - amvp[1].x) + std::abs(cur.y - amvp[1].y);
+      mvp_idx = c1 < c0 ? 1 : 0;
+      mvdx = cur.x - amvp[mvp_idx].x;
+      mvdy = cur.y - amvp[mvp_idx].y;
+    }
+    for (int dy = 0; dy < s; dy += 4)
+      for (int dx = 0; dx < s; dx += 4) {
+        int i = ((y0 + dy) >> 2) * w4_ + ((x0 + dx) >> 2);
+        d_merge_[i] = merge ? 1 : 0;
+        d_mergeidx_[i] = merge ? merge_idx : 0;
+        d_skip_[i] = skip ? 1 : 0;
+        d_mvp_[i] = mvp_idx;
+        d_mvdx_[i] = static_cast<int16_t>(mvdx);
+        d_mvdy_[i] = static_cast<int16_t>(mvdy);
+      }
   }
   bool cbf_chroma_region(const uint8_t* map, int x, int y, int size) const {
     int step = std::max(size >> 2, 1);
@@ -195,7 +333,7 @@ class SliceWriter {
       bool skip = skip_at(x0, y0);
       cabac_.encode_bin(&ctx_.ctx[CTX_SKIP + ctx], skip);
       if (skip) {
-        write_merge_idx(m4(rec_.merge_idx, x0, y0));
+        write_merge_idx(d_mergeidx_[(y0 >> 2) * w4_ + (x0 >> 2)]);
         return;
       }
       cabac_.encode_bin(&ctx_.ctx[CTX_PRED_MODE], intra);
@@ -221,7 +359,8 @@ class SliceWriter {
         prediction_unit(x0, y0 + half);
         prediction_unit(x0 + half, y0 + half);
       }
-      bool merge2nx2n = part == 0 && m4(rec_.merge_flag, x0, y0);
+      bool merge2nx2n =
+          part == 0 && d_merge_[(y0 >> 2) * w4_ + (x0 >> 2)] != 0;
       if (!merge2nx2n) {
         bool root_cbf = any_cbf_cu(x0, y0, 1 << log2);
         cabac_.encode_bin(&ctx_.ctx[CTX_ROOT_CBF], root_cbf);
@@ -267,16 +406,16 @@ class SliceWriter {
   }
 
   void prediction_unit(int x0, int y0) {
-    bool merge = m4(rec_.merge_flag, x0, y0) != 0;
+    int i4 = (y0 >> 2) * w4_ + (x0 >> 2);
+    bool merge = d_merge_[i4] != 0;
     cabac_.encode_bin(&ctx_.ctx[CTX_MERGE_FLAG], merge);
     if (merge) {
-      write_merge_idx(m4(rec_.merge_idx, x0, y0));
+      write_merge_idx(d_mergeidx_[i4]);
       return;
     }
     // P slice, 1 reference: no inter_pred_idc, no ref_idx
-    int i4 = (y0 >> 2) * w4_ + (x0 >> 2);
-    write_mvd(rec_.mvd_x[i4], rec_.mvd_y[i4]);
-    cabac_.encode_bin(&ctx_.ctx[CTX_MVP_IDX], m4(rec_.mvp_idx, x0, y0));
+    write_mvd(d_mvdx_[i4], d_mvdy_[i4]);
+    cabac_.encode_bin(&ctx_.ctx[CTX_MVP_IDX], d_mvp_[i4]);
   }
 
   void write_egk(uint32_t v, int k) {  // k-th order Exp-Golomb, bypass
@@ -732,8 +871,10 @@ class SliceWriter {
   Bitstream bs_;
   CabacEncoder cabac_;
   ContextSet ctx_;
-  int w_, h_, w4_, ctu_log2_, min_cu_log2_, ctus_x_, ctus_y_;
+  int w_, h_, w4_, h4_, ctu_log2_, min_cu_log2_, ctus_x_, ctus_y_;
   bool is_p_ = false;
+  std::vector<uint8_t> d_merge_, d_mergeidx_, d_skip_, d_mvp_;
+  std::vector<int16_t> d_mvdx_, d_mvdy_;
   int x_parent_ = 0, y_parent_ = 0;
   int c1_of_prev_cg_ = 1;
 };

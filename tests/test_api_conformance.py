@@ -39,3 +39,38 @@ def test_encoder_decode_loop_invariant(w, h, deblocking):
     for i, planes in enumerate(decoded):
         for d, r in zip(planes, recons[i]):
             np.testing.assert_array_equal(d, r)
+
+
+def test_encoder_ippp_decode_loop_invariant():
+    """IPPP: dense ME + MC + inter residuals + merge/skip/AMVP derivation
+    + inter deblocking, all validated by the conformant decoder."""
+    from tools import de265
+    rng = np.random.default_rng(7)
+    w, h, m = 128, 64, 16
+    g = np.mgrid[0:h + m, 0:w + m]
+    base = np.clip(((g[1] * 3 + g[0] * 2) % 235)
+                   + rng.integers(0, 16, g[0].shape), 0, 255) \
+        .astype(np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=100,
+                        deblocking=True)
+    enc = Encoder(cfg)
+    stream = b""
+    recons = []
+    bits = []
+    for i in range(4):
+        dx, dy = 2 * i, i                       # global motion
+        y = base[dy:dy + h, dx:dx + w]
+        u = base[dy // 2:dy // 2 + h // 2, dx // 2:dx // 2 + w // 2]
+        v = base[dy // 2 + 4:dy // 2 + 4 + h // 2,
+                 dx // 2 + 4:dx // 2 + 4 + w // 2]
+        f = enc.encode(y, u, v)
+        stream += f.nalus
+        recons.append(f.recon)
+        bits.append(f.bits)
+    decoded = de265.decode(stream)
+    assert len(decoded) == 4
+    for i, planes in enumerate(decoded):
+        for d, r in zip(planes, recons[i]):
+            np.testing.assert_array_equal(d, r)
+    # P frames must actually exploit the reference
+    assert max(bits[1:]) < bits[0]
