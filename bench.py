@@ -57,7 +57,10 @@ def main():
     t0 = time.perf_counter()
     total_bits = 0
     for i in range(n_frames):
-        f = enc.encode(ys[i], us[i], vs[i], compute_recon=False)
+        f = enc.encode_async(ys[i], us[i], vs[i])
+        if f is not None:
+            total_bits += f.bits
+    for f in enc.flush():
         total_bits += f.bits
     dt = time.perf_counter() - t0
     fps = n_frames / dt

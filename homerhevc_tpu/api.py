@@ -49,6 +49,7 @@ class Encoder:
         self._gop_poc = 0      # POC since last IDR (slice header POC lsb)
         self._ref = None       # previous frame's (deblocked) recon planes
         self._out: list[CodedFrame] = []
+        self._pending: list = []
 
     # -- control (HENC_SETCFG re-configuration) --
     def control(self, cfg: EncoderConfig):
@@ -56,14 +57,37 @@ class Encoder:
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                compute_recon: bool = True) -> CodedFrame:
-        """Encode one frame (blocking; the pipelined path is
-        Pipeline.encode in pipeline.py)."""
+        """Encode one frame, blocking until its bytes are ready."""
+        pend = self._dispatch(y, u, v, compute_recon)
+        return self._finalize(pend)
+
+    def encode_async(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
+                     ) -> Optional[CodedFrame]:
+        """Pipelined encode (role of the reference's engine pipeline,
+        hmr_encoder_lib.c:2640): dispatches frame N to the device, then
+        entropy-codes frame N-1 on the host while N computes.  Returns
+        frame N-1's CodedFrame (or None on the first call); drain the
+        tail with flush()."""
+        self._pending.append(self._dispatch(y, u, v, False))
+        if len(self._pending) > 1:
+            frame = self._finalize(self._pending.pop(0))
+            self._out.append(frame)
+            return frame
+        return None
+
+    def flush(self) -> list:
+        done = [self._finalize(p) for p in self._pending]
+        self._pending.clear()
+        self._out.extend(done)
+        return done
+
+    # -- stage 1: device compute (async dispatch) --
+    def _dispatch(self, y, u, v, compute_recon):
         cfg = self.cfg
         ctu = cfg.ctu_size
         yp = _pad_plane(np.asarray(y, np.uint8), ctu)
         up = _pad_plane(np.asarray(u, np.uint8), ctu // 2)
         vp = _pad_plane(np.asarray(v, np.uint8), ctu // 2)
-
         is_idr = cfg.intra_period <= 1 or \
             (self._poc % max(cfg.intra_period, 1)) == 0 or self._ref is None
         if is_idr:
@@ -71,29 +95,52 @@ class Encoder:
             out = intra_frame.encode_frame_jit(
                 yp, up, vp, qp=cfg.qp, cu=16, ctu=ctu,
                 sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
-            rec = self._record_from_device(out, yp.shape, cfg)
         else:
             out = inter_frame.encode_p_frame_jit(
                 yp, up, vp, *self._ref, qp=cfg.qp, block=16,
                 sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
-            rec = self._p_record_from_device(out, yp.shape, cfg)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
-        slice_bytes = binding.encode_slice(self.ccfg, rec)
-        nalus = (self._headers if is_idr else b"") + slice_bytes
-        frame = CodedFrame(
-            poc=self._poc, nalus=nalus, bits=len(slice_bytes) * 8,
-            recon=(np.asarray(out["recon_y"], np.uint8)[:y.shape[0], :y.shape[1]],
-                   np.asarray(out["recon_u"], np.uint8)[:u.shape[0], :u.shape[1]],
-                   np.asarray(out["recon_v"], np.uint8)[:v.shape[0], :v.shape[1]])
-            if compute_recon else None,
-        )
-        if compute_recon:
-            frame.psnr = tuple(
-                _psnr(a, b) for a, b in zip((y, u, v), frame.recon))
+        pend = dict(out=out, is_idr=is_idr, poc=self._poc,
+                    gop_poc=self._gop_poc, padded=yp.shape,
+                    orig=(y, u, v) if compute_recon else None)
         self._poc += 1
         self._gop_poc += 1
-        self._out.append(frame)
+        return pend
+
+    # -- stage 2: host transfer + entropy --
+    def _finalize(self, pend) -> CodedFrame:
+        cfg = self.cfg
+        out = pend["out"]
+        packed = np.asarray(out["packed"])          # ONE device->host pull
+        if pend["is_idr"]:
+            rec = self._i_record(packed, pend, cfg)
+        else:
+            rec = self._p_record(packed, pend, cfg)
+        slice_bytes = binding.encode_slice(self.ccfg, rec)
+        nalus = (self._headers if pend["is_idr"] else b"") + slice_bytes
+        frame = CodedFrame(poc=pend["poc"], nalus=nalus,
+                           bits=len(slice_bytes) * 8)
+        if pend["orig"] is not None:
+            y, u, v = pend["orig"]
+            frame.recon = (
+                np.asarray(out["recon_y"], np.uint8)[:y.shape[0],
+                                                     :y.shape[1]],
+                np.asarray(out["recon_u"], np.uint8)[:u.shape[0],
+                                                     :u.shape[1]],
+                np.asarray(out["recon_v"], np.uint8)[:v.shape[0],
+                                                     :v.shape[1]])
+            frame.psnr = tuple(
+                _psnr(a, b) for a, b in zip((y, u, v), frame.recon))
         return frame
+
+    @staticmethod
+    def _unpack(packed, h, w, tail_elems):
+        ny, nc = h * w, (h // 2) * (w // 2)
+        coeff_y = packed[:ny].reshape(h, w)
+        coeff_cb = packed[ny:ny + nc].reshape(h // 2, w // 2)
+        coeff_cr = packed[ny + nc:ny + 2 * nc].reshape(h // 2, w // 2)
+        tail = packed[ny + 2 * nc:]
+        return coeff_y, coeff_cb, coeff_cr, tail
 
     def get_coded_frame(self) -> Optional[CodedFrame]:
         return self._out.pop(0) if self._out else None
@@ -105,51 +152,76 @@ class Encoder:
     def close(self):
         self._out.clear()
 
-    # -- device output -> host FrameRecord --
-    def _record_from_device(self, out, padded_shape, cfg) -> binding.FrameRecord:
-        h, w = padded_shape
+    # -- packed device buffer -> host FrameRecord --
+    def _i_record(self, packed, pend, cfg) -> binding.FrameRecord:
+        h, w = pend["padded"]
         h4, w4 = h // 4, w // 4
-        modes = np.asarray(out["modes"], np.uint8)      # [bh, bw] 16x16 CUs
-        cbf = np.asarray(out["cbf"], np.uint8)
-        k = 16 // 4
+        bh, bw = h // 16, w // 16
+        cy, cb, cr, tail = self._unpack(packed, h, w, bh * bw * 4)
+        modes = tail[:bh * bw].reshape(bh, bw).astype(np.uint8)
+        cbf = tail[bh * bw:bh * bw * 4].reshape(3, bh, bw).astype(np.uint8)
+        k = 4
         mode4 = np.repeat(np.repeat(modes, k, 0), k, 1)
-        rec = binding.FrameRecord(
+        return binding.FrameRecord(
             width=w, height=h, slice_type=2, slice_qp=cfg.qp,
-            poc=self._poc, is_idr=True,
-            cu_depth=np.full((h4, w4), {64: 0, 32: 1, 16: 2}[16], np.uint8),
+            poc=pend["gop_poc"], is_idr=True,
+            cu_depth=np.full((h4, w4), 2, np.uint8),
             intra_luma_mode=mode4,
             intra_chroma_mode=mode4,           # DM
             cbf_y=np.repeat(np.repeat(cbf[0], k, 0), k, 1),
             cbf_cb=np.repeat(np.repeat(cbf[1], k, 0), k, 1),
             cbf_cr=np.repeat(np.repeat(cbf[2], k, 0), k, 1),
-            coeff_y=np.asarray(out["coeff_y"], np.int16),
-            coeff_cb=np.asarray(out["coeff_cb"], np.int16),
-            coeff_cr=np.asarray(out["coeff_cr"], np.int16),
+            coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
             pred_mode=np.ones((h4, w4), np.uint8),
         )
-        return rec
 
-    def _p_record_from_device(self, out, padded_shape, cfg) \
-            -> binding.FrameRecord:
-        h, w = padded_shape
+    def _p_record(self, packed, pend, cfg) -> binding.FrameRecord:
+        from homerhevc_tpu.models.inter_frame import p_caps
+        from homerhevc_tpu.ops import packing
+        h, w = pend["padded"]
         h4, w4 = h // 4, w // 4
-        k = 16 // 4
-        cbf = np.asarray(out["cbf"], np.uint8)
-        mv = np.asarray(out["mv"], np.int16)            # [bh, bw, 2] (y,x)
+        bh, bw = h // 16, w // 16
+        nb = bh * bw
+        mv = packed[:nb * 2].reshape(bh, bw, 2)
+        cbf = packed[nb * 2:nb * 5].reshape(3, bh, bw).astype(np.uint8)
+        cap_y, cap_c, esc_y, esc_c = p_caps(nb)
+        off = nb * 5
+        sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
+        sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
+        cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_y],
+                                                cap_y, 16, nb, esc_y)
+        off += sz_y
+        cnt_b, blk_b = packing.unpack_blocks_i8(packed[off:off + sz_c],
+                                                cap_c, 8, nb, esc_c)
+        off += sz_c
+        cnt_r, blk_r = packing.unpack_blocks_i8(packed[off:off + sz_c],
+                                                cap_c, 8, nb, esc_c)
+
+        def plane(blocks, hh, ww, b):
+            return np.ascontiguousarray(
+                blocks.reshape(hh // b, ww // b, b, b)
+                .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+        # overflow fallback: pull the raw planes (rare; low QP content)
+        out = pend["out"]
+        cy = plane(blk_y, h, w, 16) if blk_y is not None \
+            else np.asarray(out["coeff_y"])
+        cb = plane(blk_b, h // 2, w // 2, 8) if blk_b is not None \
+            else np.asarray(out["coeff_cb"])
+        cr = plane(blk_r, h // 2, w // 2, 8) if blk_r is not None \
+            else np.asarray(out["coeff_cr"])
+        k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
-        rec = binding.FrameRecord(
+        return binding.FrameRecord(
             width=w, height=h, slice_type=1, slice_qp=cfg.qp,
-            poc=self._gop_poc, is_idr=False, num_merge_cands=2,
-            cu_depth=np.full((h4, w4), 2, np.uint8),   # 16x16 CUs (ctu 64)
-            pred_mode=np.zeros((h4, w4), np.uint8),    # all inter
-            mv_x=rep(mv[..., 1]).astype(np.int16),
-            mv_y=rep(mv[..., 0]).astype(np.int16),
+            poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
+            cu_depth=np.full((h4, w4), 2, np.uint8),
+            pred_mode=np.zeros((h4, w4), np.uint8),
+            mv_x=np.ascontiguousarray(rep(mv[..., 1])),
+            mv_y=np.ascontiguousarray(rep(mv[..., 0])),
             cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),
-            coeff_y=np.asarray(out["coeff_y"], np.int16),
-            coeff_cb=np.asarray(out["coeff_cb"], np.int16),
-            coeff_cr=np.asarray(out["coeff_cr"], np.int16),
+            coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
         )
-        return rec
 
 
 def _psnr(ref: np.ndarray, rec: np.ndarray) -> float:

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from homerhevc_tpu import tables
-from homerhevc_tpu.ops import deblock, interp, me, quant, transform
+from homerhevc_tpu.ops import deblock, interp, me, packing, quant, transform
 
 
 def _blocks(plane: jnp.ndarray, b: int):
@@ -42,6 +42,14 @@ def _tq(resid, size, qp, is_intra, sbh_scan):
     deq = quant.dequantize(level, qp, size)
     r = transform.inverse_transform(deq, size)
     return level, r
+
+
+def p_caps(nb: int):
+    """Compaction capacities: (luma blocks, chroma blocks, luma escape
+    values, chroma escape values); blocks must be even (int8 pairing)."""
+    cap_y = min(nb, max(64, nb * 60 // 100))
+    cap_c = min(nb, max(32, nb * 35 // 100))
+    return cap_y, cap_c, max(256, nb // 2), max(128, nb // 8)
 
 
 def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
@@ -86,21 +94,13 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 
     cur = jnp.asarray(y, jnp.int32)
     refy = jnp.asarray(ref_y, jnp.int32)
-    mv, _sad = me.motion_estimate(cur, refy, block=s)   # [bh, bw, 2] qpel
-
-    # ---- luma MC with the final MVs
+    # ME returns the final MC prediction (the winning subpel candidate)
+    mv, _sad, pred = me.motion_estimate(cur, refy, block=s)
     mv_f = mv.reshape(-1, 2)
     pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
     pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
     pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
     pos_x = jnp.broadcast_to(pos_x, (bh, bw)).reshape(-1)
-    ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
-    win = me._gather_windows(
-        ref_pad,
-        me.REF_PAD + pos_y + (mv_f[:, 0] >> 2) - 3,
-        me.REF_PAD + pos_x + (mv_f[:, 1] >> 2) - 3, s + 7)
-    pred = jax.vmap(lambda wn, a, b: interp.mc_luma(wn, a, b, s))(
-        win, mv_f[:, 1] & 3, mv_f[:, 0] & 3)
 
     cur_b = _blocks(cur, s)
     level_y, rres = _tq(cur_b - pred, s, qp, False, sbh_scan)
@@ -117,8 +117,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             rp,
             cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
             cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1, cs + 3)
-        cpred = jax.vmap(lambda wn, a, b: interp.mc_chroma(wn, a, b, cs))(
-            cw, mv_f[:, 1] & 7, mv_f[:, 0] & 7)
+        cpred = interp.mc_chroma_phases(cw, mv_f[:, 0] & 7,
+                                        mv_f[:, 1] & 7, cs)
         cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
         lvl, rr = _tq(cb - cpred, cs, qp_c, False, scan)
         rec = jnp.clip(cpred + rr, 0, 255)
@@ -139,7 +139,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
         # chroma filters only BS==2 edges; all-inter frame has none
 
-    return dict(
+    out = dict(
         recon_y=out_y, recon_u=out_u, recon_v=out_v,
         coeff_y=_unblocks(level_y, h, w).astype(jnp.int16),
         coeff_cb=_unblocks(level_u, h // 2, w // 2).astype(jnp.int16),
@@ -147,6 +147,17 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         mv=mv,
         cbf=jnp.stack([cbf_y, cbf_u, cbf_v]).astype(jnp.int32),
     )
+    # single-transfer marshaling with nonzero-block compaction (the
+    # device->host link is a high-latency, low-bandwidth tunnel)
+    nb = bh * bw
+    cap_y, cap_c, esc_y, esc_c = p_caps(nb)
+    out["packed"] = jnp.concatenate([
+        mv.astype(jnp.int16).reshape(-1),
+        out["cbf"].astype(jnp.int16).reshape(-1),
+        packing.compact_blocks_i8(level_y, cap_y, esc_y),
+        packing.compact_blocks_i8(level_u, cap_c, esc_c),
+        packing.compact_blocks_i8(level_v, cap_c, esc_c)])
+    return out
 
 
 encode_p_frame_jit = jax.jit(

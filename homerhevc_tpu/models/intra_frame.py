@@ -264,7 +264,7 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         out_v = deblock.deblock_chroma(
             out_v, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
 
-    return dict(
+    out = dict(
         recon_y=out_y,
         recon_u=out_u,
         recon_v=out_v,
@@ -274,6 +274,12 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         modes=mode_map,
         cbf=cbfs,
     )
+    out["packed"] = jnp.concatenate([
+        out["coeff_y"].reshape(-1), out["coeff_cb"].reshape(-1),
+        out["coeff_cr"].reshape(-1),
+        mode_map.astype(jnp.int16).reshape(-1),
+        cbfs.astype(jnp.int16).reshape(-1)])
+    return out
 
 
 encode_frame_jit = jax.jit(

@@ -2,16 +2,26 @@
 
 The reference computes 8-tap luma / 4-tap chroma separable filters per
 block with SSE kernels (ref: hmr_motion_inter.c:241-950,
-hmr_sse42_functions_inter_prediction.c); here each phase pair is a pair
-of static 8-wide dot products over a gathered (S+7)x(S+7) window,
-batched over all blocks of a frame — MXU/VPU-friendly dense math.
+hmr_sse42_functions_inter_prediction.c); here each filter stage is a
+dense matmul against a static band matrix, so both stages ride the MXU:
 
-Bit-exactness (8-bit): shift1 = 0 (horizontal stage, 14-bit
-intermediate), shift2 = 6 (vertical stage), final uni-prediction
-rounding (spec 8.5.4.2.3) (pred + 32) >> 6 with Clip1.
+    out = B_v^T @ win @ B_h      (per block, batched over all blocks)
+
+Bit-exactness: every intermediate of the 8-bit interpolation fits in
+f32's exact-integer range (horizontal stage |sum| < 2^18, vertical
+stage |sum| < 2^23), and the matmuls run at Precision.HIGHEST, so the
+f32 pipeline reproduces the integer spec exactly (validated against
+the scalar golden model in tests/test_interp.py).  Final shifts/rounds
+are done in int32.
+
+Dynamic per-block phases are handled by evaluating the static phases
+and mask-accumulating — no gathers, no per-block control flow.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,56 +43,101 @@ CHROMA_FILTERS = np.array([
     [-2, 10, 58, -2],
 ], dtype=np.int32)
 
-_LUMA_F = jnp.asarray(LUMA_FILTERS)
-_CHROMA_F = jnp.asarray(CHROMA_FILTERS)
+_P = jax.lax.Precision.HIGHEST
 
 
-def _hfilter(win: jnp.ndarray, coef: jnp.ndarray, taps: int, out_w: int):
-    """Horizontal FIR: win [..., H, out_w+taps-1] -> [..., H, out_w]."""
-    acc = coef[..., 0, None, None] * win[..., :, 0:out_w]
-    for k in range(1, taps):
-        acc = acc + coef[..., k, None, None] * win[..., :, k:k + out_w]
-    return acc
+@functools.lru_cache(maxsize=None)
+def _band_np(phase: int, luma: bool, size: int, rows: int, off: int):
+    """[rows, size] band matrix: column o carries the phase's taps at
+    rows off+o .. off+o+taps-1."""
+    coefs = LUMA_FILTERS[phase] if luma else CHROMA_FILTERS[phase]
+    taps = len(coefs)
+    assert off + size - 1 + taps <= rows, (off, size, taps, rows)
+    m = np.zeros((rows, size), np.float32)
+    for o in range(size):
+        m[off + o:off + o + taps, o] = coefs
+    return m
 
 
-def _vfilter(win: jnp.ndarray, coef: jnp.ndarray, taps: int, out_h: int):
-    acc = coef[..., 0, None, None] * win[..., 0:out_h, :]
-    for k in range(1, taps):
-        acc = acc + coef[..., k, None, None] * win[..., k:k + out_h, :]
-    return acc
+def fir2d(win: jnp.ndarray, fy: int, fx: int, size: int, luma: bool,
+          oy: int = 0, ox: int = 0) -> jnp.ndarray:
+    """Static-phase 2-D interpolation core (64*64-scaled, exact int in
+    f32).  win: [..., H, W]; the filter support for output (0, 0) starts
+    at window row oy / column ox."""
+    h, w = win.shape[-2], win.shape[-1]
+    mv = jnp.asarray(_band_np(fx, luma, size, w, ox))   # [W, size]
+    mh = jnp.asarray(_band_np(fy, luma, size, h, oy))   # [H, size]
+    wf = win.astype(jnp.float32)
+    t = jnp.einsum("...yx,xo->...yo", wf, mv, precision=_P)
+    return jnp.einsum("...yo,yz->...zo", t, mh, precision=_P)
 
 
-def mc_luma(win: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray, size: int):
-    """Motion-compensate one (batch of) luma block(s).
+def finish_uni(pred64: jnp.ndarray) -> jnp.ndarray:
+    """int32 (>>6) then spec 8.5.4.2.3 uni-prediction rounding."""
+    p = pred64.astype(jnp.int32) >> 6
+    return jnp.clip((p + 32) >> 6, 0, 255)
 
-    win: [..., size+7, size+7] int32 window whose (3, 3) sample is the
-      integer-MV block origin; fx, fy: [...] quarter-pel phases 0..3.
-    Returns uint8-range int32 [..., size, size] prediction.
+
+def mc_luma_static(win, fy: int, fx: int, size: int, oy=0, ox=0):
+    return finish_uni(fir2d(win, fy, fx, size, True, oy, ox))
+
+
+def mc_chroma_static(win, fy: int, fx: int, size: int, oy=0, ox=0):
+    return finish_uni(fir2d(win, fy, fx, size, False, oy, ox))
+
+
+def mc_chroma_phases(win3: jnp.ndarray, fy8: jnp.ndarray,
+                     fx8: jnp.ndarray, size: int):
+    """Chroma MC with per-block non-negative eighth-pel phases (the
+    integer part already folded into the window base).
+
+    win3: [n, size+3, size+3] whose (1, 1) sample is the integer
+    position; fy8/fx8: [n] in 0..7.  The 64 static phase pairs are
+    mask-accumulated in the scaled domain.
     """
-    ch = _LUMA_F[fx]                        # [..., 8]
-    cv = _LUMA_F[fy]
-    tmp = _hfilter(win, ch, 8, size)        # [..., size+7, size]
-    pred = _vfilter(tmp, cv, 8, size)       # shift1=0, shift2 applied below
-    # horizontal stage keeps 14-bit; vertical output needs >>6 only when
-    # both stages ran — but with phase-0 coefficient rows ([...,64,...])
-    # the unused stage contributes a clean x64, so the combined scaling
-    # is uniformly 64*64 and one >>6 + final >>6 rounding is exact.
-    pred = pred >> 6
-    return jnp.clip((pred + 32) >> 6, 0, 255)
-
-
-def mc_chroma(win: jnp.ndarray, fx: jnp.ndarray, fy: jnp.ndarray,
-              size: int):
-    """win: [..., size+3, size+3], origin at (1, 1); fx, fy eighth-pel
-    phases 0..7."""
-    ch = _CHROMA_F[fx]
-    cv = _CHROMA_F[fy]
-    tmp = _hfilter(win, ch, 4, size)
-    pred = _vfilter(tmp, cv, 4, size) >> 6
-    return jnp.clip((pred + 32) >> 6, 0, 255)
+    acc = jnp.zeros((win3.shape[0], size, size), jnp.float32)
+    for py in range(8):
+        for px in range(8):
+            m = (fy8 == py) & (fx8 == px)
+            pred = fir2d(win3, py, px, size, False)
+            acc = acc + jnp.where(m[:, None, None], pred, 0.0)
+    return finish_uni(acc)
 
 
 def pad_reference(plane: jnp.ndarray, pad: int) -> jnp.ndarray:
     """Edge-replicate padding (reference picture border extension,
     ref hmr_encoder_lib.c:1420)."""
     return jnp.pad(plane, ((pad, pad), (pad, pad)), mode="edge")
+
+
+# ---- per-block dynamic-phase scalar-style path (golden-test oracle
+# cross-check; not used in the production pipeline) ----
+
+def _hfilter(win, coef, taps, out_w):
+    acc = coef[..., 0, None, None] * win[..., :, 0:out_w]
+    for k in range(1, taps):
+        acc = acc + coef[..., k, None, None] * win[..., :, k:k + out_w]
+    return acc
+
+
+def _vfilter(win, coef, taps, out_h):
+    acc = coef[..., 0, None, None] * win[..., 0:out_h, :]
+    for k in range(1, taps):
+        acc = acc + coef[..., k, None, None] * win[..., k:k + out_h, :]
+    return acc
+
+
+def mc_luma(win, fx, fy, size):
+    ch = jnp.asarray(LUMA_FILTERS)[fx]
+    cv = jnp.asarray(LUMA_FILTERS)[fy]
+    tmp = _hfilter(win, ch, 8, size)
+    pred = _vfilter(tmp, cv, 8, size) >> 6
+    return jnp.clip((pred + 32) >> 6, 0, 255)
+
+
+def mc_chroma(win, fx, fy, size):
+    ch = jnp.asarray(CHROMA_FILTERS)[fx]
+    cv = jnp.asarray(CHROMA_FILTERS)[fy]
+    tmp = _hfilter(win, ch, 4, size)
+    pred = _vfilter(tmp, cv, 4, size) >> 6
+    return jnp.clip((pred + 32) >> 6, 0, 255)

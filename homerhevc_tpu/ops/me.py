@@ -46,18 +46,17 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int):
     bh2 = block // 2
     r = COARSE_R
     ref_p = jnp.pad(ref_h, r, mode="edge")
-    dxs = jnp.arange(-r, r + 1)
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
+                                  jnp.arange(2 * r + 1),
+                                  indexing="ij"), -1).reshape(-1, 2)
 
-    def row_sads(dy):
-        def col(dx):
-            shifted = jax.lax.dynamic_slice(
-                ref_p, (r + dy, r + dx), (h // 2, w // 2))
-            return _block_sum(jnp.abs(shifted - cur_h), bh2)  # [bh, bw]
-        return jax.vmap(col)(dxs)                    # [2r+1, bh, bw]
+    def one(o):
+        shifted = jax.lax.dynamic_slice(ref_p, (o[0], o[1]),
+                                        (h // 2, w // 2))
+        return _block_sum(jnp.abs(shifted - cur_h), bh2)   # [bh, bw]
 
-    sads = jax.lax.map(row_sads, dxs)                # [2r+1, 2r+1, bh, bw]
-    flat = sads.reshape((2 * r + 1) ** 2, *sads.shape[2:])
-    best = jnp.argmin(flat, axis=0)
+    sads = jax.vmap(one)(offs)                       # [(2r+1)^2, bh, bw]
+    best = jnp.argmin(sads, axis=0)
     dy = best // (2 * r + 1) - r
     dx = best % (2 * r + 1) - r
     return jnp.stack([dy, dx], axis=-1).astype(jnp.int32) * 2
@@ -93,64 +92,48 @@ def refine_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
     return mv_int + d
 
 
-_HALF_OFFS = np.array([(0, 0), (-2, 0), (2, 0), (0, -2), (0, 2),
-                       (-2, -2), (-2, 2), (2, -2), (2, 2)], np.int32)
-_QUARTER_OFFS = np.array([(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
-                          (-1, -1), (-1, 1), (1, -1), (1, 1)], np.int32)
-
-
-def _subpel_round(cur_blocks, win9, mv_q, offs, block: int):
-    """Evaluate 9 candidate quarter-pel MVs mv_q + off over superset
-    windows win9 [n, B+9, B+9] whose origin is (base int - 1 - 3)."""
-    n = cur_blocks.shape[0]
-    best_sad = jnp.full((n,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    best_mv = mv_q
-    for k in range(offs.shape[0]):
-        cand = mv_q + jnp.asarray(offs[k])[None, :]
-        iy = (cand[:, 0] >> 2) - (mv_q[:, 0] >> 2)    # -1 or 0 vs base
-        ix = (cand[:, 1] >> 2) - (mv_q[:, 1] >> 2)
-        fy = cand[:, 0] & 3
-        fx = cand[:, 1] & 3
-
-        def slice_one(w, oy, ox):
-            return jax.lax.dynamic_slice(
-                w, (1 + oy, 1 + ox), (block + 7, block + 7))
-        sub = jax.vmap(slice_one)(win9, iy, ix)
-        pred = jax.vmap(
-            lambda w, a, b: interp.mc_luma(w, a, b, block))(sub, fx, fy)
-        sad = jnp.sum(jnp.abs(pred - cur_blocks), axis=(-1, -2))
-        take = sad < best_sad
-        best_sad = jnp.where(take, sad, best_sad)
-        best_mv = jnp.where(take[:, None], cand, best_mv)
-    return best_mv, best_sad
-
-
 def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
-    """Half- then quarter-pel 9-point refinement; returns quarter-pel
-    MV [n, 2] plus its SAD."""
-    mv_q = mv_int * 4
+    """Dense subpel: evaluate ALL 49 quarter-pel positions in
+    [-3, 3]^2 around the integer MV (a superset of the reference's
+    half-then-quarter 9+9 walk — dense is the TPU-idiomatic shape and
+    strictly better RD) and return (quarter-pel MV [n, 2], SAD [n],
+    best prediction [n, B, B]).
+
+    Every position is a static-phase band-matrix interpolation
+    (ops/interp.fir2d) on a shared [n, B+9, B+9] window — no dynamic
+    slicing, no per-block control flow; the prediction of the winner is
+    mask-accumulated in a second pass over the same (CSE-deduped)
+    evaluations.
+    """
     win9 = _gather_windows(
         ref_pad,
         REF_PAD + pos_y + mv_int[:, 0] - 4,
         REF_PAD + pos_x + mv_int[:, 1] - 4,
         block + 9)
-    mv_h, _ = _subpel_round(cur_blocks, win9, mv_q,
-                            _HALF_OFFS, block)
-    # re-center windows on the half-pel result's int part
-    mv_hi = jnp.stack([mv_h[:, 0] >> 2, mv_h[:, 1] >> 2], -1)
-    win9b = _gather_windows(
-        ref_pad,
-        REF_PAD + pos_y + mv_hi[:, 0] - 4,
-        REF_PAD + pos_x + mv_hi[:, 1] - 4,
-        block + 9)
-    mv_f, sad = _subpel_round(cur_blocks, win9b, mv_h,
-                              _QUARTER_OFFS, block)
-    return mv_f, sad
+    offs = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
+
+    def pred_at(dy, dx):
+        ky, py = (dy >> 2) + 1, dy & 3
+        kx, px = (dx >> 2) + 1, dx & 3
+        return interp.finish_uni(
+            interp.fir2d(win9, py, px, block, True, oy=ky, ox=kx))
+
+    sads = jnp.stack(
+        [jnp.sum(jnp.abs(pred_at(dy, dx) - cur_blocks), axis=(-1, -2))
+         for dy, dx in offs], axis=0)                  # [49, n]
+    best = jnp.argmin(sads, axis=0)                    # [n]
+    sad = jnp.min(sads, axis=0)
+    dmv = jnp.asarray(offs, jnp.int32)[best]
+    pred = jnp.zeros_like(cur_blocks)
+    for k, (dy, dx) in enumerate(offs):
+        pred = pred + jnp.where((best == k)[:, None, None],
+                                pred_at(dy, dx), 0)
+    return mv_int * 4 + dmv, sad, pred
 
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):
     """Full ME pipeline. cur/ref [H, W] int32. Returns (mv_q [bh,bw,2],
-    sad [bh,bw])."""
+    sad [bh,bw], pred [n, B, B] final luma MC prediction)."""
     h, w = cur.shape
     bh, bw = h // block, w // block
     mv0 = coarse_search(cur, ref, block)              # [bh, bw, 2] int pel
@@ -163,5 +146,6 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):
         0, 2, 1, 3).reshape(-1, block, block)
     mv1 = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
                         mv0.reshape(-1, 2), block)
-    mv2, sad = subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv1, block)
-    return mv2.reshape(bh, bw, 2), sad.reshape(bh, bw)
+    mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y, pos_x,
+                                   mv1, block)
+    return mv2.reshape(bh, bw, 2), sad.reshape(bh, bw), pred

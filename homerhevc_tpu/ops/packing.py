@@ -1,0 +1,126 @@
+"""Device-side record compaction for the host transfer.
+
+The device->host link is the encoder's narrowest pipe (on the bench
+setup a tunneled TPU at ~20 MB/s); raw int16 coefficient planes for
+720p are ~3 MB/frame while their information content is tens of KB.
+Since cbf per block is already computed, only blocks with nonzero
+levels are shipped: a stable-order stream compaction into a
+fixed-capacity buffer (static shapes for XLA), with the block index
+sideband.  If more blocks are nonzero than the capacity (low QP /
+pathological content), the host detects the overflow from the count and
+falls back to pulling the full planes — lossless either way.
+
+This is the TPU analogue of the reference's device->entropy hand-off
+(wnd_copy_16bit, hmr_encoder_lib.c:2453) re-shaped for a narrow link.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compact_blocks(level_blocks: jnp.ndarray, cap: int):
+    """level_blocks: [nB, b, b] int32/int16.  Returns flat int16 vector
+    [1 + cap + cap*b*b]: (count, ids[cap], data[cap, b*b]).
+
+    ids[k] is the block index of the k-th nonzero block (-1 padding);
+    count > cap signals overflow (ids/data then hold the first `cap`
+    nonzero blocks only and must not be used).
+    """
+    nb, b, _ = level_blocks.shape
+    flat = level_blocks.reshape(nb, b * b).astype(jnp.int16)
+    nz = jnp.any(flat != 0, axis=-1)
+    # stable sort (zeros last) + gather of the first `cap` rows — TPUs
+    # handle sort+gather far better than row scatters
+    order = jnp.argsort(jnp.where(nz, 0, 1), stable=True)[:cap]
+    ids = jnp.where(nz[order], order.astype(jnp.int16), -1)
+    data = flat[order] * nz[order, None]
+    count = nz.sum().astype(jnp.int16)
+    return jnp.concatenate([count[None], ids, data.reshape(-1)])
+
+
+def compact_size(cap: int, b: int) -> int:
+    return 1 + cap + cap * b * b
+
+
+def compact_blocks_i8(level_blocks: jnp.ndarray, cap: int, esc_cap: int):
+    """Like compact_blocks but ships int8 levels (two per int16 slot)
+    plus a fixed-capacity escape list for |level| > 127 — at normal QPs
+    escapes are rare, so this halves the dominant buffer.
+
+    Layout (int16): [count, esc_count, ids(cap),
+                     lo_packed(cap*b*b/2), esc(pos_lo, pos_hi, val) x esc_cap]
+    Overflow of either capacity => host falls back to the full planes.
+    """
+    nb, b, _ = level_blocks.shape
+    n = b * b
+    flat = level_blocks.reshape(nb, n).astype(jnp.int16)
+    nz = jnp.any(flat != 0, axis=-1)
+    order = jnp.argsort(jnp.where(nz, 0, 1), stable=True)[:cap]
+    ids = jnp.where(nz[order], order.astype(jnp.int16), -1)
+    data = (flat[order] * nz[order, None]).reshape(-1)   # [cap*n] i16
+    count = nz.sum().astype(jnp.int16)
+
+    lo = jnp.clip(data, -128, 127)
+    esc_mask = data != lo
+    esc_count = esc_mask.sum()
+    lo_u = lo.astype(jnp.uint8).astype(jnp.uint16)
+    packed_lo = jax.lax.bitcast_convert_type(
+        lo_u[0::2] | (lo_u[1::2] << 8), jnp.int16)       # [cap*n/2]
+
+    # deterministic first-`esc_cap` escape positions via top_k on
+    # (mask ? BIG - idx : 0) — values descending <=> indices ascending
+    idxs = jnp.arange(data.shape[0], dtype=jnp.int32)
+    key = jnp.where(esc_mask, (1 << 30) - idxs, 0)
+    _, esc_pos = jax.lax.top_k(key, esc_cap)
+    esc_pos = esc_pos.astype(jnp.int32)
+    esc_val = data[esc_pos]
+    pos_lo = jax.lax.bitcast_convert_type(
+        (esc_pos & 0xffff).astype(jnp.uint16), jnp.int16)
+    pos_hi = (esc_pos >> 16).astype(jnp.int16)
+    esc = jnp.stack([pos_lo, pos_hi, esc_val], -1).reshape(-1)
+    return jnp.concatenate([
+        count[None],
+        jnp.minimum(esc_count, 30000).astype(jnp.int16)[None],
+        ids, packed_lo, esc])
+
+
+def compact_i8_size(cap: int, b: int, esc_cap: int) -> int:
+    return 2 + cap + cap * b * b // 2 + 3 * esc_cap
+
+
+def unpack_blocks_i8(vec, cap: int, b: int, nb: int, esc_cap: int):
+    """Host-side inverse; returns (count, plane_blocks|None)."""
+    import numpy as np
+    count = int(vec[0])
+    esc_count = int(vec[1])
+    if count > cap or esc_count > esc_cap:
+        return max(count, esc_count), None
+    n = b * b
+    ids = vec[2:2 + cap][:count].astype(np.int32)
+    packed_lo = vec[2 + cap:2 + cap + cap * n // 2].view(np.uint16)
+    lo = np.empty(cap * n, np.int8)
+    lo[0::2] = (packed_lo & 0xFF).astype(np.uint8).view(np.int8)
+    lo[1::2] = (packed_lo >> 8).astype(np.uint8).view(np.int8)
+    data = lo.astype(np.int16)
+    esc = vec[2 + cap + cap * n // 2:].reshape(esc_cap, 3)[:esc_count]
+    pos = esc[:, 0].view(np.uint16).astype(np.int32) | \
+        (esc[:, 1].astype(np.int32) << 16)
+    data[pos] = esc[:, 2]
+    out = np.zeros((nb, n), np.int16)
+    out[ids] = data.reshape(cap, n)[:count]
+    return count, out
+
+
+def unpack_blocks(vec, cap: int, b: int, nb: int):
+    """Host-side (numpy) inverse. Returns (count, plane_blocks [nb, b*b])
+    or (count, None) on overflow."""
+    import numpy as np
+    count = int(vec[0])
+    if count > cap:
+        return count, None
+    ids = vec[1:1 + cap][:count].astype(np.int32)
+    data = vec[1 + cap:].reshape(cap, b * b)[:count]
+    out = np.zeros((nb, b * b), np.int16)
+    out[ids] = data
+    return count, out
