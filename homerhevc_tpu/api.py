@@ -16,6 +16,7 @@ import numpy as np
 from homerhevc_tpu.config import EncoderConfig
 from homerhevc_tpu.entropy import binding
 from homerhevc_tpu.models import inter_frame, intra_frame
+from homerhevc_tpu.rc import RateControl
 
 
 @dataclasses.dataclass
@@ -50,6 +51,7 @@ class Encoder:
         self._ref = None       # previous frame's (deblocked) recon planes
         self._out: list[CodedFrame] = []
         self._pending: list = []
+        self._rc = RateControl(cfg)
 
     # -- control (HENC_SETCFG re-configuration) --
     def control(self, cfg: EncoderConfig):
@@ -90,17 +92,24 @@ class Encoder:
         vp = _pad_plane(np.asarray(v, np.uint8), ctu // 2)
         is_idr = cfg.intra_period <= 1 or \
             (self._poc % max(cfg.intra_period, 1)) == 0 or self._ref is None
+        # NOTE under encode_async the RC state lags one frame (the
+        # previous frame's bits land in end_pic after this start_pic) -
+        # same topology as the reference's inter-engine RC exchange
+        # (hmr_encoder_lib.c:2773).
+        qp = self._rc.start_pic(is_idr)
         if is_idr:
             self._gop_poc = 0
             out = intra_frame.encode_frame_jit(
-                yp, up, vp, qp=cfg.qp, cu=16, ctu=ctu,
-                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
+                yp, up, vp, qp=qp, cu=16, ctu=ctu,
+                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
+                sao_enabled=cfg.sao)
         else:
             out = inter_frame.encode_p_frame_jit(
-                yp, up, vp, *self._ref, qp=cfg.qp, block=16,
-                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking)
+                yp, up, vp, *self._ref, qp=qp, block=16,
+                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
+                sao_enabled=cfg.sao, ctu=ctu)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
-        pend = dict(out=out, is_idr=is_idr, poc=self._poc,
+        pend = dict(out=out, is_idr=is_idr, poc=self._poc, qp=qp,
                     gop_poc=self._gop_poc, padded=yp.shape,
                     orig=(y, u, v) if compute_recon else None)
         self._poc += 1
@@ -120,6 +129,7 @@ class Encoder:
         nalus = (self._headers if pend["is_idr"] else b"") + slice_bytes
         frame = CodedFrame(poc=pend["poc"], nalus=nalus,
                            bits=len(slice_bytes) * 8)
+        self._rc.end_pic(frame.bits, pend["is_idr"])
         if pend["orig"] is not None:
             y, u, v = pend["orig"]
             frame.recon = (
@@ -142,6 +152,31 @@ class Encoder:
         tail = packed[ny + 2 * nc:]
         return coeff_y, coeff_cb, coeff_cr, tail
 
+    def _apply_sao_fields(self, rec, tail, h, w):
+        """Fill the record's SAO maps from the packed tail (device
+        layout: type/offsets/band_pos from sao.pack_sao_fields)."""
+        from homerhevc_tpu.ops import sao as sao_ops
+        ctus_y, ctus_x = h // 64, w // 64
+        t, off, bp = sao_ops.unpack_sao_fields(tail, ctus_y, ctus_x)
+        n_real = ctus_y * ctus_x
+        nctu = (h // 64 + 1) * (w // 64 + 1) * 4
+        sao_type = np.zeros(nctu * 3, np.uint8)
+        sao_type.reshape(-1, 3)[:n_real] = \
+            t.transpose(1, 2, 0).reshape(-1, 3)
+        sao_off = np.zeros(nctu * 3 * 4, np.int8)
+        sao_off.reshape(-1, 3, 4)[:n_real] = \
+            off.transpose(1, 2, 0, 3).reshape(-1, 3, 4)
+        sao_bp = np.zeros(nctu * 3, np.uint8)
+        sao_bp.reshape(-1, 3)[:n_real] = \
+            bp.transpose(1, 2, 0).reshape(-1, 3)
+        rec.sao_type = sao_type
+        rec.sao_offset = sao_off
+        rec.sao_band_pos = sao_bp
+        rec.sao_merge = np.zeros(nctu, np.uint8)
+        rec.sao_luma = True
+        rec.sao_chroma = True
+        return rec
+
     def get_coded_frame(self) -> Optional[CodedFrame]:
         return self._out.pop(0) if self._out else None
 
@@ -160,10 +195,11 @@ class Encoder:
         cy, cb, cr, tail = self._unpack(packed, h, w, bh * bw * 4)
         modes = tail[:bh * bw].reshape(bh, bw).astype(np.uint8)
         cbf = tail[bh * bw:bh * bw * 4].reshape(3, bh, bw).astype(np.uint8)
+        sao_tail = tail[bh * bw * 4:]
         k = 4
         mode4 = np.repeat(np.repeat(modes, k, 0), k, 1)
-        return binding.FrameRecord(
-            width=w, height=h, slice_type=2, slice_qp=cfg.qp,
+        rec = binding.FrameRecord(
+            width=w, height=h, slice_type=2, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=True,
             cu_depth=np.full((h4, w4), 2, np.uint8),
             intra_luma_mode=mode4,
@@ -174,6 +210,9 @@ class Encoder:
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
             pred_mode=np.ones((h4, w4), np.uint8),
         )
+        if cfg.sao:
+            rec = self._apply_sao_fields(rec, sao_tail, h, w)
+        return rec
 
     def _p_record(self, packed, pend, cfg) -> binding.FrameRecord:
         from homerhevc_tpu.models.inter_frame import p_caps
@@ -196,6 +235,8 @@ class Encoder:
         off += sz_c
         cnt_r, blk_r = packing.unpack_blocks_i8(packed[off:off + sz_c],
                                                 cap_c, 8, nb, esc_c)
+        off += sz_c
+        sao_tail = packed[off:]
 
         def plane(blocks, hh, ww, b):
             return np.ascontiguousarray(
@@ -212,8 +253,8 @@ class Encoder:
             else np.asarray(out["coeff_cr"])
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
-        return binding.FrameRecord(
-            width=w, height=h, slice_type=1, slice_qp=cfg.qp,
+        rec = binding.FrameRecord(
+            width=w, height=h, slice_type=1, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
             cu_depth=np.full((h4, w4), 2, np.uint8),
             pred_mode=np.zeros((h4, w4), np.uint8),
@@ -222,6 +263,9 @@ class Encoder:
             cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
         )
+        if cfg.sao:
+            rec = self._apply_sao_fields(rec, sao_tail, h, w)
+        return rec
 
 
 def _psnr(ref: np.ndarray, rec: np.ndarray) -> float:

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from homerhevc_tpu import tables
-from homerhevc_tpu.ops import deblock, interp, me, packing, quant, transform
+from homerhevc_tpu.ops import (deblock, interp, me, packing, quant, sao,
+                               transform)
 
 
 def _blocks(plane: jnp.ndarray, b: int):
@@ -75,7 +76,8 @@ def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
 
 
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
-                   sign_hiding: bool = False, deblocking: bool = False):
+                   sign_hiding: bool = False, deblocking: bool = False,
+                   sao_enabled: bool = False, ctu: int = 64):
     """Encode one P frame against one reference.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
@@ -86,7 +88,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     s = block
     cs = block // 2
     bh, bw = h // s, w // s
-    qp_c = int(tables.CHROMA_QP_TABLE[min(max(qp, 0), 57)])
+    qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
+    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
     sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
         if sign_hiding else None
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
@@ -139,6 +142,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
         # chroma filters only BS==2 edges; all-inter frame has none
 
+    sao_fields = None
+    if sao_enabled:
+        lam = tables.rd_lambda(qp, False)
+        lam_c = tables.rd_lambda(qp_c, False)
+        out_y, out_u, out_v, sao_fields = sao.sao_frame(
+            jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32), out_y, out_u, out_v,
+            lam, lam_c, ctu)
+
     out = dict(
         recon_y=out_y, recon_u=out_u, recon_v=out_v,
         coeff_y=_unblocks(level_y, h, w).astype(jnp.int16),
@@ -151,15 +163,19 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # device->host link is a high-latency, low-bandwidth tunnel)
     nb = bh * bw
     cap_y, cap_c, esc_y, esc_c = p_caps(nb)
-    out["packed"] = jnp.concatenate([
+    parts = [
         mv.astype(jnp.int16).reshape(-1),
         out["cbf"].astype(jnp.int16).reshape(-1),
         packing.compact_blocks_i8(level_y, cap_y, esc_y),
         packing.compact_blocks_i8(level_u, cap_c, esc_c),
-        packing.compact_blocks_i8(level_v, cap_c, esc_c)])
+        packing.compact_blocks_i8(level_v, cap_c, esc_c)]
+    if sao_fields is not None:
+        parts.append(sao.pack_sao_fields(sao_fields))
+    out["packed"] = jnp.concatenate(parts)
     return out
 
 
 encode_p_frame_jit = jax.jit(
     encode_p_frame,
-    static_argnames=("qp", "block", "sign_hiding", "deblocking"))
+    static_argnames=("block", "sign_hiding", "deblocking",
+                     "sao_enabled", "ctu"))

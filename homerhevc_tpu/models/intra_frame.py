@@ -29,7 +29,7 @@ import numpy as np
 
 from homerhevc_tpu import tables
 from homerhevc_tpu.models import schedule
-from homerhevc_tpu.ops import deblock, intra, quant, transform
+from homerhevc_tpu.ops import deblock, intra, quant, sao, transform
 
 
 def _segment_avail_layout(s: int) -> np.ndarray:
@@ -121,7 +121,7 @@ def _tq_recon(orig, pred, size, qp, is_intra_slice=True, sbh_scan=None):
 
 def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
                  sign_hiding: bool = False, rd_lambda_scale: float = 1.0,
-                 deblocking: bool = False):
+                 deblocking: bool = False, sao_enabled: bool = False):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).
@@ -129,10 +129,11 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
     h, w = y.shape
     plan = build_plan(w, h, cu, ctu)
     s, cs = cu, cu // 2
-    qp_c = int(tables.CHROMA_QP_TABLE[min(max(qp, 0), 57)])
+    qp = jnp.asarray(qp, jnp.int32)   # traced: one program per shape,
+    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
     seg_layout = jnp.asarray(_segment_avail_layout(s))     # [5, 4S+1]
     seg_layout_c = jnp.asarray(_segment_avail_layout(cs))
-    sqrt_lambda = np.sqrt(tables.rd_lambda(qp, True)) * rd_lambda_scale
+    sqrt_lambda = jnp.sqrt(tables.rd_lambda(qp, True)) * rd_lambda_scale
     sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
         if sign_hiding else None
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
@@ -183,7 +184,7 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         # Homer RD_FAST mode-bit heuristic (ref hmr_motion_intra.c:1142)
         mode_bits = jnp.where(in_mpm, 1.0, 12.0)
         cost = sad.astype(jnp.float32) + \
-            jnp.float32(sqrt_lambda) * mode_bits
+            sqrt_lambda.astype(jnp.float32) * mode_bits
         best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
 
         pred = jnp.take_along_axis(
@@ -264,6 +265,13 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         out_v = deblock.deblock_chroma(
             out_v, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
 
+    sao_fields = None
+    if sao_enabled:
+        lam = tables.rd_lambda(qp, True)
+        lam_c = tables.rd_lambda(qp_c, True)
+        out_y, out_u, out_v, sao_fields = sao.sao_frame(
+            y32, u32, v32, out_y, out_u, out_v, lam, lam_c, ctu)
+
     out = dict(
         recon_y=out_y,
         recon_u=out_u,
@@ -274,14 +282,18 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         modes=mode_map,
         cbf=cbfs,
     )
-    out["packed"] = jnp.concatenate([
+    parts = [
         out["coeff_y"].reshape(-1), out["coeff_cb"].reshape(-1),
         out["coeff_cr"].reshape(-1),
         mode_map.astype(jnp.int16).reshape(-1),
-        cbfs.astype(jnp.int16).reshape(-1)])
+        cbfs.astype(jnp.int16).reshape(-1)]
+    if sao_fields is not None:
+        parts.append(sao.pack_sao_fields(sao_fields))
+    out["packed"] = jnp.concatenate(parts)
     return out
 
 
 encode_frame_jit = jax.jit(
-    encode_frame, static_argnames=("qp", "cu", "ctu", "sign_hiding",
-                                   "rd_lambda_scale", "deblocking"))
+    encode_frame, static_argnames=("cu", "ctu", "sign_hiding",
+                                   "rd_lambda_scale", "deblocking",
+                                   "sao_enabled"))

@@ -20,8 +20,12 @@ _CLIP_MIN = -32768
 _CLIP_MAX = 32767
 
 
-def quant_params(qp: int, size: int, bit_depth: int = 8):
-    """(per, rem, qbits, transform_shift) for a size x size TB."""
+def quant_params(qp, size: int, bit_depth: int = 8):
+    """(per, rem, qbits, transform_shift) for a size x size TB.
+
+    qp may be a Python int or a traced int32 scalar — all downstream
+    arithmetic stays tensor-friendly so one compiled program serves
+    every QP (rate control changes QP per frame)."""
     log2 = int(np.log2(size))
     per, rem = qp // 6, qp % 6
     transform_shift = tables.MAX_TR_DYNAMIC_RANGE - bit_depth - log2
@@ -29,7 +33,7 @@ def quant_params(qp: int, size: int, bit_depth: int = 8):
     return per, rem, qbits, transform_shift
 
 
-def quantize(coeff: jnp.ndarray, qp: int, size: int, is_intra: bool = True,
+def quantize(coeff: jnp.ndarray, qp, size: int, is_intra: bool = True,
              bit_depth: int = 8):
     """Quantize coefficients; returns (levels int32 [..., N, N], delta_u).
 
@@ -38,8 +42,8 @@ def quantize(coeff: jnp.ndarray, qp: int, size: int, is_intra: bool = True,
     choice, both conformant).  delta_u is the sign-bit-hiding residue.
     """
     per, rem, qbits, _ = quant_params(qp, size, bit_depth)
-    q = int(tables.QUANT_SCALES[rem])
-    add = (171 if is_intra else 85) << (qbits - 9)
+    q = jnp.asarray(tables.QUANT_SCALES)[rem]
+    add = jnp.int32(171 if is_intra else 85) << (qbits - 9)
     c = coeff.astype(jnp.int32)
     absc = jnp.abs(c)
     scaled = absc * q
@@ -49,19 +53,20 @@ def quantize(coeff: jnp.ndarray, qp: int, size: int, is_intra: bool = True,
     return level, delta_u
 
 
-def dequantize(level: jnp.ndarray, qp: int, size: int,
+def dequantize(level: jnp.ndarray, qp, size: int,
                bit_depth: int = 8) -> jnp.ndarray:
     """Inverse quantization with flat scaling (spec 8.6.3)."""
     per, rem, _, transform_shift = quant_params(qp, size, bit_depth)
     iq_shift = (tables.QUANT_IQUANT_SHIFT - tables.QUANT_SHIFT
                 - transform_shift + 4)
-    dq = int(tables.INV_QUANT_SCALES[rem]) * 16
+    dq = jnp.asarray(tables.INV_QUANT_SCALES)[rem] * 16
     lv = level.astype(jnp.int32)
-    if iq_shift > per:
-        sh = iq_shift - per
-        out = (lv * dq + (1 << (sh - 1))) >> sh
-    else:
-        out = (lv * dq) << (per - iq_shift)
+    # per is data-dependent under rate control: evaluate both the
+    # rounded-downshift and upshift forms and select
+    sh = jnp.maximum(iq_shift - per, 1)
+    down = (lv * dq + (jnp.int32(1) << (sh - 1))) >> sh
+    up = (lv * dq) << jnp.maximum(per - iq_shift, 0)
+    out = jnp.where(per < iq_shift, down, up)
     return jnp.clip(out, _CLIP_MIN, _CLIP_MAX)
 
 

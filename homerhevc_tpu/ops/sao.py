@@ -1,0 +1,252 @@
+"""Sample-adaptive offset (SAO) — frame-batched encoder side.
+
+Re-design of the reference's per-CTU trailing SAO stage (ref:
+hmr_sao.c: stats :75, offset derivation :440-587, mode RDO :663,
+apply :960-1208) as dense whole-frame tensor passes:
+
+* classification maps (4 EO types + 32 bands) are computed once for the
+  whole (deblocked) plane with shifted-plane compares;
+* per-CTU class statistics (sum of org-rec diffs + counts) are masked
+  block-reductions;
+* offset derivation follows the reference's iterate-toward-zero rule
+  with cost = count*o^2 - 2*diff*o + lambda*rate (encoder choice);
+* mode decision picks min-cost of {OFF, 4 EO types, BO} per CTU (luma)
+  and jointly over Cb+Cr for chroma (shared type idx per spec syntax);
+  merge-left/above is not used in round 1 (sao_merge = 0, conformant);
+* apply is the spec 8.7.3 decoding process, bit-exact: the decoder's
+  reconstruction must equal ours (validated against libde265).
+
+MERGE/SKIP NOTE: classification always reads the deblocked pre-SAO
+picture, so apply is a pure function — no CTU sequencing anywhere.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# neighbor offsets (dy, dx) per EO class 0..3 (spec table: hor, ver,
+# 135 diag, 45 diag)
+_EO_NEIGHBORS = ((0, -1, 0, 1), (-1, 0, 1, 0), (-1, -1, 1, 1),
+                 (-1, 1, 1, -1))
+
+
+def _shift(p, dy, dx):
+    """Shifted copy of plane p (edge values are masked out anyway)."""
+    return jnp.roll(p, (-dy, -dx), (0, 1))
+
+
+def eo_class_maps(rec: jnp.ndarray):
+    """Per-pixel mapped edge categories for the 4 EO types.
+
+    Returns (cls [4, H, W] int32 in 0..4 (0 = no offset), valid
+    [4, H, W] bool — False where a needed neighbor is outside the
+    picture; those pixels are never modified (spec 8.7.3))."""
+    h, w = rec.shape
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    cls_all, valid_all = [], []
+    for (ady, adx, bdy, bdx) in _EO_NEIGHBORS:
+        a = _shift(rec, ady, adx)
+        b = _shift(rec, bdy, bdx)
+        raw = 2 + jnp.sign(rec - a) + jnp.sign(rec - b)
+        mapped = jnp.where(raw == 2, 0,
+                           jnp.where(raw < 2, raw + 1, raw))
+        ok = ((yy + ady >= 0) & (yy + ady < h) & (xx + adx >= 0)
+              & (xx + adx < w) & (yy + bdy >= 0) & (yy + bdy < h)
+              & (xx + bdx >= 0) & (xx + bdx < w))
+        cls_all.append(mapped.astype(jnp.int32))
+        valid_all.append(ok)
+    return jnp.stack(cls_all), jnp.stack(valid_all)
+
+
+def _ctu_sum(x: jnp.ndarray, ctb: int):
+    h, w = x.shape[-2:]
+    return x.reshape(*x.shape[:-2], h // ctb, ctb, w // ctb, ctb) \
+        .sum((-3, -1))
+
+
+def sao_stats(org: jnp.ndarray, rec: jnp.ndarray, ctb: int):
+    """Per-CTU statistics. Returns (eo_diff, eo_cnt [4, 5, by, bx],
+    bo_diff, bo_cnt [32, by, bx]) plus the cached class maps."""
+    cls, valid = eo_class_maps(rec)
+    diff = (org - rec).astype(jnp.int32)
+    eo_diff, eo_cnt = [], []
+    for k in range(5):
+        m = (cls == k) & valid                       # [4, H, W]
+        eo_diff.append(_ctu_sum(diff[None] * m, ctb))
+        eo_cnt.append(_ctu_sum(m.astype(jnp.int32), ctb))
+    eo_diff = jnp.stack(eo_diff, 1)                  # [4, 5, by, bx]
+    eo_cnt = jnp.stack(eo_cnt, 1)
+    band = rec >> 3
+    bo_diff, bo_cnt = [], []
+    for b in range(32):
+        m = band == b
+        bo_diff.append(_ctu_sum(diff * m, ctb))
+        bo_cnt.append(_ctu_sum(m.astype(jnp.int32), ctb))
+    return (eo_diff, eo_cnt, jnp.stack(bo_diff), jnp.stack(bo_cnt),
+            cls, valid)
+
+
+def _best_offset(diff, cnt, lam, sign):
+    """Iterate-toward-zero offset choice (ref est_iter_offset
+    hmr_sao.c:445). diff/cnt: [...]; sign: +1 (cats 1,2), -1 (3,4),
+    0 (BO: free sign). Returns (offset, cost)."""
+    init = jnp.where(cnt > 0,
+                     (diff + jnp.sign(diff) * (cnt // 2))
+                     // jnp.maximum(cnt, 1), 0)
+    init = jnp.clip(init, -7, 7)
+    if sign > 0:
+        init = jnp.clip(init, 0, 7)
+    elif sign < 0:
+        init = jnp.clip(init, -7, 0)
+    best_o = jnp.zeros_like(init)
+    best_c = jnp.zeros_like(diff, dtype=jnp.float32)   # cost of o=0
+    for mag in range(1, 8):
+        o = jnp.sign(init) * mag
+        dist = (cnt * o * o - 2 * diff * o).astype(jnp.float32)
+        rate = mag + 1.0 - (mag == 7)
+        cost = dist + lam * rate
+        take = (mag <= jnp.abs(init)) & (cost < best_c)
+        best_o = jnp.where(take, o, best_o)
+        best_c = jnp.where(take, cost, best_c)
+    return best_o, best_c
+
+
+def derive_params(stats, lam):
+    """Per-CTU mode decision for one component's stats.
+
+    Returns dict(type [by,bx] int32 (0 off, 1 BO, 2+cls EO),
+    offsets [by,bx,4] int32 signed, band_pos [by,bx] int32,
+    eo_cost [4,by,bx], bo_cost, off_cost) — costs exposed so chroma can
+    be decided jointly."""
+    eo_diff, eo_cnt, bo_diff, bo_cnt = stats
+    # EO: categories 1..4 (skip 0); valley/edge >= 0, peak/edge <= 0
+    offs, costs = [], []
+    for c, sgn in zip((1, 2, 3, 4), (1, 1, -1, -1)):
+        o, cst = _best_offset(eo_diff[:, c], eo_cnt[:, c], lam, sgn)
+        offs.append(o)
+        costs.append(cst)
+    eo_off = jnp.stack(offs, -1)                     # [4, by, bx, 4]
+    eo_cost = sum(costs) + lam * 5.0                 # + type/class bits
+    # BO: best offset per band, then best 4 consecutive bands
+    bo_o, bo_c = _best_offset(bo_diff, bo_cnt, lam, 0)   # [32, by, bx]
+    win = jnp.stack([bo_c[p:p + 4].sum(0) for p in range(29)])
+    band_pos = jnp.argmin(win, 0).astype(jnp.int32)      # [by, bx]
+    bo_cost = jnp.min(win, 0) + lam * 11.0           # + type/pos bits
+    bo_off = jnp.stack(
+        [jnp.take_along_axis(bo_o, (band_pos + k)[None], 0)[0]
+         for k in range(4)], -1)                     # [by, bx, 4]
+    return dict(eo_off=eo_off, eo_cost=eo_cost, bo_off=bo_off,
+                bo_cost=bo_cost, band_pos=band_pos,
+                off_cost=jnp.full(band_pos.shape, lam * 1.0))
+
+
+def select_luma(p):
+    """Pick min-cost mode for luma. Returns (type, offsets, band_pos)."""
+    all_costs = jnp.concatenate([
+        p["off_cost"][None], p["bo_cost"][None], p["eo_cost"]])  # [6,..]
+    best = jnp.argmin(all_costs, 0)                  # 0 off, 1 bo, 2+t
+    offsets = jnp.where((best == 1)[..., None], p["bo_off"],
+                        jnp.zeros_like(p["bo_off"]))
+    for t in range(4):
+        offsets = jnp.where((best == t + 2)[..., None],
+                            p["eo_off"][t], offsets)
+    return best.astype(jnp.int32), offsets, p["band_pos"]
+
+
+def select_chroma(pcb, pcr):
+    """Joint Cb/Cr type selection (shared type idx per spec syntax)."""
+    all_costs = jnp.concatenate([
+        (pcb["off_cost"] + pcr["off_cost"])[None],
+        (pcb["bo_cost"] + pcr["bo_cost"])[None],
+        pcb["eo_cost"] + pcr["eo_cost"]])
+    best = jnp.argmin(all_costs, 0).astype(jnp.int32)
+
+    def offs(p):
+        o = jnp.where((best == 1)[..., None], p["bo_off"],
+                      jnp.zeros_like(p["bo_off"]))
+        for t in range(4):
+            o = jnp.where((best == t + 2)[..., None], p["eo_off"][t], o)
+        return o
+    return best, offs(pcb), offs(pcr), pcb["band_pos"], pcr["band_pos"]
+
+
+def sao_component(org, rec, ctb: int, lam):
+    """Stats -> params for one plane; returns (params, cls, valid)."""
+    eo_d, eo_c, bo_d, bo_c, cls, valid = sao_stats(org, rec, ctb)
+    return derive_params((eo_d, eo_c, bo_d, bo_c), lam), cls, valid
+
+
+def sao_frame(org_y, org_u, org_v, rec_y, rec_u, rec_v,
+              lam_y: float, lam_c: float, ctu: int = 64):
+    """Full-frame SAO encode: decide + apply for Y/Cb/Cr.
+
+    Returns (new_y, new_u, new_v, sao_fields) where sao_fields is a
+    dict(type [3, by, bx], offsets [3, by, bx, 4], band_pos [3, by, bx])
+    in the native writer's conventions (type: 0 off, 1 BO, 2+cls EO;
+    chroma shares its type idx between Cb and Cr)."""
+    py, cy, vy = sao_component(org_y.astype(jnp.int32), rec_y, ctu,
+                               jnp.float32(lam_y))
+    pcb, ccb, vcb = sao_component(org_u.astype(jnp.int32), rec_u,
+                                  ctu // 2, jnp.float32(lam_c))
+    pcr, ccr, vcr = sao_component(org_v.astype(jnp.int32), rec_v,
+                                  ctu // 2, jnp.float32(lam_c))
+    t_y, off_y, bp_y = select_luma(py)
+    t_c, off_cb, off_cr, bp_cb, bp_cr = select_chroma(pcb, pcr)
+    new_y = apply_sao(rec_y, cy, vy, t_y, off_y, bp_y, ctu)
+    new_u = apply_sao(rec_u, ccb, vcb, t_c, off_cb, bp_cb, ctu // 2)
+    new_v = apply_sao(rec_v, ccr, vcr, t_c, off_cr, bp_cr, ctu // 2)
+    fields = dict(
+        type=jnp.stack([t_y, t_c, t_c]),
+        offsets=jnp.stack([off_y, off_cb, off_cr]),
+        band_pos=jnp.stack([bp_y, bp_cb, bp_cr]),
+    )
+    return new_y, new_u, new_v, fields
+
+
+def pack_sao_fields(fields) -> jnp.ndarray:
+    """Flatten SAO decision maps into the int16 transfer buffer."""
+    return jnp.concatenate([
+        fields["type"].astype(jnp.int16).reshape(-1),
+        fields["offsets"].astype(jnp.int16).reshape(-1),
+        fields["band_pos"].astype(jnp.int16).reshape(-1)])
+
+
+def sao_fields_size(by: int, bx: int) -> int:
+    return 3 * by * bx * 6
+
+
+def unpack_sao_fields(vec, by: int, bx: int):
+    """Host inverse of pack_sao_fields -> (type, offsets, band_pos)."""
+    n = 3 * by * bx
+    t = vec[:n].reshape(3, by, bx)
+    off = vec[n:n * 5].reshape(3, by, bx, 4)
+    bp = vec[n * 5:n * 6].reshape(3, by, bx)
+    return t, off, bp
+
+
+def apply_sao(rec, cls, valid, type_map, offsets, band_pos, ctb: int):
+    """Spec 8.7.3 SAO application (bit-exact decoder behavior).
+
+    rec [H, W]; cls/valid [4, H, W] (from eo_class_maps of THIS plane);
+    type_map [by, bx]; offsets [by, bx, 4]; band_pos [by, bx]."""
+    rep = lambda m: jnp.repeat(jnp.repeat(m, ctb, 0), ctb, 1)
+    t_pix = rep(type_map)
+    add = jnp.zeros_like(rec)
+    # EO
+    for t in range(4):
+        sel = t_pix == t + 2
+        off_k = jnp.zeros_like(rec)
+        for k in range(4):
+            off_k = off_k + jnp.where(cls[t] == k + 1,
+                                      rep(offsets[..., k]), 0)
+        add = add + jnp.where(sel & valid[t], off_k, 0)
+    # BO
+    band = rec >> 3
+    sel = t_pix == 1
+    pos_pix = rep(band_pos)
+    off_b = jnp.zeros_like(rec)
+    for k in range(4):
+        off_b = off_b + jnp.where(band == ((pos_pix + k) & 31),
+                                  rep(offsets[..., k]), 0)
+    add = add + jnp.where(sel, off_b, 0)
+    return jnp.clip(rec + add, 0, 255)

@@ -1,0 +1,122 @@
+"""Rate control: CBR / VBR with a VBV buffer model.
+
+Host-side scalar math port of the reference's controller semantics
+(ref: hmr_rate_control.c — init :30, per-pic targets :89-136, QP from
+pic/vbv correctors :261-337, end-pic VBV update with I-cost
+amortization :148-258, VBR drift nudging :214-238), at FRAME
+granularity: the TPU pipeline encodes whole frames in one launch, so
+the per-CTU running-bit feedback collapses to its start-of-frame state
+(pic_corrector = 0) and QP is constant within a frame (cu_qp_delta not
+signalled).  QP is a traced device argument, so changing it per frame
+costs no recompilation.
+"""
+from __future__ import annotations
+
+import math
+
+from homerhevc_tpu.config import BitrateMode, EncoderConfig
+
+MAX_QP = 51.0
+
+
+class RateControl:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.enabled = cfg.bitrate_mode != BitrateMode.FIXED_QP
+        self.vbr = cfg.bitrate_mode == BitrateMode.VBR
+        # VBR mode widens the buffer and floors QP (ref
+        # hmr_encoder_lib.c:666-672)
+        vbv_scale = 20.0 if self.vbr else 1.0
+        self.qp_min = 15 if self.vbr else 1
+        self.vbv_size = cfg.vbv_size * cfg.bitrate * 1000.0 * vbv_scale
+        self.vbv_fullness = cfg.vbv_init * self.vbv_size
+        self.average_pict_size = cfg.bitrate * 1000.0 / cfg.frame_rate
+        self.acc_rate = 0.0
+        self.acc_avg = 0.0
+        self.target_pict_size = self.average_pict_size
+        self.num_encoded_frames = 0
+        self.avg_dist = 5000.0   # running distortion proxy (see end_pic)
+
+    # -- per picture --------------------------------------------------
+    def _intra_period(self) -> int:
+        ip = self.cfg.intra_period
+        return 20 if ip == 0 else max(ip, 1)
+
+    def start_pic(self, is_intra: bool) -> int:
+        """Target-size bookkeeping + QP for the coming picture
+        (ref hmr_rc_init_pic + hmr_rc_calc_cu_qp at consumed = 0)."""
+        if not self.enabled:
+            return self.cfg.qp
+        ip = self._intra_period()
+        intra_avg = 2.25 * self.average_pict_size * math.sqrt(ip)
+        if is_intra:
+            self.target_pict_size = min(intra_avg, self.vbv_fullness)
+        else:
+            self.target_pict_size = \
+                (self.average_pict_size * ip - intra_avg) / max(ip - 1, 1)
+
+        min_vbv = min(self.vbv_fullness, self.vbv_size * 0.95)
+        vbv_corrector = 1.0 - _clip(min_vbv / self.vbv_size, 0.0, 1.0)
+        qp = vbv_corrector * MAX_QP
+        if self.vbr and qp < self.qp_min:
+            qp = self.qp_min
+        if self.cfg.intra_period > 1 and is_intra:
+            qp /= _clip(1.5 - self.avg_dist / 15000.0, 1.15, 1.5)
+        if self.num_encoded_frames == 0:
+            qp += 4
+        return int(_clip(qp + 0.5, 1.0, MAX_QP))
+
+    def end_pic(self, bits: int, is_intra: bool,
+                avg_dist: float | None = None):
+        """VBV update after a picture (ref hmr_rc_end_pic): I-frame cost
+        is halved immediately and the rest amortized over the period via
+        acc_rate; VBR nudges drift against the target."""
+        self.num_encoded_frames += 1
+        if avg_dist is not None:
+            self.avg_dist = 0.75 * self.avg_dist + 0.25 * avg_dist
+        if not self.enabled:
+            return
+        consumed = float(bits)
+        period = self._intra_period() if self.cfg.intra_period != 0 \
+            else 100
+        self.vbv_fullness += self.average_pict_size
+        if is_intra and self.cfg.intra_period != 1:
+            self.acc_rate += consumed / 2
+            consumed /= 2
+            self.acc_avg = self.acc_rate / period
+            self.vbv_fullness -= consumed + self.acc_avg
+            self.acc_rate -= self.acc_avg
+        else:
+            if self.vbr and not is_intra:
+                if consumed < 0.45 * self.target_pict_size and \
+                        self.vbv_fullness < 0.75 * self.vbv_size:
+                    self.acc_rate += 0.005 * self.vbv_size
+                    consumed -= 0.005 * self.vbv_size
+                    self.acc_avg = self.acc_rate / period
+                elif consumed > 1.55 * self.target_pict_size and \
+                        self.vbv_fullness > 0.1 * self.vbv_size:
+                    self.acc_rate -= 0.005 * self.vbv_size
+                    consumed += 0.005 * self.vbv_size
+                    self.acc_avg = self.acc_rate / period
+            self.vbv_fullness -= consumed + self.acc_avg
+            self.acc_rate -= self.acc_avg
+        # clamp with over/underflow semantics (ref :241-256)
+        self.vbv_fullness = _clip(self.vbv_fullness, 0.0, self.vbv_size)
+
+    # -- checkpoint/resume (GOP-boundary state, SURVEY.md §5) ----------
+    def state_dict(self) -> dict:
+        return dict(vbv_fullness=self.vbv_fullness,
+                    acc_rate=self.acc_rate, acc_avg=self.acc_avg,
+                    num_encoded_frames=self.num_encoded_frames,
+                    avg_dist=self.avg_dist)
+
+    def load_state_dict(self, st: dict):
+        self.vbv_fullness = st["vbv_fullness"]
+        self.acc_rate = st["acc_rate"]
+        self.acc_avg = st["acc_avg"]
+        self.num_encoded_frames = st["num_encoded_frames"]
+        self.avg_dist = st["avg_dist"]
+
+
+def _clip(v, lo, hi):
+    return max(lo, min(hi, v))

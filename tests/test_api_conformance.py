@@ -18,15 +18,15 @@ def _content(i, h, w, rng):
     return y, u, v
 
 
-@pytest.mark.parametrize("w,h,deblocking", [
-    (176, 144, True),    # non-CTU-multiple + in-loop filter
-    (128, 64, False),    # CTU multiple, unfiltered
+@pytest.mark.parametrize("w,h,deblocking,sao", [
+    (176, 144, True, True),    # non-CTU-multiple + both in-loop filters
+    (128, 64, False, False),   # CTU multiple, unfiltered
 ])
-def test_encoder_decode_loop_invariant(w, h, deblocking):
+def test_encoder_decode_loop_invariant(w, h, deblocking, sao):
     from tools import de265
     rng = np.random.default_rng(42)
     cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=1,
-                        deblocking=deblocking)
+                        deblocking=deblocking, sao=sao)
     enc = Encoder(cfg)
     stream = b""
     recons = []
@@ -52,7 +52,7 @@ def test_encoder_ippp_decode_loop_invariant():
                    + rng.integers(0, 16, g[0].shape), 0, 255) \
         .astype(np.uint8)
     cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=100,
-                        deblocking=True)
+                        deblocking=True, sao=True)
     enc = Encoder(cfg)
     stream = b""
     recons = []
