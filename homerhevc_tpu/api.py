@@ -177,6 +177,33 @@ class Encoder:
         rec.sao_chroma = True
         return rec
 
+    # -- checkpoint / resume (SURVEY.md §5: cross-frame state is the
+    # reference planes + POC counters + RC VBV state; IDR frames are the
+    # natural restart points, ref hmr_encoder_lib.c:2792) --
+    def save_checkpoint(self, path: str):
+        assert not self._pending, "flush() before checkpointing"
+        state = dict(poc=self._poc, gop_poc=self._gop_poc,
+                     rc=self._rc.state_dict())
+        if self._ref is not None:
+            state["ref_y"] = np.asarray(self._ref[0], np.int32)
+            state["ref_u"] = np.asarray(self._ref[1], np.int32)
+            state["ref_v"] = np.asarray(self._ref[2], np.int32)
+        np.savez(path, **_flatten_ckpt(state))
+
+    def load_checkpoint(self, path: str):
+        z = np.load(path)
+        self._poc = int(z["poc"])
+        self._gop_poc = int(z["gop_poc"])
+        self._rc.load_state_dict(
+            {k[3:]: float(z[k]) if k != "rc.num_encoded_frames"
+             else int(z[k]) for k in z.files if k.startswith("rc.")})
+        if "ref_y" in z.files:
+            self._ref = (z["ref_y"], z["ref_u"], z["ref_v"])
+        else:
+            self._ref = None
+        self._pending.clear()
+        self._out.clear()
+
     def get_coded_frame(self) -> Optional[CodedFrame]:
         return self._out.pop(0) if self._out else None
 
@@ -266,6 +293,17 @@ class Encoder:
         if cfg.sao:
             rec = self._apply_sao_fields(rec, sao_tail, h, w)
         return rec
+
+
+def _flatten_ckpt(state: dict) -> dict:
+    out = {}
+    for k, v in state.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                out[f"{k}.{kk}"] = vv
+        else:
+            out[k] = v
+    return out
 
 
 def _psnr(ref: np.ndarray, rec: np.ndarray) -> float:
