@@ -52,6 +52,8 @@ class Encoder:
         self._out: list[CodedFrame] = []
         self._pending: list = []
         self._rc = RateControl(cfg)
+        self._force_idr = False
+        self._last_intra_cand_frac = 0.0
 
     # -- control (HENC_SETCFG re-configuration) --
     def control(self, cfg: EncoderConfig):
@@ -91,7 +93,9 @@ class Encoder:
         up = _pad_plane(np.asarray(u, np.uint8), ctu // 2)
         vp = _pad_plane(np.asarray(v, np.uint8), ctu // 2)
         is_idr = cfg.intra_period <= 1 or \
-            (self._poc % max(cfg.intra_period, 1)) == 0 or self._ref is None
+            (self._poc % max(cfg.intra_period, 1)) == 0 or \
+            self._ref is None or self._force_idr
+        self._force_idr = False
         # NOTE under encode_async the RC state lags one frame (the
         # previous frame's bits land in end_pic after this start_pic) -
         # same topology as the reference's inter-engine RC exchange
@@ -107,7 +111,8 @@ class Encoder:
             out = inter_frame.encode_p_frame_jit(
                 yp, up, vp, *self._ref, qp=qp, block=16,
                 sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
-                sao_enabled=cfg.sao, ctu=ctu)
+                sao_enabled=cfg.sao, ctu=ctu,
+                intra_fallback=cfg.intra_in_p)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(out=out, is_idr=is_idr, poc=self._poc, qp=qp,
                     gop_poc=self._gop_poc, padded=yp.shape,
@@ -130,6 +135,12 @@ class Encoder:
         frame = CodedFrame(poc=pend["poc"], nalus=nalus,
                            bits=len(slice_bytes) * 8)
         self._rc.end_pic(frame.bits, pend["is_idr"])
+        # scene-change detection (ref hmr_motion_inter.c:2836: frame
+        # turns mostly intra): restart the GOP at the NEXT frame
+        if (not pend["is_idr"] and cfg.scene_change_reinit
+                and cfg.intra_period > 1
+                and self._last_intra_cand_frac > 0.5):
+            self._force_idr = True
         if pend["orig"] is not None:
             y, u, v = pend["orig"]
             frame.recon = (
@@ -250,8 +261,11 @@ class Encoder:
         nb = bh * bw
         mv = packed[:nb * 2].reshape(bh, bw, 2)
         cbf = packed[nb * 2:nb * 5].reshape(3, bh, bw).astype(np.uint8)
+        is_intra = packed[nb * 5:nb * 6].reshape(bh, bw).astype(np.uint8)
+        imodes = packed[nb * 6:nb * 7].reshape(bh, bw).astype(np.uint8)
+        self._last_intra_cand_frac = float(packed[nb * 7]) / nb
         cap_y, cap_c, esc_y, esc_c = p_caps(nb)
-        off = nb * 5
+        off = nb * 7 + 1
         sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
         sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
         cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_y],
@@ -280,11 +294,13 @@ class Encoder:
             else np.asarray(out["coeff_cr"])
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
+        imode4 = rep(imodes)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=1, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
             cu_depth=np.full((h4, w4), 2, np.uint8),
-            pred_mode=np.zeros((h4, w4), np.uint8),
+            pred_mode=rep(is_intra),
+            intra_luma_mode=imode4, intra_chroma_mode=imode4,  # DM
             mv_x=np.ascontiguousarray(rep(mv[..., 1])),
             mv_y=np.ascontiguousarray(rep(mv[..., 0])),
             cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),

@@ -50,6 +50,8 @@ class EncoderConfig:
     sign_hiding: bool = True
     sao: bool = True
     deblocking: bool = True
+    intra_in_p: bool = True      # isolated intra fallback in P frames
+    scene_change_reinit: bool = True   # restart GOP on scene change
     rd_mode: RDMode = RDMode.RD_FAST
     performance_mode: PerfMode = PerfMode.UFAST
     chroma_qp_offset: int = 0

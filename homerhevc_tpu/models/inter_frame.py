@@ -19,8 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from homerhevc_tpu import tables
-from homerhevc_tpu.ops import (deblock, interp, me, packing, quant, sao,
-                               transform)
+from homerhevc_tpu.models import schedule
+from homerhevc_tpu.ops import (deblock, interp, intra, me, packing, quant,
+                               sao, transform)
 
 
 def _blocks(plane: jnp.ndarray, b: int):
@@ -54,30 +55,191 @@ def p_caps(nb: int):
 
 
 def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
-                            block: int, h: int, w: int):
-    """BS maps for an all-inter frame (spec 8.7.2.4; ref
-    get_boundary_strength_single hmr_deblocking_filter.c:138): BS=1 at a
-    PU/TU boundary when either side has cbf or the MVs differ by >= 4
-    quarter-pel in any component; never 2 (no intra CUs)."""
+                            block: int, h: int, w: int,
+                            is_intra=None):
+    """BS maps for a P frame (spec 8.7.2.4; ref
+    get_boundary_strength_single hmr_deblocking_filter.c:138): BS=2 at a
+    PU/TU boundary when either side is intra, else 1 when either side
+    has luma cbf or the MVs differ by >= 4 quarter-pel in any
+    component."""
     bh, bw = cbf.shape
     mvdiff_v = (jnp.abs(mv[:, :-1] - mv[:, 1:]) >= 4).any(-1)
     cond_v = (cbf[:, :-1] | cbf[:, 1:]).astype(bool) | mvdiff_v  # [bh,bw-1]
     mvdiff_h = (jnp.abs(mv[:-1] - mv[1:]) >= 4).any(-1)
     cond_h = (cbf[:-1] | cbf[1:]).astype(bool) | mvdiff_h        # [bh-1,bw]
+    val_v = cond_v.astype(jnp.int32)
+    val_h = cond_h.astype(jnp.int32)
+    if is_intra is not None:
+        ii = is_intra.astype(bool)
+        val_v = jnp.where(ii[:, :-1] | ii[:, 1:], 2, val_v)
+        val_h = jnp.where(ii[:-1] | ii[1:], 2, val_h)
 
     step = block // 8
     bs_v = jnp.zeros((h // 4, w // 8), jnp.int32)
-    colv = jnp.repeat(cond_v.astype(jnp.int32), block // 4, axis=0)
+    colv = jnp.repeat(val_v, block // 4, axis=0)
     bs_v = bs_v.at[:, step::step].set(colv)
     bs_h = jnp.zeros((h // 8, w // 4), jnp.int32)
-    rowh = jnp.repeat(cond_h.astype(jnp.int32), block // 4, axis=1)
+    rowh = jnp.repeat(val_h, block // 4, axis=1)
     bs_h = bs_h.at[step::step, :].set(rowh)
     return bs_v, bs_h
 
 
+def chroma_boundary_strength(is_intra: jnp.ndarray, block: int,
+                             hc: int, wc: int):
+    """Chroma BS maps (only BS==2 filters, spec 8.7.2.5.5): 2 where
+    either side of a block edge is intra.  Segment shapes
+    [hc//2, wc//8] / [hc//8, wc//2]; block edges every block//2 chroma
+    px."""
+    ii = is_intra.astype(bool)
+    v2 = (ii[:, :-1] | ii[:, 1:]).astype(jnp.int32) * 2   # [bh, bw-1]
+    h2 = (ii[:-1] | ii[1:]).astype(jnp.int32) * 2         # [bh-1, bw]
+    cb = block // 2                                       # chroma block px
+    step = cb // 8
+    bs_v = jnp.zeros((hc // 2, wc // 8), jnp.int32)
+    bs_v = bs_v.at[:, step::step].set(jnp.repeat(v2, cb // 2, axis=0))
+    bs_h = jnp.zeros((hc // 8, wc // 2), jnp.int32)
+    bs_h = bs_h.at[step::step, :].set(jnp.repeat(h2, cb // 2, axis=1))
+    return bs_v, bs_h
+
+
+_FALLBACK_CAP = 512          # max intra CUs per P frame (static shape)
+
+
+def _intra_fallback_pass(cur_b, u, v, recon_y, recon_u, recon_v,
+                         level_y, level_u, level_v,
+                         cbf_y, cbf_u, cbf_v, inter_pred,
+                         qp, qp_c, s, cs, bh, bw, h, w,
+                         sbh_scan, sbh_scan_c):
+    """Replace up to _FALLBACK_CAP inter CUs by intra CUs.
+
+    Intra CUs are restricted to blocks whose 8-neighborhood stays
+    inter, so their ADI reference pixels come from inter
+    reconstructions that are final — the whole pass stays one batched
+    launch with no wavefront.  Candidates: DC-prediction SAD beats the
+    inter SAD with margin; the best ones are gathered via top-k (stream
+    compaction), fully mode-searched (all 35 modes), TQ-reconstructed
+    and scattered back."""
+    nb = bh * bw
+    kcap = min(_FALLBACK_CAP, nb)
+    plane_y = _unblocks(recon_y, h, w)
+    buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
+    buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
+
+    avail = schedule.availability(bw, bh, 64 // s)
+    amask = np.stack([avail["bottomleft"], avail["left"],
+                      avail["corner"], avail["top"],
+                      avail["topright"]], -1).reshape(nb, 5)
+    seg = np.zeros((5, 4 * s + 1), dtype=bool)
+    seg[0, 0:s] = True
+    seg[1, s:2 * s] = True
+    seg[2, 2 * s] = True
+    seg[3, 2 * s + 1:3 * s + 1] = True
+    seg[4, 3 * s + 1:] = True
+    pix_avail = jnp.asarray(amask @ seg > 0)          # [nb, 4S+1]
+
+    pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
+    pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
+
+    def gather_adi(b, py, px, size):
+        top = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            b, (yy, xx), (1, 2 * size + 1))[0])(py, px)
+        left = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            b, (yy + 1, xx), (2 * size, 1))[:, 0])(py, px)
+        return jnp.concatenate([left[:, ::-1], top], -1)
+
+    adi = intra.substitute_refs(gather_adi(buf, pos_y, pos_x, s),
+                                pix_avail)
+
+    # ---- DC-proxy decision + isolation
+    dc = (jnp.sum(adi[:, s:2 * s], -1) + jnp.sum(
+        adi[:, 2 * s + 1:3 * s + 1], -1) + s) // (2 * s)
+    dc_sad = jnp.sum(jnp.abs(cur_b - dc[:, None, None]), (-1, -2))
+    inter_sad = jnp.sum(jnp.abs(cur_b - inter_pred), (-1, -2))
+    cand = dc_sad.astype(jnp.float32) < 0.75 * inter_sad
+    cand_count = cand.sum().astype(jnp.int32)
+    cgrid = cand.reshape(bh, bw)
+    pad = jnp.pad(cgrid, 1)
+    neigh = jnp.zeros_like(cgrid)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh = neigh | pad[1 + dy:1 + dy + bh, 1 + dx:1 + dx + bw]
+    isolated = (cgrid & ~neigh).reshape(nb)
+
+    gain = jnp.where(isolated, inter_sad - dc_sad, -1)
+    _, sel = jax.lax.top_k(gain, kcap)                # block indices
+    sel_ok = gain[sel] > 0                            # [kcap]
+
+    # ---- full 35-mode search on the selected blocks
+    adi_sel = adi[sel]
+    preds = intra.predict_all_modes(adi_sel, s, True)  # [k, 35, S, S]
+    cur_sel = cur_b[sel]
+    sads = jnp.sum(jnp.abs(preds - cur_sel[:, None]), (-1, -2))
+    best = jnp.argmin(sads, -1).astype(jnp.int32)     # [k]
+    pred_sel = jnp.take_along_axis(
+        preds, best[:, None, None, None], 1)[:, 0]
+    lvl_sel, rr = _tq(cur_sel - pred_sel, s, qp, True, sbh_scan)
+    rec_sel = jnp.clip(pred_sel + rr, 0, 255)
+    cbf_sel = jnp.any(lvl_sel != 0, (-1, -2))
+
+    # ---- chroma (DM) for the same blocks
+    def chroma_intra(plane_blocks, plane_full, scan):
+        pfull = _unblocks(plane_blocks, h // 2, w // 2)
+        cbuf = jnp.zeros((1 + h // 2 + cs, 1 + w // 2 + cs), jnp.int32)
+        cbuf = cbuf.at[1:1 + h // 2, 1:1 + w // 2].set(pfull)
+        segc = np.zeros((5, 4 * cs + 1), dtype=bool)
+        segc[0, 0:cs] = True
+        segc[1, cs:2 * cs] = True
+        segc[2, 2 * cs] = True
+        segc[3, 2 * cs + 1:3 * cs + 1] = True
+        segc[4, 3 * cs + 1:] = True
+        pix_c = jnp.asarray(amask @ segc > 0)[sel]
+        adi_c = intra.substitute_refs(
+            gather_adi(cbuf, pos_y[sel] // 2, pos_x[sel] // 2, cs),
+            pix_c)
+        preds_c = intra.predict_all_modes(adi_c, cs, False)
+        pred_c = jnp.take_along_axis(
+            preds_c, best[:, None, None, None], 1)[:, 0]
+        orig_c = _blocks(jnp.asarray(plane_full, jnp.int32), cs)[sel]
+        lvl_c, rr_c = _tq(orig_c - pred_c, cs, qp_c, True, scan)
+        rec_c = jnp.clip(pred_c + rr_c, 0, 255)
+        return lvl_c, rec_c, jnp.any(lvl_c != 0, (-1, -2))
+
+    lvl_cu, rec_cu, cbf_cu = chroma_intra(recon_u, u, sbh_scan_c)
+    lvl_cv, rec_cv, cbf_cv = chroma_intra(recon_v, v, sbh_scan_c)
+
+    # ---- scatter back (drop non-accepted via OOB index)
+    slot = jnp.where(sel_ok, sel, nb)
+
+    def put(blocks, vals):
+        return blocks.at[slot].set(vals, mode="drop")
+
+    def put_map(m, vals):
+        return m.reshape(-1).at[slot].set(vals, mode="drop") \
+            .reshape(bh, bw)
+
+    recon_y = put(recon_y, rec_sel)
+    level_y = put(level_y, lvl_sel)
+    recon_u = put(recon_u, rec_cu)
+    level_u = put(level_u, lvl_cu)
+    recon_v = put(recon_v, rec_cv)
+    level_v = put(level_v, lvl_cv)
+    cbf_y = put_map(cbf_y, cbf_sel)
+    cbf_u = put_map(cbf_u, cbf_cu)
+    cbf_v = put_map(cbf_v, cbf_cv)
+    is_intra_blk = jnp.zeros((nb,), jnp.int32).at[slot].set(1,
+                                                            mode="drop")
+    intra_modes = jnp.zeros((nb,), jnp.int32).at[slot].set(best,
+                                                           mode="drop")
+    return (recon_y, recon_u, recon_v, level_y, level_u, level_v,
+            cbf_y, cbf_u, cbf_v, is_intra_blk, intra_modes, cand_count)
+
+
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    sign_hiding: bool = False, deblocking: bool = False,
-                   sao_enabled: bool = False, ctu: int = 64):
+                   sao_enabled: bool = False, ctu: int = 64,
+                   intra_fallback: bool = False):
     """Encode one P frame against one reference.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
@@ -131,16 +293,37 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     level_u, recon_u, cbf_u = chroma(u, ref_u, sbh_scan_c)
     level_v, recon_v, cbf_v = chroma(v, ref_v, sbh_scan_c)
 
+    # ---- isolated intra fallback (scene changes / uncovered content;
+    # role of the reference's per-CU intra-vs-inter arbitration,
+    # hmr_motion_inter.c:3043)
+    nb = bh * bw
+    is_intra_blk = jnp.zeros((nb,), jnp.int32)
+    intra_modes = jnp.zeros((nb,), jnp.int32)
+    cand_count = jnp.int32(0)
+    if intra_fallback:
+        (recon_y, recon_u, recon_v, level_y, level_u, level_v,
+         cbf_y, cbf_u, cbf_v, is_intra_blk, intra_modes, cand_count) = \
+            _intra_fallback_pass(
+                cur_b, u, v, recon_y, recon_u, recon_v,
+                level_y, level_u, level_v, cbf_y, cbf_u, cbf_v,
+                pred, qp, qp_c, s, cs, bh, bw, h, w,
+                sbh_scan, sbh_scan_c)
+
     out_y = _unblocks(recon_y, h, w)
     out_u = _unblocks(recon_u, h // 2, w // 2)
     out_v = _unblocks(recon_v, h // 2, w // 2)
 
     if deblocking:
         # spec 8.7.2.4: the cbf term of the BS is the LUMA TB only
+        ii = is_intra_blk.reshape(bh, bw) if intra_fallback else None
         bs_v, bs_h = inter_boundary_strength(cbf_y.astype(jnp.int32),
-                                             mv, s, h, w)
+                                             mv, s, h, w, is_intra=ii)
         out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
-        # chroma filters only BS==2 edges; all-inter frame has none
+        if intra_fallback:
+            # chroma filters only BS==2 edges (intra-adjacent)
+            bs_vc, bs_hc = chroma_boundary_strength(ii, s, h // 2, w // 2)
+            out_u = deblock.deblock_chroma(out_u, bs_vc, bs_hc, qp_c)
+            out_v = deblock.deblock_chroma(out_v, bs_vc, bs_hc, qp_c)
 
     sao_fields = None
     if sao_enabled:
@@ -161,11 +344,13 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     )
     # single-transfer marshaling with nonzero-block compaction (the
     # device->host link is a high-latency, low-bandwidth tunnel)
-    nb = bh * bw
     cap_y, cap_c, esc_y, esc_c = p_caps(nb)
     parts = [
         mv.astype(jnp.int16).reshape(-1),
         out["cbf"].astype(jnp.int16).reshape(-1),
+        is_intra_blk.astype(jnp.int16),
+        intra_modes.astype(jnp.int16),
+        cand_count.astype(jnp.int16)[None],
         packing.compact_blocks_i8(level_y, cap_y, esc_y),
         packing.compact_blocks_i8(level_u, cap_c, esc_c),
         packing.compact_blocks_i8(level_v, cap_c, esc_c)]
@@ -178,4 +363,4 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 encode_p_frame_jit = jax.jit(
     encode_p_frame,
     static_argnames=("block", "sign_hiding", "deblocking",
-                     "sao_enabled", "ctu"))
+                     "sao_enabled", "ctu", "intra_fallback"))

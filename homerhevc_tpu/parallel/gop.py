@@ -19,7 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from homerhevc_tpu.models import intra_frame
@@ -65,7 +65,7 @@ def encode_gop(y, u, v, *, qp: int, mesh: Mesh, axis: str = "gop",
             jax.tree_util.tree_map(lambda _: spec, _out_struct()),
             P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(y, u, v)
 

@@ -1,0 +1,207 @@
+"""Intra-frame row-band sharding across chips (the WPP replacement).
+
+The reference's WPP threads own interleaved CTU rows with a 2-CTU
+diagonal lag (ref: wfpp_encoder_thread hmr_encoder_lib.c:2357); on TPU
+the P-frame pipeline has NO intra-frame dependency at all, so CTU-row
+bands shard cleanly over the chip mesh:
+
+* each chip encodes a contiguous band: ME against the (replicated)
+  reference picture, MC, transform/quant, reconstruction and the
+  vertical deblocking pass — all row-local by construction (vertical
+  edges only read/write pixels of their own rows);
+* one `all_gather` over the row axis (ICI) assembles the frame, then
+  the horizontal deblock pass + SAO run replicated (they are a small
+  fraction of frame compute; a halo-exchange version is a later
+  optimization);
+* the next frame's reference is the gathered result, which is the
+  inter-frame dependency exchange (role of the reference's
+  synchro_sem[1] frame pipelining, hmr_encoder_lib.c:1948).
+
+Bit-transparency: the sharded program produces exactly the
+single-device `encode_p_frame` outputs (asserted in
+tests/test_sharding.py) — sharding never changes the bitstream.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from homerhevc_tpu import tables
+from homerhevc_tpu.models import inter_frame
+from homerhevc_tpu.ops import deblock, interp, me, packing, quant, sao, \
+    transform
+
+
+def _band_coarse(cur_band, ref, band_row0, block):
+    """Coarse search of one band against the full reference."""
+    hb, w = cur_band.shape
+    r = me.COARSE_R
+    cur_h = me._block_sum(cur_band, 2)
+    ref_h = me._block_sum(ref, 2)
+    # slab of half-res reference rows covering the band's search range
+    slab = jax.lax.dynamic_slice(
+        jnp.pad(ref_h, ((r, r), (r, r)), mode="edge"),
+        (band_row0 // 2, 0), (hb // 2 + 2 * r, ref_h.shape[1] + 2 * r))
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
+                                  jnp.arange(2 * r + 1),
+                                  indexing="ij"), -1).reshape(-1, 2)
+
+    def one(o):
+        shifted = jax.lax.dynamic_slice(slab, (o[0], o[1]),
+                                        (hb // 2, w // 2))
+        return me._block_sum(jnp.abs(shifted - cur_h), block // 2)
+
+    sads = jax.vmap(one)(offs)
+    best = jnp.argmin(sads, axis=0)
+    dy = best // (2 * r + 1) - r
+    dx = best % (2 * r + 1) - r
+    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32) * 2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "row_axis", "block", "sign_hiding",
+                              "deblocking", "sao_enabled", "ctu"))
+def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
+                              mesh: Mesh, row_axis: str = "row",
+                              block: int = 16, sign_hiding: bool = True,
+                              deblocking: bool = True,
+                              sao_enabled: bool = True, ctu: int = 64):
+    """P-frame encode with CTU-row bands sharded over mesh[row_axis].
+
+    Inputs are full planes (uint8/int32); the reference planes are
+    replicated (read-only). Returns the single-device output dict
+    (replicated).  Intra fallback is not active on this path yet.
+    """
+    h, w = y.shape
+    n = mesh.shape[row_axis]
+    assert (h // n) % ctu == 0, "band height must be CTU-aligned"
+    s, cs = block, block // 2
+    hb = h // n
+    sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
+        if sign_hiding else None
+    sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
+        if sign_hiding else None
+    qp = jnp.asarray(qp, jnp.int32)
+    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
+
+    def local(y_b, u_b, v_b, refy, refu, refv, qp, qp_c):
+        band = jax.lax.axis_index(row_axis).astype(jnp.int32)
+        row0 = band * hb
+        cur = y_b.astype(jnp.int32)
+        refy = refy.astype(jnp.int32)
+        bh, bw = hb // s, w // s
+
+        mv0 = _band_coarse(cur, refy, row0, s)
+        ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
+        pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
+        pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
+        cur_b = inter_frame._blocks(cur, s)
+        mv1 = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
+                               mv0.reshape(-1, 2), s)
+        mv_q, _sad, pred = me.subpel_search(cur_b, ref_pad, pos_y,
+                                            pos_x, mv1, s)
+        mv = mv_q.reshape(bh, bw, 2)
+
+        level_y, rr = inter_frame._tq(cur_b - pred, s, qp, False,
+                                      sbh_scan)
+        recon_y = jnp.clip(pred + rr, 0, 255)
+        cbf_y = jnp.any(level_y != 0, (-1, -2)).reshape(bh, bw)
+
+        cpad = me.REF_PAD // 2
+
+        def chroma(plane_b, refp):
+            refc = refp.astype(jnp.int32)
+            rp = jnp.pad(refc, cpad, mode="edge")
+            mv_f = mv.reshape(-1, 2)
+            cw = me._gather_windows(
+                rp,
+                cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
+                cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1, cs + 3)
+            cpred = interp.mc_chroma_phases(cw, mv_f[:, 0] & 7,
+                                            mv_f[:, 1] & 7, cs)
+            cb = inter_frame._blocks(plane_b.astype(jnp.int32), cs)
+            lvl, rrc = inter_frame._tq(cb - cpred, cs, qp_c, False,
+                                       sbh_scan_c)
+            rec = jnp.clip(cpred + rrc, 0, 255)
+            return lvl, rec, jnp.any(lvl != 0, (-1, -2)).reshape(bh, bw)
+
+        level_u, recon_u, cbf_u = chroma(u_b, refu)
+        level_v, recon_v, cbf_v = chroma(v_b, refv)
+
+        band_y = inter_frame._unblocks(recon_y, hb, w)
+        band_u = inter_frame._unblocks(recon_u, hb // 2, w // 2)
+        band_v = inter_frame._unblocks(recon_v, hb // 2, w // 2)
+
+        if deblocking:
+            # vertical pass is row-local: filter within the band
+            bs_v, _ = inter_frame.inter_boundary_strength(
+                cbf_y.astype(jnp.int32), mv, s, hb, w)
+            band_y = deblock._luma_pass(band_y, bs_v, qp)
+
+        # ---- assemble the frame (ICI all_gather over the row axis)
+        full_y = jax.lax.all_gather(band_y, row_axis).reshape(h, w)
+        full_u = jax.lax.all_gather(band_u, row_axis) \
+            .reshape(h // 2, w // 2)
+        full_v = jax.lax.all_gather(band_v, row_axis) \
+            .reshape(h // 2, w // 2)
+        cbf_y_f = jax.lax.all_gather(cbf_y, row_axis).reshape(h // s, bw)
+        cbf_u_f = jax.lax.all_gather(cbf_u, row_axis).reshape(h // s, bw)
+        cbf_v_f = jax.lax.all_gather(cbf_v, row_axis).reshape(h // s, bw)
+        mv_f = jax.lax.all_gather(mv, row_axis).reshape(h // s, bw, 2)
+        lvl_y_f = jax.lax.all_gather(level_y, row_axis) \
+            .reshape(-1, s, s)
+        lvl_u_f = jax.lax.all_gather(level_u, row_axis) \
+            .reshape(-1, cs, cs)
+        lvl_v_f = jax.lax.all_gather(level_v, row_axis) \
+            .reshape(-1, cs, cs)
+
+        if deblocking:
+            # horizontal pass on the assembled frame (replicated)
+            _, bs_h = inter_frame.inter_boundary_strength(
+                cbf_y_f.astype(jnp.int32), mv_f, s, h, w)
+            full_y = deblock._luma_pass(full_y.T, bs_h.T, qp).T
+
+        sao_fields = None
+        if sao_enabled:
+            yf = jax.lax.all_gather(y_b.astype(jnp.int32), row_axis) \
+                .reshape(h, w)
+            uf = jax.lax.all_gather(u_b.astype(jnp.int32), row_axis) \
+                .reshape(h // 2, w // 2)
+            vf = jax.lax.all_gather(v_b.astype(jnp.int32), row_axis) \
+                .reshape(h // 2, w // 2)
+            lam = tables.rd_lambda(qp, False)
+            lam_c = tables.rd_lambda(qp_c, False)
+            full_y, full_u, full_v, sao_fields = sao.sao_frame(
+                yf, uf, vf, full_y, full_u, full_v, lam, lam_c, ctu)
+
+        nb = (h // s) * bw
+        cap_y, cap_c, esc_y, esc_c = inter_frame.p_caps(nb)
+        parts = [
+            mv_f.astype(jnp.int16).reshape(-1),
+            jnp.stack([cbf_y_f, cbf_u_f, cbf_v_f])
+            .astype(jnp.int16).reshape(-1),
+            jnp.zeros((nb,), jnp.int16),           # is_intra (fallback off)
+            jnp.zeros((nb,), jnp.int16),           # intra modes
+            jnp.zeros((1,), jnp.int16),            # cand count
+            packing.compact_blocks_i8(lvl_y_f, cap_y, esc_y),
+            packing.compact_blocks_i8(lvl_u_f, cap_c, esc_c),
+            packing.compact_blocks_i8(lvl_v_f, cap_c, esc_c)]
+        if sao_fields is not None:
+            parts.append(sao.pack_sao_fields(sao_fields))
+        packed = jnp.concatenate(parts)
+        return dict(recon_y=full_y, recon_u=full_u, recon_v=full_v,
+                    mv=mv_f, packed=packed)
+
+    spec_y = P(row_axis)
+    rep = P()
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_y, spec_y, spec_y, rep, rep, rep, rep, rep),
+        out_specs=dict(recon_y=rep, recon_u=rep, recon_v=rep, mv=rep,
+                       packed=rep),
+        check_vma=False)
+    return fn(y, u, v, ref_y, ref_u, ref_v, qp, qp_c)

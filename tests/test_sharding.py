@@ -1,0 +1,85 @@
+"""Sharding must be bit-transparent (SURVEY.md §4): the same records
+and reconstructions as the single-device path, for both parallel axes:
+
+* GOP/frame sharding (parallel/gop.py — the n_enc_engines analogue)
+* intra-frame CTU-row-band sharding (parallel/wpp.py — the WPP
+  analogue), incl. its ICI all_gather assembly.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from homerhevc_tpu.models import inter_frame, intra_frame
+from homerhevc_tpu.parallel import gop, wpp
+
+
+def _need8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+
+def test_gop_sharding_bit_transparent():
+    _need8()
+    n = 8
+    ys = np.stack([((np.mgrid[0:64, 0:64][0] * 3 + 11 * i) % 256)
+                   .astype(np.uint8) for i in range(n)])
+    us = np.stack([np.full((32, 32), 64 + i, np.uint8) for i in range(n)])
+    vs = np.stack([np.full((32, 32), 190 - i, np.uint8)
+                   for i in range(n)])
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("gop",))
+    recs, avg = gop.encode_gop_jit(jnp.asarray(ys), jnp.asarray(us),
+                                   jnp.asarray(vs), qp=32, mesh=mesh)
+    for i in range(n):
+        ref = intra_frame.encode_frame_jit(ys[i], us[i], vs[i], qp=32,
+                                           cu=16, ctu=64,
+                                           sign_hiding=True)
+        for k in ref:
+            np.testing.assert_array_equal(np.asarray(recs[k][i]),
+                                          np.asarray(ref[k]),
+                                          err_msg=f"frame {i} field {k}")
+    assert np.isfinite(float(avg))
+
+
+def test_row_sharding_bit_transparent():
+    _need8()
+    rng = np.random.default_rng(3)
+    h, w, m = 512, 128, 16          # 8 bands of 64 rows
+    g = np.mgrid[0:h + m, 0:w + m]
+    base = np.clip(((g[1] * 3 + g[0] * 2) % 235)
+                   + rng.integers(0, 16, g[0].shape), 0, 255) \
+        .astype(np.uint8)
+    y0, u0 = base[:h, :w], base[:h // 2:, :w // 2][:h // 2]
+    u0 = np.ascontiguousarray(base[0:h // 2, 0:w // 2])
+    v0 = np.ascontiguousarray(base[4:4 + h // 2, 4:4 + w // 2])
+    y1 = base[1:1 + h, 2:2 + w]
+    u1 = np.ascontiguousarray(base[0:h // 2, 1:1 + w // 2])
+    v1 = np.ascontiguousarray(base[4:4 + h // 2, 5:5 + w // 2])
+
+    # reference = intra frame recon (deblocked)
+    iframe = intra_frame.encode_frame_jit(
+        y0, u0, v0, qp=30, cu=16, ctu=64, sign_hiding=True,
+        deblocking=True)
+    refs = (iframe["recon_y"], iframe["recon_u"], iframe["recon_v"])
+
+    single = inter_frame.encode_p_frame_jit(
+        y1, u1, v1, *refs, qp=30, block=16, sign_hiding=True,
+        deblocking=True, sao_enabled=True, intra_fallback=False)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("row",))
+    sharded = wpp.encode_p_frame_rowsharded(
+        jnp.asarray(y1), jnp.asarray(u1), jnp.asarray(v1),
+        *[jnp.asarray(r, jnp.int32) for r in refs], qp=30, mesh=mesh,
+        block=16, sign_hiding=True, deblocking=True, sao_enabled=True)
+
+    np.testing.assert_array_equal(np.asarray(sharded["recon_y"]),
+                                  np.asarray(single["recon_y"]))
+    np.testing.assert_array_equal(np.asarray(sharded["recon_u"]),
+                                  np.asarray(single["recon_u"]))
+    np.testing.assert_array_equal(np.asarray(sharded["recon_v"]),
+                                  np.asarray(single["recon_v"]))
+    np.testing.assert_array_equal(np.asarray(sharded["mv"]),
+                                  np.asarray(single["mv"]))
+    np.testing.assert_array_equal(np.asarray(sharded["packed"]),
+                                  np.asarray(single["packed"]))
