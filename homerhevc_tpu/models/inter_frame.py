@@ -36,6 +36,23 @@ def _unblocks(blocks: jnp.ndarray, h: int, w: int):
         .reshape(h, w)
 
 
+def _rd_zero(level, recon, pred, cur, lam):
+    """Zero-residual RD decision (role of the reference's merge/skip
+    zero-residual pass, check_rd_cost_merge_2nx2n hmr_motion_inter.c:
+    2699-2786 and the cost_rd coefficient-sum heuristic hmr_common.h:50):
+    drop a block's coefficients when the rate saved outweighs the
+    distortion added.  Skip CUs emerge at the host stage when all three
+    components go zero on a merged MV."""
+    ssd_coded = jnp.sum((recon - cur) ** 2, (-1, -2)).astype(jnp.float32)
+    ssd_zero = jnp.sum((pred - cur) ** 2, (-1, -2)).astype(jnp.float32)
+    bits = 16.0 + 3.0 * jnp.sum(jnp.abs(level), (-1, -2)) \
+        .astype(jnp.float32)
+    zero = ssd_zero <= ssd_coded + lam * bits
+    level = jnp.where(zero[:, None, None], 0, level)
+    recon = jnp.where(zero[:, None, None], pred, recon)
+    return level, recon
+
+
 def _tq(resid, size, qp, is_intra, sbh_scan):
     coeff = transform.forward_transform(resid, size)
     level, du = quant.quantize(coeff, qp, size, is_intra=is_intra)
@@ -259,17 +276,29 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 
     cur = jnp.asarray(y, jnp.int32)
     refy = jnp.asarray(ref_y, jnp.int32)
+    lam = tables.rd_lambda(qp, False)
+    lam_c = tables.rd_lambda(qp_c, False)
     # ME returns the final MC prediction (the winning subpel candidate)
-    mv, _sad, pred = me.motion_estimate(cur, refy, block=s)
-    mv_f = mv.reshape(-1, 2)
+    mv, sad_me, pred = me.motion_estimate(cur, refy, block=s)
     pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
     pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
     pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
     pos_x = jnp.broadcast_to(pos_x, (bh, bw)).reshape(-1)
 
     cur_b = _blocks(cur, s)
+    # MV-coherence snap toward neighbor/zero candidates (merge/skip RD)
+    ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
+    cands = me.snap_candidates(mv)
+    left_pred = cands[1][0].reshape(-1, 2)
+    mv_flat, pred, _ = me.snap_mvs(
+        cur_b, ref_pad, pos_y, pos_x, mv.reshape(-1, 2), pred,
+        sad_me.reshape(-1), cands, left_pred, jnp.sqrt(lam), s)
+    mv = mv_flat.reshape(bh, bw, 2)
+    mv_f = mv.reshape(-1, 2)
+
     level_y, rres = _tq(cur_b - pred, s, qp, False, sbh_scan)
     recon_y = jnp.clip(pred + rres, 0, 255)
+    level_y, recon_y = _rd_zero(level_y, recon_y, pred, cur_b, lam)
     cbf_y = jnp.any(level_y != 0, axis=(-1, -2)).reshape(bh, bw)
 
     # ---- chroma MC (4-tap, eighth-pel = luma quarter-pel values)
@@ -287,6 +316,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
         lvl, rr = _tq(cb - cpred, cs, qp_c, False, scan)
         rec = jnp.clip(cpred + rr, 0, 255)
+        lvl, rec = _rd_zero(lvl, rec, cpred, cb, lam_c)
         cbf = jnp.any(lvl != 0, axis=(-1, -2)).reshape(bh, bw)
         return lvl, rec, cbf
 

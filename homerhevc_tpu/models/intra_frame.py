@@ -105,7 +105,37 @@ def _mpm_candidates(left_m, top_m):
     return jnp.stack([c0, c1, c2], axis=-1)
 
 
-def _tq_recon(orig, pred, size, qp, is_intra_slice=True, sbh_scan=None):
+@functools.lru_cache(maxsize=None)
+def _hadamard(n: int) -> np.ndarray:
+    h = np.array([[1]], np.float32)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def satd(resid: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Sum of absolute Hadamard-transformed differences (the HM/Homer
+    mode-decision metric — a far better transform-rate proxy than SAD).
+    resid: [..., S, S] -> [...]."""
+    h = jnp.asarray(_hadamard(size))
+    t = jnp.einsum("ij,...jk,kl->...il", h, resid.astype(jnp.float32), h)
+    return jnp.sum(jnp.abs(t), (-1, -2)) / size
+
+
+def _rd_zero_intra(level, recon, pred, orig, lam):
+    """Zero-residual RD for intra blocks (same form as the inter pass)."""
+    ssd_coded = jnp.sum((recon - orig) ** 2, (-1, -2)).astype(jnp.float32)
+    ssd_zero = jnp.sum((pred - orig) ** 2, (-1, -2)).astype(jnp.float32)
+    bits = 16.0 + 3.0 * jnp.sum(jnp.abs(level), (-1, -2)) \
+        .astype(jnp.float32)
+    zero = ssd_zero <= ssd_coded + lam * bits
+    level = jnp.where(zero[..., None, None], 0, level)
+    recon = jnp.where(zero[..., None, None],
+                      jnp.clip(pred, 0, 255), recon)
+    return level, recon
+
+
+def _tq_recon(orig, pred, size, qp, lam=None, sbh_scan=None):
     """residual -> T -> Q -> IQ -> IT -> recon, batched (bit-exact)."""
     resid = orig.astype(jnp.int32) - pred
     coeff = transform.forward_transform(resid, size)
@@ -115,6 +145,8 @@ def _tq_recon(orig, pred, size, qp, is_intra_slice=True, sbh_scan=None):
     deq = quant.dequantize(level, qp, size)
     r = transform.inverse_transform(deq, size)
     recon = jnp.clip(pred + r, 0, 255)
+    if lam is not None:
+        level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
     cbf = jnp.any(level != 0, axis=(-1, -2))
     return level, recon, cbf
 
@@ -133,7 +165,9 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
     seg_layout = jnp.asarray(_segment_avail_layout(s))     # [5, 4S+1]
     seg_layout_c = jnp.asarray(_segment_avail_layout(cs))
-    sqrt_lambda = jnp.sqrt(tables.rd_lambda(qp, True)) * rd_lambda_scale
+    lam_rd = tables.rd_lambda(qp, True)
+    lam_rd_c = tables.rd_lambda(qp_c, True)
+    sqrt_lambda = jnp.sqrt(lam_rd) * rd_lambda_scale
     sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
         if sign_hiding else None
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
@@ -170,11 +204,11 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
                                 seg_layout.astype(jnp.int32)) > 0
         adi = intra.substitute_refs(adi_raw, avail_mask)
 
-        # ---- all 35 predictions + cost
+        # ---- all 35 predictions + SATD mode cost
         preds = intra.predict_all_modes(adi, s, True)      # [nb,35,S,S]
         orig = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
             y32, (yy, xx), (s, s)))(y0, x0)
-        sad = jnp.sum(jnp.abs(preds - orig[:, None]), axis=(-1, -2))
+        dist = satd(preds - orig[:, None], s)
 
         left_m = jnp.where(left_av, mode_map[by, bx - 1], 1)
         top_m = jnp.where(top_av & ~top_other, mode_map[by - 1, bx], 1)
@@ -182,14 +216,13 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         all_modes = jnp.arange(35, dtype=jnp.int32)
         in_mpm = (cands[:, :, None] == all_modes[None, None]).any(axis=1)
         # Homer RD_FAST mode-bit heuristic (ref hmr_motion_intra.c:1142)
-        mode_bits = jnp.where(in_mpm, 1.0, 12.0)
-        cost = sad.astype(jnp.float32) + \
-            sqrt_lambda.astype(jnp.float32) * mode_bits
+        mode_bits = jnp.where(in_mpm, 1.0, 6.0)
+        cost = dist + sqrt_lambda.astype(jnp.float32) * mode_bits
         best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
 
         pred = jnp.take_along_axis(
             preds, best[:, None, None, None], axis=1)[:, 0]
-        level, recon, cbf_y = _tq_recon(orig, pred, s, qp,
+        level, recon, cbf_y = _tq_recon(orig, pred, s, qp, lam=lam_rd,
                                         sbh_scan=sbh_scan)
 
         # ---- chroma (DM mode)
@@ -207,7 +240,8 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
                 preds_c, best[:, None, None, None], axis=1)[:, 0]
             orig_c = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
                 plane, (yy, xx), (cs, cs)))(cy0, cx0)
-            return _tq_recon(orig_c, pred_c, cs, qp_c, sbh_scan=scan)
+            return _tq_recon(orig_c, pred_c, cs, qp_c, lam=lam_rd_c,
+                             sbh_scan=scan)
 
         lv_u, rec_u_blk, cbf_u = chroma(rec_u, u32, sbh_scan_c)
         lv_v, rec_v_blk, cbf_v = chroma(rec_v, v32, sbh_scan_c)

@@ -56,6 +56,9 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int):
         return _block_sum(jnp.abs(shifted - cur_h), bh2)   # [bh, bw]
 
     sads = jax.vmap(one)(offs)                       # [(2r+1)^2, bh, bw]
+    # |mv| tie-break (ref mv_cost, hmr_common.h:50): periodic textures
+    # produce many exact matches; prefer the smallest, most coherent MV
+    sads = sads + jnp.abs(offs - r).sum(-1)[:, None, None]
     best = jnp.argmin(sads, axis=0)
     dy = best // (2 * r + 1) - r
     dx = best % (2 * r + 1) - r
@@ -86,7 +89,8 @@ def refine_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
     sads = jnp.stack(
         [jnp.sum(jnp.abs(
             win[:, r + dy:r + dy + block, r + dx:r + dx + block]
-            - cur_blocks), axis=(-1, -2)) for dy, dx in offs], axis=0)
+            - cur_blocks), axis=(-1, -2))
+         + abs(dy) + abs(dx) for dy, dx in offs], axis=0)
     best = jnp.argmin(sads, axis=0)                   # [n]
     d = jnp.asarray(offs, jnp.int32)[best]
     return mv_int + d
@@ -120,7 +124,7 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
 
     sads = jnp.stack(
         [jnp.sum(jnp.abs(pred_at(dy, dx) - cur_blocks), axis=(-1, -2))
-         for dy, dx in offs], axis=0)                  # [49, n]
+         + abs(dy) + abs(dx) for dy, dx in offs], axis=0)  # [49, n]
     best = jnp.argmin(sads, axis=0)                    # [n]
     sad = jnp.min(sads, axis=0)
     dmv = jnp.asarray(offs, jnp.int32)[best]
@@ -129,6 +133,75 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
         pred = pred + jnp.where((best == k)[:, None, None],
                                 pred_at(dy, dx), 0)
     return mv_int * 4 + dmv, sad, pred
+
+
+def mc_luma_at(ref_pad, pos_y, pos_x, mv, block: int):
+    """MC prediction at arbitrary per-block quarter-pel MVs (16 static
+    phases mask-accumulated, one window gather)."""
+    win = _gather_windows(
+        ref_pad,
+        REF_PAD + pos_y + (mv[:, 0] >> 2) - 3,
+        REF_PAD + pos_x + (mv[:, 1] >> 2) - 3, block + 7)
+    fy = mv[:, 0] & 3
+    fx = mv[:, 1] & 3
+    acc = jnp.zeros((win.shape[0], block, block), jnp.float32)
+    for py in range(4):
+        for px in range(4):
+            m = (fy == py) & (fx == px)
+            acc = acc + jnp.where(m[:, None, None],
+                                  interp.fir2d(win, py, px, block, True),
+                                  0.0)
+    return interp.finish_uni(acc)
+
+
+def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
+    """Approximate MVD bit count (EG1 binarization scale)."""
+    a = jnp.abs(d).astype(jnp.float32)
+    return jnp.sum(2.0 * jnp.log2(a + 1.0) + 1.0, axis=-1)
+
+
+def snap_candidates(mv_grid: jnp.ndarray):
+    """Candidate MV fields from a first-round [bh, bw, 2] grid:
+    (left, top, global-median, zero), each [bh, bw, 2]."""
+    left = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
+    top = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
+    # dominant (median) MV = global-motion candidate; first-round
+    # fields over periodic textures are tie-broken incoherently, and
+    # one neighbor-propagation round cannot converge them alone
+    med = jnp.stack([jnp.median(mv_grid[..., 0]),
+                     jnp.median(mv_grid[..., 1])]).astype(jnp.int32)
+    glob = jnp.broadcast_to(med, mv_grid.shape)
+    zero = jnp.zeros_like(mv_grid)
+    return ((glob, 2.0), (left, 2.0), (top, 2.0), (zero, 4.0))
+
+
+def snap_mvs(cur_blocks, ref_pad, pos_y, pos_x, mv, pred_own, sad,
+             cands, left_pred, lam_me, block: int):
+    """MV-coherence pass (role of the reference's merge/AMVP-aware
+    costs, select_mv_candidate_fast hmr_motion_inter.c:981): each block
+    re-evaluates candidate MVs (from snap_candidates) with a
+    merge-cheap bit bonus, snapping when the rate-biased cost wins.
+    Coherent fields turn into merge/skip at the host syntax stage.
+
+    mv/left_pred: [n, 2]; cands: iterable of ([n, 2] or [bh, bw, 2]
+    reshapeable, bits).  Returns (mv [n,2], pred [n,B,B], sad [n]).
+    """
+    own_bits = 2.0 + _mvd_bits(mv - left_pred)
+    best_cost = sad.astype(jnp.float32) + lam_me * own_bits
+    out_mv = mv
+    out_pred = pred_own
+    out_sad = sad
+    for cand, bits in cands:
+        cand = cand.reshape(-1, 2)
+        p = mc_luma_at(ref_pad, pos_y, pos_x, cand, block)
+        s = jnp.sum(jnp.abs(p - cur_blocks), (-1, -2))
+        c = s.astype(jnp.float32) + lam_me * bits
+        take = c < best_cost
+        best_cost = jnp.where(take, c, best_cost)
+        out_mv = jnp.where(take[:, None], cand, out_mv)
+        out_pred = jnp.where(take[:, None, None], p, out_pred)
+        out_sad = jnp.where(take, s, out_sad)
+    return out_mv, out_pred, out_sad
 
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):

@@ -56,6 +56,8 @@ def _band_coarse(cur_band, ref, band_row0, block):
         return me._block_sum(jnp.abs(shifted - cur_h), block // 2)
 
     sads = jax.vmap(one)(offs)
+    # |mv| tie-break — must match me.coarse_search exactly
+    sads = sads + jnp.abs(offs - r).sum(-1)[:, None, None]
     best = jnp.argmin(sads, axis=0)
     dy = best // (2 * r + 1) - r
     dx = best % (2 * r + 1) - r
@@ -95,6 +97,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         refy = refy.astype(jnp.int32)
         bh, bw = hb // s, w // s
 
+        lam = tables.rd_lambda(qp, False)
+        lam_c = tables.rd_lambda(qp_c, False)
         mv0 = _band_coarse(cur, refy, row0, s)
         ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
         pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
@@ -102,13 +106,32 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         cur_b = inter_frame._blocks(cur, s)
         mv1 = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
                                mv0.reshape(-1, 2), s)
-        mv_q, _sad, pred = me.subpel_search(cur_b, ref_pad, pos_y,
-                                            pos_x, mv1, s)
-        mv = mv_q.reshape(bh, bw, 2)
+        mv_q, sad_me, pred = me.subpel_search(cur_b, ref_pad, pos_y,
+                                              pos_x, mv1, s)
+
+        # MV-coherence snap: candidates derive from the FULL first-round
+        # grid (ICI all_gather) so results match the single-device path
+        mv_grid_full = jax.lax.all_gather(
+            mv_q.reshape(bh, bw, 2), row_axis).reshape(h // s, bw, 2)
+        cands_full = me.snap_candidates(mv_grid_full)
+        brow = band * bh
+
+        def band_rows(a):
+            return jax.lax.dynamic_slice(
+                a, (brow, 0, 0), (bh, bw, 2)).reshape(-1, 2)
+
+        cands = [(band_rows(c), b) for c, b in cands_full]
+        left_pred = cands[1][0]
+        mv_flat, pred, _ = me.snap_mvs(
+            cur_b, ref_pad, pos_y, pos_x, mv_q, pred, sad_me,
+            cands, left_pred, jnp.sqrt(lam), s)
+        mv = mv_flat.reshape(bh, bw, 2)
 
         level_y, rr = inter_frame._tq(cur_b - pred, s, qp, False,
                                       sbh_scan)
         recon_y = jnp.clip(pred + rr, 0, 255)
+        level_y, recon_y = inter_frame._rd_zero(level_y, recon_y, pred,
+                                                cur_b, lam)
         cbf_y = jnp.any(level_y != 0, (-1, -2)).reshape(bh, bw)
 
         cpad = me.REF_PAD // 2
@@ -127,6 +150,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             lvl, rrc = inter_frame._tq(cb - cpred, cs, qp_c, False,
                                        sbh_scan_c)
             rec = jnp.clip(cpred + rrc, 0, 255)
+            lvl, rec = inter_frame._rd_zero(lvl, rec, cpred, cb, lam_c)
             return lvl, rec, jnp.any(lvl != 0, (-1, -2)).reshape(bh, bw)
 
         level_u, recon_u, cbf_u = chroma(u_b, refu)
@@ -173,8 +197,6 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                 .reshape(h // 2, w // 2)
             vf = jax.lax.all_gather(v_b.astype(jnp.int32), row_axis) \
                 .reshape(h // 2, w // 2)
-            lam = tables.rd_lambda(qp, False)
-            lam_c = tables.rd_lambda(qp_c, False)
             full_y, full_u, full_v, sao_fields = sao.sao_frame(
                 yf, uf, vf, full_y, full_u, full_v, lam, lam_c, ctu)
 
