@@ -106,13 +106,15 @@ class Encoder:
             out = intra_frame.encode_frame_jit(
                 yp, up, vp, qp=qp, cu=16, ctu=ctu,
                 sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
-                sao_enabled=cfg.sao)
+                sao_enabled=cfg.sao,
+                chroma_qp_offset=cfg.chroma_qp_offset)
         else:
             out = inter_frame.encode_p_frame_jit(
                 yp, up, vp, *self._ref, qp=qp, block=16,
                 sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
                 sao_enabled=cfg.sao, ctu=ctu,
-                intra_fallback=cfg.intra_in_p)
+                intra_fallback=cfg.intra_in_p, chroma_rd_scale=1.0,
+                chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(out=out, is_idr=is_idr, poc=self._poc, qp=qp,
                     gop_poc=self._gop_poc, padded=yp.shape,
@@ -230,21 +232,23 @@ class Encoder:
         h, w = pend["padded"]
         h4, w4 = h // 4, w // 4
         bh, bw = h // 16, w // 16
-        cy, cb, cr, tail = self._unpack(packed, h, w, bh * bw * 4)
-        modes = tail[:bh * bw].reshape(bh, bw).astype(np.uint8)
-        cbf = tail[bh * bw:bh * bw * 4].reshape(3, bh, bw).astype(np.uint8)
-        sao_tail = tail[bh * bw * 4:]
-        k = 4
-        mode4 = np.repeat(np.repeat(modes, k, 0), k, 1)
+        cy, cb, cr, tail = self._unpack(packed, h, w, 0)
+        n8 = (2 * bh) * (2 * bw)
+        modes8 = tail[:n8].reshape(2 * bh, 2 * bw).astype(np.uint8)
+        cbf8 = tail[n8:4 * n8].reshape(3, 2 * bh, 2 * bw).astype(np.uint8)
+        depth = tail[4 * n8:4 * n8 + bh * bw].reshape(bh, bw)
+        sao_tail = tail[4 * n8 + bh * bw:]
+        rep2 = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1)
+        rep4 = lambda m: np.repeat(np.repeat(m, 4, 0), 4, 1)
+        mode4 = rep2(modes8)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=2, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=True,
-            cu_depth=np.full((h4, w4), 2, np.uint8),
+            cu_depth=rep4(np.where(depth > 0, 3, 2)).astype(np.uint8),
             intra_luma_mode=mode4,
             intra_chroma_mode=mode4,           # DM
-            cbf_y=np.repeat(np.repeat(cbf[0], k, 0), k, 1),
-            cbf_cb=np.repeat(np.repeat(cbf[1], k, 0), k, 1),
-            cbf_cr=np.repeat(np.repeat(cbf[2], k, 0), k, 1),
+            cbf_y=rep2(cbf8[0]), cbf_cb=rep2(cbf8[1]),
+            cbf_cr=rep2(cbf8[2]),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
             pred_mode=np.ones((h4, w4), np.uint8),
         )

@@ -54,7 +54,7 @@ class EncoderConfig:
     scene_change_reinit: bool = True   # restart GOP on scene change
     rd_mode: RDMode = RDMode.RD_FAST
     performance_mode: PerfMode = PerfMode.UFAST
-    chroma_qp_offset: int = 0
+    chroma_qp_offset: int = 2
     bit_depth: int = 8
     # TPU specifics
     num_chips: int = 1           # row-band sharding within a frame

@@ -26,7 +26,8 @@ class CHevcCfg(ctypes.Structure):
         "max_inter_tr_depth", "init_qp", "sign_hiding", "sao_enabled",
         "deblock_disabled", "num_ref_frames", "bit_depth",
         "strong_intra_smoothing", "cu_qp_delta_enabled",
-        "diff_cu_qp_delta_depth", "frame_rate_num", "frame_rate_den")]
+        "diff_cu_qp_delta_depth", "frame_rate_num", "frame_rate_den",
+        "chroma_qp_offset")]
 
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -199,6 +200,7 @@ def make_cfg(cfg) -> CHevcCfg:
     c.diff_cu_qp_delta_depth = 0
     c.frame_rate_num = int(cfg.frame_rate * 1000)
     c.frame_rate_den = 1000
+    c.chroma_qp_offset = cfg.chroma_qp_offset
     return c
 
 

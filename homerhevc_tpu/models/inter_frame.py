@@ -256,7 +256,9 @@ def _intra_fallback_pass(cur_b, u, v, recon_y, recon_u, recon_v,
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    sign_hiding: bool = False, deblocking: bool = False,
                    sao_enabled: bool = False, ctu: int = 64,
-                   intra_fallback: bool = False):
+                   intra_fallback: bool = False,
+                   chroma_rd_scale: float = 1.0,
+                   chroma_qp_offset: int = 0):
     """Encode one P frame against one reference.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
@@ -268,7 +270,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     cs = block // 2
     bh, bw = h // s, w // s
     qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
-    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
+    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
+        jnp.clip(qp + chroma_qp_offset, 0, 57)]
     sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
         if sign_hiding else None
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
@@ -316,7 +319,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
         lvl, rr = _tq(cb - cpred, cs, qp_c, False, scan)
         rec = jnp.clip(cpred + rr, 0, 255)
-        lvl, rec = _rd_zero(lvl, rec, cpred, cb, lam_c)
+        lvl, rec = _rd_zero(lvl, rec, cpred, cb,
+                            lam_c * chroma_rd_scale)
         cbf = jnp.any(lvl != 0, axis=(-1, -2)).reshape(bh, bw)
         return lvl, rec, cbf
 
@@ -393,4 +397,5 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 encode_p_frame_jit = jax.jit(
     encode_p_frame,
     static_argnames=("block", "sign_hiding", "deblocking",
-                     "sao_enabled", "ctu", "intra_fallback"))
+                     "sao_enabled", "ctu", "intra_fallback",
+                     "chroma_rd_scale", "chroma_qp_offset"))

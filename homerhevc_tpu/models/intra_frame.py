@@ -43,6 +43,72 @@ def _segment_avail_layout(s: int) -> np.ndarray:
     return seg
 
 
+
+# ---- 8x8 split path helpers (z-order sub-blocks inside a 16x16 slot) --
+
+_SUB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))     # z-order (dy, dx)
+
+
+def _sub_avail(seg_av):
+    """Per-sub-block 5-segment availability [4][nb, 5] derived from the
+    slot's (bottomleft, left, corner, top, topright) availability plus
+    z-scan order within the slot (spec 6.4.1)."""
+    bl = seg_av[:, 0]
+    le = seg_av[:, 1]
+    co = seg_av[:, 2]
+    to = seg_av[:, 3]
+    tr = seg_av[:, 4]
+    t = jnp.ones_like(bl)
+    f = jnp.zeros_like(bl)
+    k0 = jnp.stack([le, le, co, to, to], -1)
+    k1 = jnp.stack([f, t, to, to, tr], -1)
+    k2 = jnp.stack([bl, le, le, t, t], -1)
+    k3 = jnp.stack([f, t, t, t, f], -1)
+    return (k0, k1, k2, k3)
+
+
+def _patch_adi(patch, oy: int, ox: int, size: int):
+    """adi [nb, 4*size+1] of the sub-block at patch-relative origin
+    (1+oy, 1+ox); patch covers one extra row/col of neighbors."""
+    top = patch[:, oy, ox:ox + 2 * size + 1]
+    left = patch[:, 1 + oy:1 + oy + 2 * size, ox]
+    return jnp.concatenate([left[:, ::-1], top], -1)
+
+
+def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
+    """Sign-bit hiding in the block's ACTUAL coefficient scan (spec
+    7.4.9.11 mode-dependent scans for intra 4x4/8x8): the writer hides
+    the sign per coefficient group of its scan, so the parity fix must
+    use the same order."""
+    if not sign_hiding:
+        return level
+    outs = []
+    for idx in (tables.SCAN_DIAG, tables.SCAN_HOR, tables.SCAN_VER):
+        outs.append(quant.sign_bit_hide(
+            level, du, tuple(tables.scan_order(size, idx)), size))
+    ver = (mode >= 6) & (mode <= 14)
+    hor = (mode >= 22) & (mode <= 30)
+    return jnp.where(ver[:, None, None], outs[2],
+                     jnp.where(hor[:, None, None], outs[1], outs[0]))
+
+
+def _tq_mode_scan(orig, pred, size, qp, mode, lam, sign_hiding):
+    """TQ/recon with mode-dependent-scan SBH (for 8x8 luma / 4x4)."""
+    resid = orig.astype(jnp.int32) - pred
+    coeff = transform.forward_transform(resid, size)
+    level, du = quant.quantize(coeff, qp, size, is_intra=True)
+    level = _sbh_by_mode(level, du, mode, size, sign_hiding)
+    deq = quant.dequantize(level, qp, size)
+    r = transform.inverse_transform(deq, size)
+    recon = jnp.clip(pred + r, 0, 255)
+    level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
+    return level, recon
+
+
+def _bits_est(level):
+    return jnp.sum(jnp.abs(level), (-1, -2)).astype(jnp.float32) * 3.0
+
+
 @functools.lru_cache(maxsize=None)
 def build_plan(width: int, height: int, cu: int, ctu: int = 64):
     """Static wavefront plan for a padded width x height frame."""
@@ -153,7 +219,8 @@ def _tq_recon(orig, pred, size, qp, lam=None, sbh_scan=None):
 
 def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
                  sign_hiding: bool = False, rd_lambda_scale: float = 1.0,
-                 deblocking: bool = False, sao_enabled: bool = False):
+                 deblocking: bool = False, sao_enabled: bool = False,
+                 split_8x8: bool = True, chroma_qp_offset: int = 0):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).
@@ -162,9 +229,12 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
     plan = build_plan(w, h, cu, ctu)
     s, cs = cu, cu // 2
     qp = jnp.asarray(qp, jnp.int32)   # traced: one program per shape,
-    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
+    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
+        jnp.clip(qp + chroma_qp_offset, 0, 57)]
     seg_layout = jnp.asarray(_segment_avail_layout(s))     # [5, 4S+1]
     seg_layout_c = jnp.asarray(_segment_avail_layout(cs))
+    seg_layout8 = jnp.asarray(_segment_avail_layout(8))
+    seg_layout4 = jnp.asarray(_segment_avail_layout(4))
     lam_rd = tables.rd_lambda(qp, True)
     lam_rd_c = tables.rd_lambda(qp_c, True)
     sqrt_lambda = jnp.sqrt(lam_rd) * rd_lambda_scale
@@ -185,26 +255,26 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
     coeff_u0 = jnp.zeros((h // 2, w // 2), jnp.int32)
     coeff_v0 = jnp.zeros_like(coeff_u0)
     modes0 = jnp.full((bh, bw), 1, jnp.int32)   # DC default for MPM derive
-    cbf0 = jnp.zeros((3, bh, bw), jnp.int32)
-
-    rr = jnp.arange(s)
-    rr_c = jnp.arange(cs)
+    modes8_0 = jnp.full((2 * bh, 2 * bw), 1, jnp.int32)
+    cbf8_0 = jnp.zeros((3, 2 * bh, 2 * bw), jnp.int32)
+    depth0 = jnp.zeros((bh, bw), jnp.int32)
 
     def step(carry, inp):
-        (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, cbfs) = carry
+        (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, modes8_map,
+         cbf8_map, depth_map) = carry
         by, bx, valid, seg_av, top_other, left_av, top_av = inp
         nb = by.shape[0]
         y0 = by * s
         x0 = bx * s
+        lamf = lam_rd.astype(jnp.float32)
+        lamcf = lam_rd_c.astype(jnp.float32)
 
-        # ---- luma adi + substitution
+        # ---- 16x16 path: adi + 35 predictions + SATD mode cost
         adi_raw = jax.vmap(lambda yy, xx: _gather_adi(rec_y, yy, xx, s))(
             y0, x0)
         avail_mask = jnp.einsum("bk,kn->bn", seg_av.astype(jnp.int32),
                                 seg_layout.astype(jnp.int32)) > 0
         adi = intra.substitute_refs(adi_raw, avail_mask)
-
-        # ---- all 35 predictions + SATD mode cost
         preds = intra.predict_all_modes(adi, s, True)      # [nb,35,S,S]
         orig = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
             y32, (yy, xx), (s, s)))(y0, x0)
@@ -222,16 +292,67 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
 
         pred = jnp.take_along_axis(
             preds, best[:, None, None, None], axis=1)[:, 0]
-        level, recon, cbf_y = _tq_recon(orig, pred, s, qp, lam=lam_rd,
+        level16, recon16, _ = _tq_recon(orig, pred, s, qp, lam=lam_rd,
                                         sbh_scan=sbh_scan)
+        ssd16 = jnp.sum((recon16 - orig) ** 2, (-1, -2)) \
+            .astype(jnp.float32)
+        cost16 = ssd16 + lamf * (22.0 + _bits_est(level16))
 
-        # ---- chroma (DM mode)
+        # ---- 8x8 split path: 4 z-order sub-blocks (spec: each sub-CU
+        # predicts from reconstructed neighbours incl. earlier subs)
+        if split_8x8:
+            patch = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+                rec_y, (yy, xx), (25, 25)))(y0, x0)
+            subs = _sub_avail(seg_av)
+            lv8 = jnp.zeros((nb, s, s), jnp.int32)
+            modes8 = []
+            cbf8 = []
+            cost8 = lamf * 5.0                       # split + part bins
+            for k, (oy, ox) in enumerate(_SUB_OFF):
+                am = jnp.einsum("bk,kn->bn", subs[k].astype(jnp.int32),
+                                seg_layout8.astype(jnp.int32)) > 0
+                adi8 = intra.substitute_refs(_patch_adi(patch, oy, ox, 8),
+                                             am)
+                p8 = intra.predict_all_modes(adi8, 8, True)
+                o8 = orig[:, oy:oy + 8, ox:ox + 8]
+                d8 = satd(p8 - o8[:, None], 8)
+                c8 = d8 + sqrt_lambda.astype(jnp.float32) * 5.0
+                b8 = jnp.argmin(c8, -1).astype(jnp.int32)
+                pr8 = jnp.take_along_axis(
+                    p8, b8[:, None, None, None], 1)[:, 0]
+                l8, r8 = _tq_mode_scan(o8, pr8, 8, qp, b8, lam_rd,
+                                       sign_hiding)
+                patch = patch.at[:, 1 + oy:9 + oy, 1 + ox:9 + ox].set(r8)
+                lv8 = lv8.at[:, oy:oy + 8, ox:ox + 8].set(l8)
+                modes8.append(b8)
+                cbf8.append(jnp.any(l8 != 0, (-1, -2)))
+                ssd8 = jnp.sum((r8 - o8) ** 2, (-1, -2)) \
+                    .astype(jnp.float32)
+                cost8 = cost8 + ssd8 + lamf * (18.0 + _bits_est(l8))
+            recon8 = patch[:, 1:1 + s, 1:1 + s]
+            split = cost8 < cost16                    # [nb]
+            sp = split[:, None, None]
+            level = jnp.where(sp, lv8, level16)
+            recon = jnp.where(sp, recon8, recon16)
+            modes_q = jnp.where(split[:, None], jnp.stack(modes8, -1),
+                                best[:, None])        # [nb, 4]
+            cbf16 = jnp.any(level16 != 0, (-1, -2))
+            cbf_q = jnp.where(split[:, None], jnp.stack(cbf8, -1),
+                              cbf16[:, None])         # [nb, 4]
+        else:
+            level, recon = level16, recon16
+            split = jnp.zeros((nb,), bool)
+            modes_q = jnp.broadcast_to(best[:, None], (nb, 4))
+            cbf_q = jnp.broadcast_to(
+                jnp.any(level16 != 0, (-1, -2))[:, None], (nb, 4))
+
+        # ---- chroma: unsplit 8x8 DM vs split 4x4 DMs
         cy0 = by * cs
         cx0 = bx * cs
         avail_mask_c = jnp.einsum("bk,kn->bn", seg_av.astype(jnp.int32),
                                   seg_layout_c.astype(jnp.int32)) > 0
 
-        def chroma(rec_p, plane, scan):
+        def chroma(rec_p, plane):
             adi_c_raw = jax.vmap(
                 lambda yy, xx: _gather_adi(rec_p, yy, xx, cs))(cy0, cx0)
             adi_c = intra.substitute_refs(adi_c_raw, avail_mask_c)
@@ -240,11 +361,45 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
                 preds_c, best[:, None, None, None], axis=1)[:, 0]
             orig_c = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
                 plane, (yy, xx), (cs, cs)))(cy0, cx0)
-            return _tq_recon(orig_c, pred_c, cs, qp_c, lam=lam_rd_c,
-                             sbh_scan=scan)
+            lvc, rc, _ = _tq_recon(orig_c, pred_c, cs, qp_c,
+                                   lam=lam_rd_c, sbh_scan=sbh_scan_c)
+            if not split_8x8:
+                return lvc, rc, jnp.any(lvc != 0, (-1, -2))[:, None] \
+                    .repeat(4, 1)
+            # split path: four 4x4 chroma DMs in z-order
+            cpatch = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+                rec_p, (yy, xx), (13, 13)))(cy0, cx0)
+            subs = _sub_avail(seg_av)
+            lv4 = jnp.zeros((nb, cs, cs), jnp.int32)
+            cbf4 = []
+            for k in range(4):
+                oy, ox = _SUB_OFF[k][0] // 2, _SUB_OFF[k][1] // 2
+                am = jnp.einsum("bk,kn->bn", subs[k].astype(jnp.int32),
+                                seg_layout4.astype(jnp.int32)) > 0
+                adi4 = intra.substitute_refs(
+                    _patch_adi(cpatch, oy, ox, 4), am)
+                p4 = intra.predict_all_modes(adi4, 4, False)
+                mk = modes_q[:, k]
+                pr4 = jnp.take_along_axis(
+                    p4, mk[:, None, None, None], 1)[:, 0]
+                o4 = orig_c[:, oy:oy + 4, ox:ox + 4]
+                l4, r4 = _tq_mode_scan(o4, pr4, 4, qp_c, mk, lam_rd_c,
+                                       sign_hiding)
+                cpatch = cpatch.at[:, 1 + oy:5 + oy, 1 + ox:5 + ox] \
+                    .set(r4)
+                lv4 = lv4.at[:, oy:oy + 4, ox:ox + 4].set(l4)
+                cbf4.append(jnp.any(l4 != 0, (-1, -2)))
+            rc4 = cpatch[:, 1:1 + cs, 1:1 + cs]
+            spc = split[:, None, None]
+            lv_out = jnp.where(spc, lv4, lvc)
+            rc_out = jnp.where(spc, rc4, rc)
+            cbfc16 = jnp.any(lvc != 0, (-1, -2))
+            cbf_out = jnp.where(split[:, None], jnp.stack(cbf4, -1),
+                                cbfc16[:, None])
+            return lv_out, rc_out, cbf_out
 
-        lv_u, rec_u_blk, cbf_u = chroma(rec_u, u32, sbh_scan_c)
-        lv_v, rec_v_blk, cbf_v = chroma(rec_v, v32, sbh_scan_c)
+        lv_u, rec_u_blk, cbf_u_q = chroma(rec_u, u32)
+        lv_v, rec_v_blk, cbf_v_q = chroma(rec_v, v32)
 
         # ---- scatter (masked blocks dropped via OOB index)
         def scatter_plane(plane, blks, yy, xx, size, off):
@@ -268,32 +423,54 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         cf_v = scatter_plane(cf_v, lv_v, cy0, cx0, cs, 0)
 
         bsafe = jnp.where(valid, by, jnp.int32(mode_map.shape[0]))
-        mode_map = mode_map.at[bsafe, bx].set(best, mode="drop")
-        cbfs = cbfs.at[0, bsafe, bx].set(cbf_y.astype(jnp.int32),
-                                         mode="drop")
-        cbfs = cbfs.at[1, bsafe, bx].set(cbf_u.astype(jnp.int32),
-                                         mode="drop")
-        cbfs = cbfs.at[2, bsafe, bx].set(cbf_v.astype(jnp.int32),
-                                         mode="drop")
-        return (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, cbfs), None
+        # representative mode for the MPM cost heuristic of later slots
+        mode_map = mode_map.at[bsafe, bx].set(modes_q[:, 0], mode="drop")
+        depth_map = depth_map.at[bsafe, bx].set(split.astype(jnp.int32),
+                                                mode="drop")
+        # 8x8-granular maps (z-order subs -> raster quadrants)
+        q_y = jnp.asarray([0, 0, 1, 1])
+        q_x = jnp.asarray([0, 1, 0, 1])
+        for k in range(4):
+            modes8_map = modes8_map.at[2 * bsafe + q_y[k],
+                                       2 * bx + q_x[k]].set(
+                modes_q[:, k], mode="drop")
+            cbf8_map = cbf8_map.at[0, 2 * bsafe + q_y[k],
+                                   2 * bx + q_x[k]].set(
+                cbf_q[:, k].astype(jnp.int32), mode="drop")
+            cbf8_map = cbf8_map.at[1, 2 * bsafe + q_y[k],
+                                   2 * bx + q_x[k]].set(
+                cbf_u_q[:, k].astype(jnp.int32), mode="drop")
+            cbf8_map = cbf8_map.at[2, 2 * bsafe + q_y[k],
+                                   2 * bx + q_x[k]].set(
+                cbf_v_q[:, k].astype(jnp.int32), mode="drop")
+        return (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map,
+                modes8_map, cbf8_map, depth_map), None
 
     xs = (plan["by"], plan["bx"], plan["valid"], plan["seg_avail"],
           plan["top_other_ctu"], plan["left_avail"], plan["top_avail"])
     carry0 = (recon_y0, recon_u0, recon_v0, coeff_y0, coeff_u0, coeff_v0,
-              modes0, cbf0)
+              modes0, modes8_0, cbf8_0, depth0)
     carry, _ = jax.lax.scan(step, carry0, xs)
-    rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, cbfs = carry
+    (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, modes8_map,
+     cbf8_map, depth_map) = carry
 
     out_y = rec_y[1:1 + h, 1:1 + w]
     out_u = rec_u[1:1 + h // 2, 1:1 + w // 2]
     out_v = rec_v[1:1 + h // 2, 1:1 + w // 2]
     if deblocking:
         # decoder-side in-loop filter: recon must match (spec 8.7.2);
-        # all-intra => BS=2 at every TU boundary
-        bs_v, bs_h = deblock.uniform_intra_bs(h, w, s)
+        # all-intra => BS=2 at every CU/TU boundary, which for split
+        # slots includes the interior 8px edges
+        bs_v_np, bs_h_np = deblock.uniform_intra_bs(h, w, s)
+        bs_v = jnp.asarray(bs_v_np)
+        bs_h = jnp.asarray(bs_h_np)
+        split_m = depth_map > 0                      # [bh, bw]
+        inner_v = jnp.repeat(split_m.astype(jnp.int32) * 2, s // 4, 0)
+        bs_v = bs_v.at[:, 1::2].set(inner_v)
+        inner_h = jnp.repeat(split_m.astype(jnp.int32) * 2, s // 4, 1)
+        bs_h = bs_h.at[1::2, :].set(inner_h)
         bs_vc, bs_hc = deblock.uniform_intra_bs_chroma(h // 2, w // 2, cs)
-        out_y = deblock.deblock_luma(
-            out_y, jnp.asarray(bs_v), jnp.asarray(bs_h), qp)
+        out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
         out_u = deblock.deblock_chroma(
             out_u, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
         out_v = deblock.deblock_chroma(
@@ -313,14 +490,16 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         coeff_y=cf_y.astype(jnp.int16),
         coeff_cb=cf_u.astype(jnp.int16),
         coeff_cr=cf_v.astype(jnp.int16),
-        modes=mode_map,
-        cbf=cbfs,
+        modes=modes8_map,
+        cbf=cbf8_map,
+        depth=depth_map,
     )
     parts = [
         out["coeff_y"].reshape(-1), out["coeff_cb"].reshape(-1),
         out["coeff_cr"].reshape(-1),
-        mode_map.astype(jnp.int16).reshape(-1),
-        cbfs.astype(jnp.int16).reshape(-1)]
+        modes8_map.astype(jnp.int16).reshape(-1),
+        cbf8_map.astype(jnp.int16).reshape(-1),
+        depth_map.astype(jnp.int16).reshape(-1)]
     if sao_fields is not None:
         parts.append(sao.pack_sao_fields(sao_fields))
     out["packed"] = jnp.concatenate(parts)
@@ -330,4 +509,5 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
 encode_frame_jit = jax.jit(
     encode_frame, static_argnames=("cu", "ctu", "sign_hiding",
                                    "rd_lambda_scale", "deblocking",
-                                   "sao_enabled"))
+                                   "sao_enabled", "split_8x8",
+                                   "chroma_qp_offset"))

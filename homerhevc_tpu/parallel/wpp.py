@@ -66,12 +66,15 @@ def _band_coarse(cur_band, ref, band_row0, block):
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "row_axis", "block", "sign_hiding",
-                              "deblocking", "sao_enabled", "ctu"))
+                              "deblocking", "sao_enabled", "ctu",
+                              "chroma_rd_scale", "chroma_qp_offset"))
 def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                               mesh: Mesh, row_axis: str = "row",
                               block: int = 16, sign_hiding: bool = True,
                               deblocking: bool = True,
-                              sao_enabled: bool = True, ctu: int = 64):
+                              sao_enabled: bool = True, ctu: int = 64,
+                              chroma_rd_scale: float = 1.0,
+                              chroma_qp_offset: int = 0):
     """P-frame encode with CTU-row bands sharded over mesh[row_axis].
 
     Inputs are full planes (uint8/int32); the reference planes are
@@ -88,7 +91,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
         if sign_hiding else None
     qp = jnp.asarray(qp, jnp.int32)
-    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[jnp.clip(qp, 0, 57)]
+    qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
+        jnp.clip(qp + chroma_qp_offset, 0, 57)]
 
     def local(y_b, u_b, v_b, refy, refu, refv, qp, qp_c):
         band = jax.lax.axis_index(row_axis).astype(jnp.int32)
@@ -150,7 +154,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             lvl, rrc = inter_frame._tq(cb - cpred, cs, qp_c, False,
                                        sbh_scan_c)
             rec = jnp.clip(cpred + rrc, 0, 255)
-            lvl, rec = inter_frame._rd_zero(lvl, rec, cpred, cb, lam_c)
+            lvl, rec = inter_frame._rd_zero(lvl, rec, cpred, cb,
+                                            lam_c * chroma_rd_scale)
             return lvl, rec, jnp.any(lvl != 0, (-1, -2)).reshape(bh, bw)
 
         level_u, recon_u, cbf_u = chroma(u_b, refu)

@@ -126,8 +126,8 @@ std::vector<uint8_t> make_pps(const HevcCfg* cfg) {
   b.put(0, 1);  // transform_skip_enabled_flag
   b.put(cfg->cu_qp_delta_enabled ? 1 : 0, 1);
   if (cfg->cu_qp_delta_enabled) b.ue(cfg->diff_cu_qp_delta_depth);
-  b.se(0);      // pps_cb_qp_offset
-  b.se(0);      // pps_cr_qp_offset
+  b.se(cfg->chroma_qp_offset);  // pps_cb_qp_offset
+  b.se(cfg->chroma_qp_offset);  // pps_cr_qp_offset
   b.put(0, 1);  // pps_slice_chroma_qp_offsets_present_flag
   b.put(0, 1);  // weighted_pred_flag
   b.put(0, 1);  // weighted_bipred_flag

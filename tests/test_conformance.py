@@ -34,7 +34,7 @@ def _roundtrip(cp, qp=32, cu=16):
         r = gm.inv_transform(gm.dequant(c, qp)) if c.any() else 0
         recy[by * cu:(by + 1) * cu, bx * cu:(bx + 1) * cu] = \
             np.clip(pred + r, 0, 255)
-    cfg = EncoderConfig(width=w, height=h, qp=qp, sao=False,
+    cfg = EncoderConfig(width=w, height=h, qp=qp, sao=False, chroma_qp_offset=0,
                         deblocking=False, sign_hiding=False)
     ccfg = binding.make_cfg(cfg)
     c4 = cu // 4
@@ -78,7 +78,7 @@ def test_full_frame_mode_search_vs_libde265():
                 + rng.integers(-20, 20, (h, w)), 0, 255).astype(np.uint8)
     u = ((xx[::2, ::2] + 128) % 255).astype(np.uint8)
     v = ((yy[::2, ::2] + 64) % 255).astype(np.uint8)
-    cfg = EncoderConfig(width=w, height=h, qp=qp, sao=False,
+    cfg = EncoderConfig(width=w, height=h, qp=qp, sao=False, chroma_qp_offset=0,
                         deblocking=False, sign_hiding=False)
     ccfg = binding.make_cfg(cfg)
     rec, ry, ru, rv = refenc.encode_frame_intra(y, u, v, qp, cu_size=16)
