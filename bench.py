@@ -18,21 +18,27 @@ ROOT = pathlib.Path(__file__).resolve().parent
 
 
 def synthetic_video(n, h, w, seed=7):
-    """Textured content with global motion (exercises real ME)."""
+    """Textured luma with global motion + smooth chroma (real-video-like:
+    luma carries texture/noise, chroma is low-frequency)."""
     rng = np.random.default_rng(seed)
     m = 4 * n + 8
     yy, xx = np.mgrid[0:h + m, 0:w + m]
     base = np.clip(((xx * 3 + yy * 2) % 235)
                    + rng.integers(0, 20, xx.shape), 0, 255) \
         .astype(np.uint8)
+    cyy, cxx = np.mgrid[0:(h + m) // 2, 0:(w + m) // 2]
+    cb_base = (128 + 40 * np.sin(cxx / 37.0) * np.cos(cyy / 29.0)) \
+        .astype(np.uint8)
+    cr_base = (128 + 40 * np.cos(cxx / 31.0 + 1.0) * np.sin(cyy / 41.0)) \
+        .astype(np.uint8)
     ys, us, vs = [], [], []
     for i in range(n):
         dx, dy = 3 * i, i
         ys.append(base[dy:dy + h, dx:dx + w].copy())
-        us.append(base[dy // 2:dy // 2 + h // 2,
-                       dx // 2:dx // 2 + w // 2].copy())
-        vs.append(base[dy // 2 + 4:dy // 2 + 4 + h // 2,
-                       dx // 2 + 4:dx // 2 + 4 + w // 2].copy())
+        us.append(cb_base[dy // 2:dy // 2 + h // 2,
+                          dx // 2:dx // 2 + w // 2].copy())
+        vs.append(cr_base[dy // 2:dy // 2 + h // 2,
+                          dx // 2:dx // 2 + w // 2].copy())
     return ys, us, vs
 
 

@@ -299,10 +299,11 @@ class Encoder:
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
         imode4 = rep(imodes)
+        cu_depth, tr_depth = _merge_inter_cus(mv, cbf, is_intra)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=1, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
-            cu_depth=np.full((h4, w4), 2, np.uint8),
+            cu_depth=rep(cu_depth), tr_depth=rep(tr_depth),
             pred_mode=rep(is_intra),
             intra_luma_mode=imode4, intra_chroma_mode=imode4,  # DM
             mv_x=np.ascontiguousarray(rep(mv[..., 1])),
@@ -313,6 +314,47 @@ class Encoder:
         if cfg.sao:
             rec = self._apply_sao_fields(rec, sao_tail, h, w)
         return rec
+
+
+def _merge_inter_cus(mv, cbf, is_intra):
+    """Bottom-up CU merging (the consolidation role of
+    consolidate_prediction_info, ref hmr_motion_inter.c:2503): fold 2x2
+    groups of 16x16 inter blocks with identical MVs into one 32x32 CU
+    (TUs stay 16x16 via tr_depth=1 when residual is present), and 2x2
+    groups of residual-free 32s into one 64x64 skip-class CU (64 CUs
+    cannot carry 16x16 TUs under max_inter_tr_depth=1, so only
+    zero-residual groups fold further).  The bitstream shrinks (one
+    skip/merge CU instead of 4/16) while reconstruction is unchanged.
+
+    mv: [bh, bw, 2]; cbf: [3, bh, bw]; is_intra: [bh, bw].
+    Returns (cu_depth [bh, bw] uint8, tr_depth [bh, bw] uint8).
+    """
+    bh, bw = is_intra.shape   # padded to CTU => divisible by 4
+    cu_depth = np.full((bh, bw), 2, np.uint8)
+    tr_depth = np.zeros((bh, bw), np.uint8)
+    cbf_any = cbf.any(0)
+
+    def grp(a, n):     # [bh, bw] -> [bh//n, n, bw//n, n]
+        return a.reshape(bh // n, n, bw // n, n)
+
+    def mv_eq(n):
+        g0 = grp(mv[..., 0], n)
+        g1 = grp(mv[..., 1], n)
+        return ((g0 == g0[:, :1, :, :1]).all((1, 3))
+                & (g1 == g1[:, :1, :, :1]).all((1, 3)))
+
+    def up(m, n):
+        return np.repeat(np.repeat(m, n, 0), n, 1)
+
+    m32 = ~grp(is_intra != 0, 2).any((1, 3)) & mv_eq(2)   # [bh/2, bw/2]
+    cu_depth[up(m32, 2)] = 1
+    tr_depth[up(m32 & grp(cbf_any, 2).any((1, 3)), 2)] = 1
+
+    # 64x64: all four 32 children merged, zero residual, same MV
+    m64 = grp(up(m32, 2), 4).all((1, 3)) \
+        & ~grp(cbf_any, 4).any((1, 3)) & mv_eq(4)
+    cu_depth[up(m64, 4)] = 0
+    return cu_depth, tr_depth
 
 
 def _flatten_ckpt(state: dict) -> dict:
