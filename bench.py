@@ -55,16 +55,18 @@ def main():
                         sign_hiding=True, deblocking=True)
     enc = Encoder(cfg)
 
-    # warmup / compile both I and P paths
-    enc.encode(ys[0], us[0], vs[0], compute_recon=False)
-    enc.encode(ys[1], us[1], vs[1], compute_recon=False)
+    # warmup / compile the I path and the chunked P path
+    k = max(cfg.frames_per_launch, 1)
+    for i in range(1 + k):
+        enc.encode_async(ys[i % n_frames], us[i % n_frames],
+                         vs[i % n_frames])
+    enc.flush()
     enc.control(cfg)  # reset stream state after warmup
 
     t0 = time.perf_counter()
     total_bits = 0
     for i in range(n_frames):
-        f = enc.encode_async(ys[i], us[i], vs[i])
-        if f is not None:
+        for f in enc.encode_async(ys[i], us[i], vs[i]):
             total_bits += f.bits
     for f in enc.flush():
         total_bits += f.bits

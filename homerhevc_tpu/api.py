@@ -17,6 +17,7 @@ from homerhevc_tpu.config import EncoderConfig
 from homerhevc_tpu.entropy import binding
 from homerhevc_tpu.models import inter_frame, intra_frame
 from homerhevc_tpu.rc import RateControl
+from homerhevc_tpu.utils.profiler import stage
 
 
 @dataclasses.dataclass
@@ -51,6 +52,7 @@ class Encoder:
         self._ref = None       # previous frame's (deblocked) recon planes
         self._out: list[CodedFrame] = []
         self._pending: list = []
+        self._inbuf: list = []
         self._rc = RateControl(cfg)
         self._force_idr = False
         self._last_intra_cand_frac = 0.0
@@ -63,97 +65,174 @@ class Encoder:
                compute_recon: bool = True) -> CodedFrame:
         """Encode one frame, blocking until its bytes are ready."""
         pend = self._dispatch(y, u, v, compute_recon)
-        return self._finalize(pend)
+        return self._finalize(pend)[0]
 
     def encode_async(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
-                     ) -> Optional[CodedFrame]:
+                     ) -> list:
         """Pipelined encode (role of the reference's engine pipeline,
-        hmr_encoder_lib.c:2640): dispatches frame N to the device, then
-        entropy-codes frame N-1 on the host while N computes.  Returns
-        frame N-1's CodedFrame (or None on the first call); drain the
-        tail with flush()."""
-        self._pending.append(self._dispatch(y, u, v, False))
-        if len(self._pending) > 1:
-            frame = self._finalize(self._pending.pop(0))
-            self._out.append(frame)
-            return frame
-        return None
+        hmr_encoder_lib.c:2640): buffers up to cfg.frames_per_launch P
+        frames into one device program (lax.scan over the reference
+        dependency — one dispatch + one transfer per chunk, amortizing
+        the host<->device round trip), entropy-coding the previous
+        chunk on the host while the device computes.  Returns the list
+        of newly completed CodedFrames (possibly empty); drain the tail
+        with flush().  Do not mix with the synchronous encode()."""
+        done = []
+        next_poc = self._poc + len(self._inbuf)
+        is_idr = self.cfg.intra_period <= 1 or \
+            (next_poc % max(self.cfg.intra_period, 1)) == 0 or \
+            (self._ref is None and not self._pending
+             and not self._inbuf) or self._force_idr
+        if is_idr:
+            done += self._flush_inbuf()
+            self._force_idr = False
+            self._pending.append(self._dispatch_i(y, u, v, False))
+        else:
+            self._inbuf.append((y, u, v))
+            if len(self._inbuf) >= max(self.cfg.frames_per_launch, 1):
+                done += self._flush_inbuf()
+        while len(self._pending) > 1:
+            fr = self._finalize(self._pending.pop(0))
+            self._out.extend(fr)
+            done += fr
+        return done
 
     def flush(self) -> list:
-        done = [self._finalize(p) for p in self._pending]
+        done = self._flush_inbuf()
+        for p in self._pending:
+            done += self._finalize(p)
         self._pending.clear()
         self._out.extend(done)
         return done
 
+    def _flush_inbuf(self) -> list:
+        """Dispatch buffered P frames as one chunk; finalize overdue
+        pendings."""
+        done = []
+        if self._inbuf:
+            frames = self._inbuf
+            self._inbuf = []
+            self._pending.append(self._dispatch_p_chunk(frames))
+        while len(self._pending) > 1:
+            fr = self._finalize(self._pending.pop(0))
+            self._out.extend(fr)
+            done += fr
+        return done
+
     # -- stage 1: device compute (async dispatch) --
     def _dispatch(self, y, u, v, compute_recon):
+        """Single-frame dispatch (synchronous encode path)."""
+        cfg = self.cfg
+        is_idr = cfg.intra_period <= 1 or \
+            (self._poc % max(cfg.intra_period, 1)) == 0 or \
+            self._ref is None or self._force_idr
+        self._force_idr = False
+        if is_idr:
+            return self._dispatch_i(y, u, v, compute_recon)
+        return self._dispatch_p_chunk([(y, u, v)], compute_recon, k=1)
+
+    def _dispatch_i(self, y, u, v, compute_recon=False):
         cfg = self.cfg
         ctu = cfg.ctu_size
         yp = _pad_plane(np.asarray(y, np.uint8), ctu)
         up = _pad_plane(np.asarray(u, np.uint8), ctu // 2)
         vp = _pad_plane(np.asarray(v, np.uint8), ctu // 2)
-        is_idr = cfg.intra_period <= 1 or \
-            (self._poc % max(cfg.intra_period, 1)) == 0 or \
-            self._ref is None or self._force_idr
-        self._force_idr = False
-        # NOTE under encode_async the RC state lags one frame (the
-        # previous frame's bits land in end_pic after this start_pic) -
-        # same topology as the reference's inter-engine RC exchange
-        # (hmr_encoder_lib.c:2773).
-        qp = self._rc.start_pic(is_idr)
-        if is_idr:
-            self._gop_poc = 0
-            out = intra_frame.encode_frame_jit(
-                yp, up, vp, qp=qp, cu=16, ctu=ctu,
-                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
-                sao_enabled=cfg.sao,
-                chroma_qp_offset=cfg.chroma_qp_offset)
-        else:
-            out = inter_frame.encode_p_frame_jit(
-                yp, up, vp, *self._ref, qp=qp, block=16,
-                sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
-                sao_enabled=cfg.sao, ctu=ctu,
-                intra_fallback=cfg.intra_in_p, chroma_rd_scale=1.0,
-                chroma_qp_offset=cfg.chroma_qp_offset)
+        # NOTE under pipelining the RC state lags (previous frames' bits
+        # land in end_pic later) - same topology as the reference's
+        # inter-engine RC exchange (hmr_encoder_lib.c:2773).
+        qp = self._rc.start_pic(True)
+        self._gop_poc = 0
+        out = intra_frame.encode_frame_jit(
+            yp, up, vp, qp=qp, cu=16, ctu=ctu,
+            sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
+            sao_enabled=cfg.sao,
+            chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
-        pend = dict(out=out, is_idr=is_idr, poc=self._poc, qp=qp,
+        pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yp.shape,
                     orig=(y, u, v) if compute_recon else None)
         self._poc += 1
         self._gop_poc += 1
         return pend
 
+    def _dispatch_p_chunk(self, frames, compute_recon=False, k=None):
+        cfg = self.cfg
+        ctu = cfg.ctu_size
+        n_real = len(frames)
+        # pad partial chunks to the compiled chunk size (one program per
+        # K): padding re-encodes the last frame; safe because partial
+        # flushes only happen right before an IDR or at stream end, so
+        # the padded reference is never consumed (the frame-by-frame
+        # sync path passes k=1 and never pads)
+        if k is None:
+            k = max(cfg.frames_per_launch, 1)
+        frames = list(frames) + [frames[-1]] * (k - n_real) \
+            if n_real < k else list(frames)
+        yps = np.stack([_pad_plane(np.asarray(f[0], np.uint8), ctu)
+                        for f in frames])
+        ups = np.stack([_pad_plane(np.asarray(f[1], np.uint8), ctu // 2)
+                        for f in frames])
+        vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
+                        for f in frames])
+        qp = self._rc.start_pic(False)
+        out = inter_frame.encode_p_chunk_jit(
+            yps, ups, vps, *self._ref, qp=qp, block=16,
+            sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
+            sao_enabled=cfg.sao, ctu=ctu,
+            intra_fallback=cfg.intra_in_p, chroma_rd_scale=1.0,
+            chroma_qp_offset=cfg.chroma_qp_offset)
+        self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        pend = dict(kind="p", out=out, qp=qp, poc=self._poc,
+                    gop_poc=self._gop_poc, padded=yps.shape[1:],
+                    n=n_real,
+                    orig=frames[-1] if compute_recon else None)
+        self._poc += n_real
+        self._gop_poc += n_real
+        return pend
+
     # -- stage 2: host transfer + entropy --
-    def _finalize(self, pend) -> CodedFrame:
+    def _finalize(self, pend) -> list:
         cfg = self.cfg
         out = pend["out"]
-        packed = np.asarray(out["packed"])          # ONE device->host pull
-        if pend["is_idr"]:
+        with stage("transfer"):
+            packed = np.asarray(out["packed"])  # ONE device->host pull
+        frames = []
+        if pend["kind"] == "i":
             rec = self._i_record(packed, pend, cfg)
+            frames.append(self._emit(rec, pend, True))
         else:
-            rec = self._p_record(packed, pend, cfg)
-        slice_bytes = binding.encode_slice(self.ccfg, rec)
-        nalus = (self._headers if pend["is_idr"] else b"") + slice_bytes
-        frame = CodedFrame(poc=pend["poc"], nalus=nalus,
-                           bits=len(slice_bytes) * 8)
-        self._rc.end_pic(frame.bits, pend["is_idr"])
-        # scene-change detection (ref hmr_motion_inter.c:2836: frame
-        # turns mostly intra): restart the GOP at the NEXT frame
-        if (not pend["is_idr"] and cfg.scene_change_reinit
-                and cfg.intra_period > 1
-                and self._last_intra_cand_frac > 0.5):
-            self._force_idr = True
+            for k in range(pend["n"]):
+                pk = dict(pend, poc=pend["poc"] + k,
+                          gop_poc=pend["gop_poc"] + k)
+                rec = self._p_record(packed[k], pk, cfg)
+                frames.append(self._emit(rec, pk, False))
         if pend["orig"] is not None:
             y, u, v = pend["orig"]
-            frame.recon = (
+            fr = frames[-1]
+            fr.recon = (
                 np.asarray(out["recon_y"], np.uint8)[:y.shape[0],
                                                      :y.shape[1]],
                 np.asarray(out["recon_u"], np.uint8)[:u.shape[0],
                                                      :u.shape[1]],
                 np.asarray(out["recon_v"], np.uint8)[:v.shape[0],
                                                      :v.shape[1]])
-            frame.psnr = tuple(
-                _psnr(a, b) for a, b in zip((y, u, v), frame.recon))
+            fr.psnr = tuple(
+                _psnr(a, b) for a, b in zip((y, u, v), fr.recon))
+        return frames
+
+    def _emit(self, rec, pend, is_idr: bool) -> CodedFrame:
+        with stage("entropy"):
+            slice_bytes = binding.encode_slice(self.ccfg, rec)
+        nalus = (self._headers if is_idr else b"") + slice_bytes
+        frame = CodedFrame(poc=pend["poc"], nalus=nalus,
+                           bits=len(slice_bytes) * 8)
+        self._rc.end_pic(frame.bits, is_idr)
+        # scene-change detection (ref hmr_motion_inter.c:2836: frame
+        # turns mostly intra): restart the GOP at the NEXT frame
+        if (not is_idr and self.cfg.scene_change_reinit
+                and self.cfg.intra_period > 1
+                and self._last_intra_cand_frac > 0.5):
+            self._force_idr = True
         return frame
 
     @staticmethod

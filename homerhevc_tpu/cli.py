@@ -36,7 +36,7 @@ options:
 -num_ref_frames                 default 1
 -qp                             [0-51], default 32
 -motion_estimation_precision    0=pel 1=half 2=quarter; default 2
--chroma_qp_offset               [-12, 12], default 0
+-chroma_qp_offset               [-12, 12], default 2
 -max_pred_depth                 [0-4], default 4
 -max_intra_tr_depth             [0-4], default 1
 -max_inter_tr_depth             [0-4], default 1
@@ -189,8 +189,7 @@ def main(argv=None):
             if want_recon:
                 emit(enc.encode(*planes))     # recon path is synchronous
             else:
-                done = enc.encode_async(*planes)
-                if done is not None:
+                for done in enc.encode_async(*planes):
                     emit(done)
         if not want_recon:
             for frame in enc.flush():

@@ -57,6 +57,7 @@ class EncoderConfig:
     chroma_qp_offset: int = 2
     bit_depth: int = 8
     # TPU specifics
+    frames_per_launch: int = 4   # P frames batched per device program
     num_chips: int = 1           # row-band sharding within a frame
     num_hosts: int = 1           # GOP sharding across hosts
 

@@ -399,3 +399,34 @@ encode_p_frame_jit = jax.jit(
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset"))
+
+
+def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, **flags):
+    """Encode K consecutive P frames in ONE device program (lax.scan
+    over the inter-frame reference dependency).
+
+    Amortizes the host<->device round trip over K frames: one dispatch,
+    one packed transfer (role of the reference's frame pipeline at
+    chunk granularity).  ys: uint8 [K, H, W]; qp scalar (rate control
+    moves to chunk granularity under batching).
+
+    Returns dict(recon_* = last frame's reconstruction, packed [K, L]).
+    """
+    def step(carry, xs):
+        ry, ru, rv = carry
+        y, u, v = xs
+        out = encode_p_frame(y, u, v, ry, ru, rv, qp=qp, **flags)
+        return ((out["recon_y"], out["recon_u"], out["recon_v"]),
+                out["packed"])
+
+    (ry, ru, rv), packed = jax.lax.scan(
+        step, (jnp.asarray(ref_y, jnp.int32), jnp.asarray(ref_u, jnp.int32),
+               jnp.asarray(ref_v, jnp.int32)), (ys, us, vs))
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv, packed=packed)
+
+
+encode_p_chunk_jit = jax.jit(
+    encode_p_chunk,
+    static_argnames=("block", "sign_hiding", "deblocking",
+                     "sao_enabled", "ctu", "intra_fallback",
+                     "chroma_rd_scale", "chroma_qp_offset"))

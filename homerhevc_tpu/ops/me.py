@@ -209,7 +209,8 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):
     sad [bh,bw], pred [n, B, B] final luma MC prediction)."""
     h, w = cur.shape
     bh, bw = h // block, w // block
-    mv0 = coarse_search(cur, ref, block)              # [bh, bw, 2] int pel
+    with jax.named_scope("me.coarse"):
+        mv0 = coarse_search(cur, ref, block)          # [bh, bw, 2] int pel
     ref_pad = jnp.pad(ref, REF_PAD, mode="edge")
     ys = (jnp.arange(bh) * block)[:, None] + jnp.zeros((bh, bw), jnp.int32)
     xs = (jnp.arange(bw) * block)[None, :] + jnp.zeros((bh, bw), jnp.int32)
@@ -217,8 +218,10 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):
     pos_x = xs.reshape(-1)
     cur_blocks = cur.reshape(bh, block, bw, block).transpose(
         0, 2, 1, 3).reshape(-1, block, block)
-    mv1 = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
-                        mv0.reshape(-1, 2), block)
-    mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y, pos_x,
-                                   mv1, block)
+    with jax.named_scope("me.refine"):
+        mv1 = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
+                            mv0.reshape(-1, 2), block)
+    with jax.named_scope("me.subpel"):
+        mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y,
+                                       pos_x, mv1, block)
     return mv2.reshape(bh, bw, 2), sad.reshape(bh, bw), pred
