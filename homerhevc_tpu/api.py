@@ -203,7 +203,7 @@ class Encoder:
         else:
             for k in range(pend["n"]):
                 pk = dict(pend, poc=pend["poc"] + k,
-                          gop_poc=pend["gop_poc"] + k)
+                          gop_poc=pend["gop_poc"] + k, k=k)
                 rec = self._p_record(packed[k], pk, cfg)
                 frames.append(self._emit(rec, pk, False))
         if pend["orig"] is not None:
@@ -367,14 +367,21 @@ class Encoder:
                 blocks.reshape(hh // b, ww // b, b, b)
                 .transpose(0, 2, 1, 3).reshape(hh, ww))
 
-        # overflow fallback: pull the raw planes (rare; low QP content)
+        # overflow fallback: pull the raw planes (rare; low QP content);
+        # chunked pends carry [K, ...] planes, indexed by pend["k"]
         out = pend["out"]
-        cy = plane(blk_y, h, w, 16) if blk_y is not None \
-            else np.asarray(out["coeff_y"])
+
+        def raw(name):
+            arr = out[name]
+            if arr.ndim == 3:
+                arr = arr[pend["k"]]
+            return np.asarray(arr)
+
+        cy = plane(blk_y, h, w, 16) if blk_y is not None else raw("coeff_y")
         cb = plane(blk_b, h // 2, w // 2, 8) if blk_b is not None \
-            else np.asarray(out["coeff_cb"])
+            else raw("coeff_cb")
         cr = plane(blk_r, h // 2, w // 2, 8) if blk_r is not None \
-            else np.asarray(out["coeff_cr"])
+            else raw("coeff_cr")
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
         imode4 = rep(imodes)

@@ -65,10 +65,11 @@ def _tq(resid, size, qp, is_intra, sbh_scan):
 
 def p_caps(nb: int):
     """Compaction capacities: (luma blocks, chroma blocks, luma escape
-    values, chroma escape values); blocks must be even (int8 pairing)."""
+    BLOCKS, chroma escape BLOCKS); blocks must be even (int8 pairing)."""
     cap_y = min(nb, max(64, nb * 60 // 100))
     cap_c = min(nb, max(32, nb * 35 // 100))
-    return cap_y, cap_c, max(256, nb // 2), max(128, nb // 8)
+    return cap_y, cap_c, min(cap_y, max(16, nb // 64)), \
+        min(cap_c, max(8, nb // 128))
 
 
 def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
@@ -416,13 +417,18 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, **flags):
         ry, ru, rv = carry
         y, u, v = xs
         out = encode_p_frame(y, u, v, ry, ru, rv, qp=qp, **flags)
+        per_frame = dict(packed=out["packed"], coeff_y=out["coeff_y"],
+                         coeff_cb=out["coeff_cb"],
+                         coeff_cr=out["coeff_cr"])
         return ((out["recon_y"], out["recon_u"], out["recon_v"]),
-                out["packed"])
+                per_frame)
 
-    (ry, ru, rv), packed = jax.lax.scan(
+    (ry, ru, rv), outs = jax.lax.scan(
         step, (jnp.asarray(ref_y, jnp.int32), jnp.asarray(ref_u, jnp.int32),
                jnp.asarray(ref_v, jnp.int32)), (ys, us, vs))
-    return dict(recon_y=ry, recon_u=ru, recon_v=rv, packed=packed)
+    return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                packed=outs["packed"], coeff_y=outs["coeff_y"],
+                coeff_cb=outs["coeff_cb"], coeff_cr=outs["coeff_cr"])
 
 
 encode_p_chunk_jit = jax.jit(

@@ -59,17 +59,49 @@ def _band_np(phase: int, luma: bool, size: int, rows: int, off: int):
     return m
 
 
+def fir_h(win: jnp.ndarray, fx: int, size: int, luma: bool,
+          ox: int = 0) -> jnp.ndarray:
+    """Horizontal stage only: [..., H, W] -> [..., H, size] (f32)."""
+    w = win.shape[-1]
+    mv = jnp.asarray(_band_np(fx, luma, size, w, ox))
+    return jnp.einsum("...yx,xo->...yo", win.astype(jnp.float32), mv,
+                      precision=_P)
+
+
+def fir_v(t: jnp.ndarray, fy: int, size: int, luma: bool,
+          oy: int = 0) -> jnp.ndarray:
+    """Vertical stage on the horizontal output: [..., H, size] ->
+    [..., size, size] (f32, 64*64-scaled)."""
+    h = t.shape[-2]
+    mh = jnp.asarray(_band_np(fy, luma, size, h, oy))
+    return jnp.einsum("...yo,yz->...zo", t, mh, precision=_P)
+
+
 def fir2d(win: jnp.ndarray, fy: int, fx: int, size: int, luma: bool,
           oy: int = 0, ox: int = 0) -> jnp.ndarray:
     """Static-phase 2-D interpolation core (64*64-scaled, exact int in
     f32).  win: [..., H, W]; the filter support for output (0, 0) starts
     at window row oy / column ox."""
-    h, w = win.shape[-2], win.shape[-1]
-    mv = jnp.asarray(_band_np(fx, luma, size, w, ox))   # [W, size]
-    mh = jnp.asarray(_band_np(fy, luma, size, h, oy))   # [H, size]
-    wf = win.astype(jnp.float32)
-    t = jnp.einsum("...yx,xo->...yo", wf, mv, precision=_P)
-    return jnp.einsum("...yo,yz->...zo", t, mh, precision=_P)
+    return fir_v(fir_h(win, fx, size, luma, ox), fy, size, luma, oy)
+
+
+def mc_separable_phases(win, fy_idx, fx_idx, size: int, luma: bool):
+    """MC with per-block dynamic phases via separable mask accumulation:
+    P horizontal stages + P vertical stages instead of P^2 phase pairs
+    (the horizontal stage depends only on fx, the vertical only on fy).
+
+    win: [n, size+taps-1, size+taps-1] with the phase-0 support at
+    (0, 0); fy_idx/fx_idx: [n] in 0..P-1."""
+    phases = 4 if luma else 8
+    t = jnp.zeros(win.shape[:-1] + (size,), jnp.float32)
+    for px in range(phases):
+        m = (fx_idx == px)[:, None, None]
+        t = t + jnp.where(m, fir_h(win, px, size, luma), 0.0)
+    acc = jnp.zeros((win.shape[0], size, size), jnp.float32)
+    for py in range(phases):
+        m = (fy_idx == py)[:, None, None]
+        acc = acc + jnp.where(m, fir_v(t, py, size, luma), 0.0)
+    return finish_uni(acc)
 
 
 def finish_uni(pred64: jnp.ndarray) -> jnp.ndarray:
@@ -92,16 +124,8 @@ def mc_chroma_phases(win3: jnp.ndarray, fy8: jnp.ndarray,
     integer part already folded into the window base).
 
     win3: [n, size+3, size+3] whose (1, 1) sample is the integer
-    position; fy8/fx8: [n] in 0..7.  The 64 static phase pairs are
-    mask-accumulated in the scaled domain.
-    """
-    acc = jnp.zeros((win3.shape[0], size, size), jnp.float32)
-    for py in range(8):
-        for px in range(8):
-            m = (fy8 == py) & (fx8 == px)
-            pred = fir2d(win3, py, px, size, False)
-            acc = acc + jnp.where(m[:, None, None], pred, 0.0)
-    return finish_uni(acc)
+    position; fy8/fx8: [n] in 0..7."""
+    return mc_separable_phases(win3, fy8, fx8, size, False)
 
 
 def pad_reference(plane: jnp.ndarray, pad: int) -> jnp.ndarray:

@@ -19,6 +19,8 @@ MVs returned in quarter-pel, y/x order. All integer arithmetic.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,32 +39,97 @@ def _block_sum(x: jnp.ndarray, b: int) -> jnp.ndarray:
     return x.reshape(*x.shape[:-2], h // b, b, w // b, b).sum((-3, -1))
 
 
-def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int):
-    """Half-res full search. cur/ref: [H, W] int32 (block multiples).
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(n: int, bs: int) -> np.ndarray:
+    """[n, n//bs] f32 block-sum pooling matrix (MXU-friendly reduce)."""
+    m = np.zeros((n, n // bs), np.float32)
+    for i in range(n):
+        m[i, i // bs] = 1.0
+    return m
+
+
+def _slab_search(cur_s, ref_s, bs: int, r: int, row0):
+    """Full search of cur_s (a band of blocks, size bs) against the
+    full-plane ref_s over offsets [-r, r]^2; the band starts at row
+    `row0` of ref_s.  |mv| tie-break (ref mv_cost hmr_common.h:50).
+
+    Static slices over the slab + matmul pooling: all offsets become
+    elementwise diffs + two small MXU matmuls — no gathers."""
+    h, w = cur_s.shape
+    slab = jax.lax.dynamic_slice(
+        jnp.pad(ref_s, r, mode="edge"), (row0, 0),
+        (h + 2 * r, ref_s.shape[1] + 2 * r))
+    pr = jnp.asarray(_pool_matrix(h, bs))          # [h, bh]
+    pc = jnp.asarray(_pool_matrix(w, bs))          # [w, bw]
+    cf = cur_s.astype(jnp.float32)
+    best_sad = None
+    best_idx = None
+    k = 0
+    hp = jax.lax.Precision.HIGHEST
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            d = jnp.abs(slab[dy:dy + h, dx:dx + w].astype(jnp.float32)
+                        - cf)
+            sad = jnp.einsum("yb,yx,xc->bc", pr, d, pc, precision=hp) \
+                + (abs(dy - r) + abs(dx - r))
+            if best_sad is None:
+                best_sad, best_idx = sad, jnp.zeros_like(sad,
+                                                         dtype=jnp.int32)
+            else:
+                take = sad < best_sad
+                best_sad = jnp.where(take, sad, best_sad)
+                best_idx = jnp.where(take, k, best_idx)
+            k += 1
+    dy = best_idx // (2 * r + 1) - r
+    dx = best_idx % (2 * r + 1) - r
+    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
+
+
+def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0):
+    """±r refinement around per-block base MVs [bh, bw, 2] with
+    per-block window gathers from the full plane ref_s."""
+    h, w = cur_s.shape
+    bh, bw = h // bs, w // bs
+    pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * bs, bw)
+    pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * bs, bh)
+    bflat = base.reshape(-1, 2)
+    off0 = 2 * r + COARSE_R * 2
+    big = jnp.pad(ref_s, off0, mode="edge")
+    win = _gather_windows(
+        big, off0 + pos_y + bflat[:, 0] - r,
+        off0 + pos_x + bflat[:, 1] - r, bs + 2 * r)
+    cur_b = cur_s.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3) \
+        .reshape(-1, bs, bs)
+    sads = jnp.stack(
+        [jnp.sum(jnp.abs(
+            win[:, r + dy:r + dy + bs, r + dx:r + dx + bs] - cur_b),
+            (-1, -2)) + abs(dy) + abs(dx)
+         for dy in range(-r, r + 1) for dx in range(-r, r + 1)], 0)
+    best = jnp.argmin(sads, 0)
+    d = jnp.asarray([(dy, dx) for dy in range(-r, r + 1)
+                     for dx in range(-r, r + 1)], jnp.int32)[best]
+    return (bflat + d).reshape(bh, bw, 2)
+
+
+def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
+                  row0=0):
+    """Hierarchical coarse search: quarter-res full search (covers the
+    same ±2*COARSE_R full-res range) then half-res ±2 refinement —
+    ~12x fewer SAD ops than a flat half-res full search.
+
+    cur may be a row band of the full-plane ref starting at row `row0`
+    (the row-sharded path passes its band; row0=0 single device).
     Returns int MV [bh, bw, 2] (y, x) in full-res integer pel."""
-    h, w = cur.shape
-    cur_h = _block_sum(cur, 2)                       # 2x2 sums (x4 scale)
+    row0 = jnp.asarray(row0, jnp.int32)
+    cur_h = _block_sum(cur, 2)                       # 2x2 sums
     ref_h = _block_sum(ref, 2)
-    bh2 = block // 2
-    r = COARSE_R
-    ref_p = jnp.pad(ref_h, r, mode="edge")
-    offs = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
-                                  jnp.arange(2 * r + 1),
-                                  indexing="ij"), -1).reshape(-1, 2)
-
-    def one(o):
-        shifted = jax.lax.dynamic_slice(ref_p, (o[0], o[1]),
-                                        (h // 2, w // 2))
-        return _block_sum(jnp.abs(shifted - cur_h), bh2)   # [bh, bw]
-
-    sads = jax.vmap(one)(offs)                       # [(2r+1)^2, bh, bw]
-    # |mv| tie-break (ref mv_cost, hmr_common.h:50): periodic textures
-    # produce many exact matches; prefer the smallest, most coherent MV
-    sads = sads + jnp.abs(offs - r).sum(-1)[:, None, None]
-    best = jnp.argmin(sads, axis=0)
-    dy = best // (2 * r + 1) - r
-    dx = best % (2 * r + 1) - r
-    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32) * 2
+    cur_q = _block_sum(cur, 4)                       # 4x4 sums
+    ref_q = _block_sum(ref, 4)
+    r_q = COARSE_R // 2
+    mv_q = _slab_search(cur_q, ref_q, block // 4, r_q, row0 // 4)
+    mv_h = _gather_refine(cur_h, ref_h, block // 2, 2, mv_q * 2,
+                          row0 // 2)
+    return mv_h * 2
 
 
 def _gather_windows(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
@@ -136,22 +203,14 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
 
 
 def mc_luma_at(ref_pad, pos_y, pos_x, mv, block: int):
-    """MC prediction at arbitrary per-block quarter-pel MVs (16 static
-    phases mask-accumulated, one window gather)."""
+    """MC prediction at arbitrary per-block quarter-pel MVs (separable
+    4+4 mask-accumulated static phases, one window gather)."""
     win = _gather_windows(
         ref_pad,
         REF_PAD + pos_y + (mv[:, 0] >> 2) - 3,
         REF_PAD + pos_x + (mv[:, 1] >> 2) - 3, block + 7)
-    fy = mv[:, 0] & 3
-    fx = mv[:, 1] & 3
-    acc = jnp.zeros((win.shape[0], block, block), jnp.float32)
-    for py in range(4):
-        for px in range(4):
-            m = (fy == py) & (fx == px)
-            acc = acc + jnp.where(m[:, None, None],
-                                  interp.fir2d(win, py, px, block, True),
-                                  0.0)
-    return interp.finish_uni(acc)
+    return interp.mc_separable_phases(win, mv[:, 0] & 3, mv[:, 1] & 3,
+                                      block, True)
 
 
 def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
@@ -183,25 +242,31 @@ def snap_mvs(cur_blocks, ref_pad, pos_y, pos_x, mv, pred_own, sad,
     merge-cheap bit bonus, snapping when the rate-biased cost wins.
     Coherent fields turn into merge/skip at the host syntax stage.
 
+    Candidate SADs use integer-rounded MVs (window gather only — no
+    interpolation), so the decision costs 1/16 of an exact evaluation;
+    ONE exact MC at the chosen MV produces the final prediction.
+
     mv/left_pred: [n, 2]; cands: iterable of ([n, 2] or [bh, bw, 2]
     reshapeable, bits).  Returns (mv [n,2], pred [n,B,B], sad [n]).
     """
+    def int_sad(cand):
+        iy = REF_PAD + pos_y + ((cand[:, 0] + 2) >> 2)
+        ix = REF_PAD + pos_x + ((cand[:, 1] + 2) >> 2)
+        win = _gather_windows(ref_pad, iy, ix, block)
+        return jnp.sum(jnp.abs(win - cur_blocks), (-1, -2))
+
     own_bits = 2.0 + _mvd_bits(mv - left_pred)
-    best_cost = sad.astype(jnp.float32) + lam_me * own_bits
+    best_cost = int_sad(mv).astype(jnp.float32) + lam_me * own_bits
     out_mv = mv
-    out_pred = pred_own
-    out_sad = sad
     for cand, bits in cands:
         cand = cand.reshape(-1, 2)
-        p = mc_luma_at(ref_pad, pos_y, pos_x, cand, block)
-        s = jnp.sum(jnp.abs(p - cur_blocks), (-1, -2))
-        c = s.astype(jnp.float32) + lam_me * bits
+        c = int_sad(cand).astype(jnp.float32) + lam_me * bits
         take = c < best_cost
         best_cost = jnp.where(take, c, best_cost)
         out_mv = jnp.where(take[:, None], cand, out_mv)
-        out_pred = jnp.where(take[:, None, None], p, out_pred)
-        out_sad = jnp.where(take, s, out_sad)
-    return out_mv, out_pred, out_sad
+    pred = mc_luma_at(ref_pad, pos_y, pos_x, out_mv, block)
+    out_sad = jnp.sum(jnp.abs(pred - cur_blocks), (-1, -2))
+    return out_mv, pred, out_sad
 
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):

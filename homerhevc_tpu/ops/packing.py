@@ -62,23 +62,21 @@ def compact_blocks_i8(level_blocks: jnp.ndarray, cap: int, esc_cap: int):
     count = nz.sum().astype(jnp.int16)
 
     lo = jnp.clip(data, -128, 127)
-    esc_mask = data != lo
-    esc_count = esc_mask.sum()
+    esc_mask = (data != lo).reshape(cap, n)
     lo_u = lo.astype(jnp.uint8).astype(jnp.uint16)
     packed_lo = jax.lax.bitcast_convert_type(
         lo_u[0::2] | (lo_u[1::2] << 8), jnp.int16)       # [cap*n/2]
 
-    # deterministic first-`esc_cap` escape positions via top_k on
-    # (mask ? BIG - idx : 0) — values descending <=> indices ascending
-    idxs = jnp.arange(data.shape[0], dtype=jnp.int32)
-    key = jnp.where(esc_mask, (1 << 30) - idxs, 0)
-    _, esc_pos = jax.lax.top_k(key, esc_cap)
-    esc_pos = esc_pos.astype(jnp.int32)
-    esc_val = data[esc_pos]
-    pos_lo = jax.lax.bitcast_convert_type(
-        (esc_pos & 0xffff).astype(jnp.uint16), jnp.int16)
-    pos_hi = (esc_pos >> 16).astype(jnp.int16)
-    esc = jnp.stack([pos_lo, pos_hi, esc_val], -1).reshape(-1)
+    # escapes at BLOCK granularity: rows with any |level| > 127 ship as
+    # raw int16 (cheap small top_k over `cap` rows, not cap*n values)
+    esc_rows = esc_mask.any(-1)                          # [cap]
+    esc_count = esc_rows.sum()
+    ridx = jnp.arange(cap, dtype=jnp.int32)
+    key = jnp.where(esc_rows, (1 << 30) - ridx, 0)
+    _, esc_id = jax.lax.top_k(key, esc_cap)
+    esc_id = esc_id.astype(jnp.int32)
+    esc_data = data.reshape(cap, n)[esc_id].reshape(-1)  # [esc_cap*n]
+    esc = jnp.concatenate([esc_id.astype(jnp.int16), esc_data])
     return jnp.concatenate([
         count[None],
         jnp.minimum(esc_count, 30000).astype(jnp.int16)[None],
@@ -86,7 +84,7 @@ def compact_blocks_i8(level_blocks: jnp.ndarray, cap: int, esc_cap: int):
 
 
 def compact_i8_size(cap: int, b: int, esc_cap: int) -> int:
-    return 2 + cap + cap * b * b // 2 + 3 * esc_cap
+    return 2 + cap + cap * b * b // 2 + esc_cap * (1 + b * b)
 
 
 def unpack_blocks_i8(vec, cap: int, b: int, nb: int, esc_cap: int):
@@ -102,13 +100,13 @@ def unpack_blocks_i8(vec, cap: int, b: int, nb: int, esc_cap: int):
     lo = np.empty(cap * n, np.int8)
     lo[0::2] = (packed_lo & 0xFF).astype(np.uint8).view(np.int8)
     lo[1::2] = (packed_lo >> 8).astype(np.uint8).view(np.int8)
-    data = lo.astype(np.int16)
-    esc = vec[2 + cap + cap * n // 2:].reshape(esc_cap, 3)[:esc_count]
-    pos = esc[:, 0].view(np.uint16).astype(np.int32) | \
-        (esc[:, 1].astype(np.int32) << 16)
-    data[pos] = esc[:, 2]
+    data = lo.astype(np.int16).reshape(cap, n)
+    esc = vec[2 + cap + cap * n // 2:]
+    esc_id = esc[:esc_cap][:esc_count].astype(np.int32)
+    esc_rows = esc[esc_cap:].reshape(esc_cap, n)[:esc_count]
+    data[esc_id] = esc_rows
     out = np.zeros((nb, n), np.int16)
-    out[ids] = data.reshape(cap, n)[:count]
+    out[ids] = data[:count]
     return count, out
 
 

@@ -11,6 +11,9 @@ per-coefficient-group parity fix over scan-ordered coefficients.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,8 +88,12 @@ def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
     n = size * size
     flat = level.reshape(level.shape[:-2] + (n,))
     du = delta_u.reshape(flat.shape)
-    sl = jnp.take(flat, jnp.asarray(scan), axis=-1)     # scan order
-    sdu = jnp.take(du, jnp.asarray(scan), axis=-1)
+    # scan reorder as a permutation matmul (values < 2^24, exact in f32
+    # at Precision.HIGHEST): gathers on tiny trailing dims are the
+    # single most expensive op on TPU otherwise
+    m = _perm_matrix(tuple(scan), n)
+    sl = _permute(flat, m)
+    sdu = _permute(du, m)
     ncg = n // 16
     slg = sl.reshape(sl.shape[:-1] + (ncg, 16))
     sdug = sdu.reshape(slg.shape)
@@ -100,9 +107,8 @@ def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
     hide_ok = any_nz & ((last - first) >= 4)
 
     abs_sum = jnp.sum(jnp.abs(slg), axis=-1)
-    first_level = jnp.take_along_axis(
-        slg, jnp.minimum(first, 15)[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    at_first = pos == jnp.minimum(first, 15)[..., None]
+    first_level = jnp.sum(slg * at_first, axis=-1)
     sign_first = (first_level < 0).astype(jnp.int32)
     parity = (abs_sum & 1).astype(jnp.int32)
     need_fix = hide_ok & (parity != sign_first)
@@ -122,15 +128,31 @@ def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
     # Apply a +/-1 magnitude change at best_pos: grow magnitude when the
     # quantization residue delta_u is positive, shrink otherwise, keeping
     # the coefficient's sign (zero levels become +1).
-    best_du = jnp.take_along_axis(sdug, best_pos[..., None], axis=-1)[..., 0]
-    best_lv = jnp.take_along_axis(slg, best_pos[..., None], axis=-1)[..., 0]
+    at_best = pos == best_pos[..., None]
+    best_du = jnp.sum(sdug * at_best, axis=-1)
+    best_lv = jnp.sum(slg * at_best, axis=-1)
     mag_change = jnp.where(best_du > 0, 1, -1)
     signed_dir = jnp.where(best_lv >= 0, mag_change, -mag_change)
     delta = jnp.where(need_fix, signed_dir, 0)
-    slg = slg + jnp.where(pos[None] == best_pos[..., None],
-                          delta[..., None], 0)
+    slg = slg + jnp.where(at_best, delta[..., None], 0)
 
     out_scan = slg.reshape(sl.shape)
-    inv = np.argsort(scan)
-    out = jnp.take(out_scan, jnp.asarray(inv), axis=-1)
-    return out.reshape(level.shape)
+    return _permute(out_scan, m.T).reshape(level.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _perm_matrix_np(scan: tuple, n: int) -> np.ndarray:
+    m = np.zeros((n, n), np.float32)
+    for j, src in enumerate(scan):
+        m[src, j] = 1.0
+    return m
+
+
+def _perm_matrix(scan: tuple, n: int) -> jnp.ndarray:
+    return jnp.asarray(_perm_matrix_np(scan, n))
+
+
+def _permute(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.einsum("...i,ij->...j", x.astype(jnp.float32), m,
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.astype(jnp.int32)

@@ -36,34 +36,6 @@ from homerhevc_tpu.ops import deblock, interp, me, packing, quant, sao, \
     transform
 
 
-def _band_coarse(cur_band, ref, band_row0, block):
-    """Coarse search of one band against the full reference."""
-    hb, w = cur_band.shape
-    r = me.COARSE_R
-    cur_h = me._block_sum(cur_band, 2)
-    ref_h = me._block_sum(ref, 2)
-    # slab of half-res reference rows covering the band's search range
-    slab = jax.lax.dynamic_slice(
-        jnp.pad(ref_h, ((r, r), (r, r)), mode="edge"),
-        (band_row0 // 2, 0), (hb // 2 + 2 * r, ref_h.shape[1] + 2 * r))
-    offs = jnp.stack(jnp.meshgrid(jnp.arange(2 * r + 1),
-                                  jnp.arange(2 * r + 1),
-                                  indexing="ij"), -1).reshape(-1, 2)
-
-    def one(o):
-        shifted = jax.lax.dynamic_slice(slab, (o[0], o[1]),
-                                        (hb // 2, w // 2))
-        return me._block_sum(jnp.abs(shifted - cur_h), block // 2)
-
-    sads = jax.vmap(one)(offs)
-    # |mv| tie-break — must match me.coarse_search exactly
-    sads = sads + jnp.abs(offs - r).sum(-1)[:, None, None]
-    best = jnp.argmin(sads, axis=0)
-    dy = best // (2 * r + 1) - r
-    dx = best % (2 * r + 1) - r
-    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32) * 2
-
-
 @functools.partial(
     jax.jit, static_argnames=("mesh", "row_axis", "block", "sign_hiding",
                               "deblocking", "sao_enabled", "ctu",
@@ -103,7 +75,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
 
         lam = tables.rd_lambda(qp, False)
         lam_c = tables.rd_lambda(qp_c, False)
-        mv0 = _band_coarse(cur, refy, row0, s)
+        mv0 = me.coarse_search(cur, refy, s, row0=row0)
         ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
         pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
         pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)

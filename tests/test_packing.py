@@ -52,7 +52,7 @@ def test_compact_i8_escape_overflow():
     rng = np.random.default_rng(3)
     nb, b = 64, 4
     lv = np.zeros((nb, b, b), np.int32)
-    lv[:8] = 500     # 8*16 = 128 escapes > esc_cap
-    vec = np.asarray(packing.compact_blocks_i8(jnp.asarray(lv), 32, 16))
-    count, out = packing.unpack_blocks_i8(vec, 32, b, nb, 16)
+    lv[:8, 0, 0] = 500     # 8 escape blocks > esc_cap of 4
+    vec = np.asarray(packing.compact_blocks_i8(jnp.asarray(lv), 32, 4))
+    count, out = packing.unpack_blocks_i8(vec, 32, b, nb, 4)
     assert out is None
