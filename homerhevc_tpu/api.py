@@ -13,7 +13,7 @@ from typing import BinaryIO, Optional
 
 import numpy as np
 
-from homerhevc_tpu.config import EncoderConfig
+from homerhevc_tpu.config import EncoderConfig, PerfMode, RDMode
 from homerhevc_tpu.entropy import binding
 from homerhevc_tpu.models import inter_frame, intra_frame
 from homerhevc_tpu.rc import RateControl
@@ -146,6 +146,9 @@ class Encoder:
             yp, up, vp, qp=qp, cu=16, ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
+            # perf-mode mapping (ref homer perf/rd knobs): ufast skips
+            # the 8x8 split RD
+            split_8x8=cfg.performance_mode != PerfMode.UFAST,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
@@ -175,12 +178,15 @@ class Encoder:
         vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
                         for f in frames])
         qp = self._rc.start_pic(False)
+        ultra = cfg.rd_mode == RDMode.RD_ULTRAFAST
         out = inter_frame.encode_p_chunk_jit(
             yps, ups, vps, *self._ref, qp=qp, block=16,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao, ctu=ctu,
-            intra_fallback=cfg.intra_in_p, chroma_rd_scale=1.0,
-            chroma_qp_offset=cfg.chroma_qp_offset)
+            intra_fallback=cfg.intra_in_p and not ultra,
+            chroma_rd_scale=3.0 if ultra else 1.0,
+            chroma_qp_offset=cfg.chroma_qp_offset,
+            me_precision=cfg.motion_estimation_precision)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="p", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yps.shape[1:],

@@ -259,7 +259,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    sao_enabled: bool = False, ctu: int = 64,
                    intra_fallback: bool = False,
                    chroma_rd_scale: float = 1.0,
-                   chroma_qp_offset: int = 0):
+                   chroma_qp_offset: int = 0,
+                   me_precision: int = 2):
     """Encode one P frame against one reference.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
@@ -283,7 +284,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     lam = tables.rd_lambda(qp, False)
     lam_c = tables.rd_lambda(qp_c, False)
     # ME returns the final MC prediction (the winning subpel candidate)
-    mv, sad_me, pred = me.motion_estimate(cur, refy, block=s)
+    mv, sad_me, pred = me.motion_estimate(cur, refy, block=s,
+                                          precision=me_precision)
     pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
     pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
     pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
@@ -399,7 +401,8 @@ encode_p_frame_jit = jax.jit(
     encode_p_frame,
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
-                     "chroma_rd_scale", "chroma_qp_offset"))
+                     "chroma_rd_scale", "chroma_qp_offset",
+                     "me_precision"))
 
 
 def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, **flags):
@@ -435,4 +438,5 @@ encode_p_chunk_jit = jax.jit(
     encode_p_chunk,
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
-                     "chroma_rd_scale", "chroma_qp_offset"))
+                     "chroma_rd_scale", "chroma_qp_offset",
+                     "me_precision"))

@@ -59,6 +59,20 @@ def _slab_search(cur_s, ref_s, bs: int, r: int, row0):
     slab = jax.lax.dynamic_slice(
         jnp.pad(ref_s, r, mode="edge"), (row0, 0),
         (h + 2 * r, ref_s.shape[1] + 2 * r))
+    if jax.default_backend() == "tpu":
+        from homerhevc_tpu.ops import pallas_kernels
+        best_idx = pallas_kernels.slab_search_pallas(cur_s, slab, bs, r)
+    else:
+        best_idx = slab_search_jnp(cur_s, slab, bs, r)
+    dy = best_idx // (2 * r + 1) - r
+    dx = best_idx % (2 * r + 1) - r
+    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
+
+
+def slab_search_jnp(cur_s, slab, bs: int, r: int):
+    """jnp reference of the Pallas slab-search kernel (CPU fallback and
+    equivalence oracle): returns [bh, bw] flat best-offset indices."""
+    h, w = cur_s.shape
     pr = jnp.asarray(_pool_matrix(h, bs))          # [h, bh]
     pc = jnp.asarray(_pool_matrix(w, bs))          # [w, bw]
     cf = cur_s.astype(jnp.float32)
@@ -80,9 +94,7 @@ def _slab_search(cur_s, ref_s, bs: int, r: int, row0):
                 best_sad = jnp.where(take, sad, best_sad)
                 best_idx = jnp.where(take, k, best_idx)
             k += 1
-    dy = best_idx // (2 * r + 1) - r
-    dx = best_idx % (2 * r + 1) - r
-    return jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
+    return best_idx
 
 
 def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0):
@@ -163,12 +175,17 @@ def refine_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
     return mv_int + d
 
 
-def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
-    """Dense subpel: evaluate ALL 49 quarter-pel positions in
-    [-3, 3]^2 around the integer MV (a superset of the reference's
-    half-then-quarter 9+9 walk — dense is the TPU-idiomatic shape and
-    strictly better RD) and return (quarter-pel MV [n, 2], SAD [n],
-    best prediction [n, B, B]).
+def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
+                  precision: int = 2):
+    """Dense subpel: evaluate ALL quarter-pel positions in [-3, 3]^2
+    around the integer MV (a superset of the reference's half-then-
+    quarter 9+9 walk — dense is the TPU-idiomatic shape and strictly
+    better RD) and return (quarter-pel MV [n, 2], SAD [n], best
+    prediction [n, B, B]).
+
+    precision: 0 = integer pel, 1 = half pel, 2 = quarter pel (ref
+    motion_estimation_precision, homer_app.c); lower precisions search
+    the corresponding sub-grid.
 
     Every position is a static-phase band-matrix interpolation
     (ops/interp.fir2d) on a shared [n, B+9, B+9] window — no dynamic
@@ -181,7 +198,9 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
         REF_PAD + pos_y + mv_int[:, 0] - 4,
         REF_PAD + pos_x + mv_int[:, 1] - 4,
         block + 9)
-    offs = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
+    step = {0: 4, 1: 2, 2: 1}[precision]
+    offs = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)
+            if dy % step == 0 and dx % step == 0]
 
     def pred_at(dy, dx):
         ky, py = (dy >> 2) + 1, dy & 3
@@ -269,7 +288,8 @@ def snap_mvs(cur_blocks, ref_pad, pos_y, pos_x, mv, pred_own, sad,
     return out_mv, pred, out_sad
 
 
-def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):
+def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
+                    precision: int = 2):
     """Full ME pipeline. cur/ref [H, W] int32. Returns (mv_q [bh,bw,2],
     sad [bh,bw], pred [n, B, B] final luma MC prediction)."""
     h, w = cur.shape
@@ -288,5 +308,5 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16):
                             mv0.reshape(-1, 2), block)
     with jax.named_scope("me.subpel"):
         mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y,
-                                       pos_x, mv1, block)
+                                       pos_x, mv1, block, precision)
     return mv2.reshape(bh, bw, 2), sad.reshape(bh, bw), pred
