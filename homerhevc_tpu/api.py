@@ -146,9 +146,9 @@ class Encoder:
             yp, up, vp, qp=qp, cu=16, ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
-            # perf-mode mapping (ref homer perf/rd knobs): ufast skips
-            # the 8x8 split RD
-            split_8x8=cfg.performance_mode != PerfMode.UFAST,
+            # the 8x8 split RD is time-amortized (one I frame per GOP)
+            # and RD-positive; only rd=ultrafast skips it
+            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,

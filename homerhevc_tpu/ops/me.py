@@ -59,11 +59,12 @@ def _slab_search(cur_s, ref_s, bs: int, r: int, row0):
     slab = jax.lax.dynamic_slice(
         jnp.pad(ref_s, r, mode="edge"), (row0, 0),
         (h + 2 * r, ref_s.shape[1] + 2 * r))
-    if jax.default_backend() == "tpu":
-        from homerhevc_tpu.ops import pallas_kernels
-        best_idx = pallas_kernels.slab_search_pallas(cur_s, slab, bs, r)
-    else:
-        best_idx = slab_search_jnp(cur_s, slab, bs, r)
+    # NOTE a Pallas version exists (ops/pallas_kernels.slab_search_pallas,
+    # interpreter-verified) but the current Mosaic build miscompiles it
+    # on hardware (wrong argmin results; smaller variants SIGABRT the
+    # remote compiler), so the XLA formulation stays the production path
+    # until the toolchain settles.  It was perf-neutral end to end.
+    best_idx = slab_search_jnp(cur_s, slab, bs, r)
     dy = best_idx // (2 * r + 1) - r
     dx = best_idx % (2 * r + 1) - r
     return jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
