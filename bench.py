@@ -48,7 +48,7 @@ def main():
     from homerhevc_tpu.config import EncoderConfig
 
     h, w = 720, 1280
-    n_frames = int(os.environ.get("BENCH_FRAMES", "16"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "49"))
     ys, us, vs = synthetic_video(n_frames, h, w)
 
     cfg = EncoderConfig(width=w, height=h, qp=32, intra_period=100,
