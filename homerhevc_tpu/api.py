@@ -8,12 +8,13 @@ FrameRecord per frame, the native host library entropy-codes it.
 """
 from __future__ import annotations
 
+import concurrent.futures
 import dataclasses
 from typing import BinaryIO, Optional
 
 import numpy as np
 
-from homerhevc_tpu.config import EncoderConfig, PerfMode, RDMode
+from homerhevc_tpu.config import EncoderConfig, RDMode
 from homerhevc_tpu.entropy import binding
 from homerhevc_tpu.models import inter_frame, intra_frame
 from homerhevc_tpu.rc import RateControl
@@ -56,6 +57,11 @@ class Encoder:
         self._rc = RateControl(cfg)
         self._force_idr = False
         self._last_intra_cand_frac = 0.0
+        # single host worker: transfer + entropy of chunk N-1 overlap
+        # the device compute of chunk N (FIFO => deterministic output
+        # order; RC sees the same 1-chunk lag as the inline pipeline)
+        self._worker = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1)
 
     # -- control (HENC_SETCFG re-configuration) --
     def control(self, cfg: EncoderConfig):
@@ -86,38 +92,42 @@ class Encoder:
         if is_idr:
             done += self._flush_inbuf()
             self._force_idr = False
-            self._pending.append(self._dispatch_i(y, u, v, False))
+            self._pending.append(
+                self._submit(self._dispatch_i(y, u, v, False)))
         else:
             self._inbuf.append((y, u, v))
             if len(self._inbuf) >= max(self.cfg.frames_per_launch, 1):
                 done += self._flush_inbuf()
-        while len(self._pending) > 1:
-            fr = self._finalize(self._pending.pop(0))
-            self._out.extend(fr)
-            done += fr
+        done += self._drain(keep=1)
         return done
 
     def flush(self) -> list:
         done = self._flush_inbuf()
-        for p in self._pending:
-            done += self._finalize(p)
-        self._pending.clear()
-        self._out.extend(done)
+        done += self._drain(keep=0)
         return done
 
-    def _flush_inbuf(self) -> list:
-        """Dispatch buffered P frames as one chunk; finalize overdue
-        pendings."""
+    def _submit(self, pend):
+        return self._worker.submit(self._finalize, pend)
+
+    def _drain(self, keep: int) -> list:
+        """Collect finalized chunks in FIFO order, keeping up to `keep`
+        in flight."""
         done = []
-        if self._inbuf:
-            frames = self._inbuf
-            self._inbuf = []
-            self._pending.append(self._dispatch_p_chunk(frames))
-        while len(self._pending) > 1:
-            fr = self._finalize(self._pending.pop(0))
+        while len(self._pending) > keep:
+            fr = self._pending.pop(0).result()
             self._out.extend(fr)
             done += fr
         return done
+
+    def _flush_inbuf(self) -> list:
+        """Dispatch buffered P frames as one chunk; collect overdue
+        results."""
+        if self._inbuf:
+            frames = self._inbuf
+            self._inbuf = []
+            self._pending.append(
+                self._submit(self._dispatch_p_chunk(frames)))
+        return self._drain(keep=1)
 
     # -- stage 1: device compute (async dispatch) --
     def _dispatch(self, y, u, v, compute_recon):

@@ -7,10 +7,13 @@ predicts from the previous frame's (deblocked) reconstruction, so ME,
 MC, transform/quant and reconstruction all run as single dense launches
 over all blocks of the frame — the wavefront disappears entirely.
 
-Round-1 scope: 16x16 2Nx2N inter CUs, 1 reference frame, quarter-pel
-ME (dense hierarchical search, ops/me.py), inter deblocking.  The host
-entropy stage derives merge/skip/AMVP from the MV field decoder-exactly
-(native/mvpred.cpp), so the device needs no candidate-list logic.
+Scope: 16x16 motion decisions (host-side bottom-up merging folds
+uniform regions into 32x32/64x64 CUs), 1 reference frame,
+integer/half/quarter-pel ME (dense hierarchical search, ops/me.py),
+MV-coherence snapping, zero-residual RD, isolated intra fallback with
+scene-change detection, inter deblocking + SAO.  The host entropy stage
+derives merge/skip/AMVP from the MV field decoder-exactly
+(native/syntax.cpp), so the device needs no candidate-list logic.
 """
 from __future__ import annotations
 
