@@ -84,9 +84,15 @@ class Encoder:
         of newly completed CodedFrames (possibly empty); drain the tail
         with flush().  Do not mix with the synchronous encode()."""
         done = []
+        if self.cfg.intra_period <= 1:
+            # all-intra: frames are independent -> chunk them too
+            self._inbuf.append((y, u, v))
+            if len(self._inbuf) >= max(self.cfg.frames_per_launch, 1):
+                done += self._flush_inbuf()
+            done += self._drain(keep=1)
+            return done
         next_poc = self._poc + len(self._inbuf)
-        is_idr = self.cfg.intra_period <= 1 or \
-            (next_poc % max(self.cfg.intra_period, 1)) == 0 or \
+        is_idr = (next_poc % max(self.cfg.intra_period, 1)) == 0 or \
             (self._ref is None and not self._pending
              and not self._inbuf) or self._force_idr
         if is_idr:
@@ -120,14 +126,47 @@ class Encoder:
         return done
 
     def _flush_inbuf(self) -> list:
-        """Dispatch buffered P frames as one chunk; collect overdue
+        """Dispatch buffered frames as one chunk; collect overdue
         results."""
         if self._inbuf:
             frames = self._inbuf
             self._inbuf = []
-            self._pending.append(
-                self._submit(self._dispatch_p_chunk(frames)))
+            if self.cfg.intra_period <= 1:
+                self._pending.append(
+                    self._submit(self._dispatch_i_chunk(frames)))
+            else:
+                self._pending.append(
+                    self._submit(self._dispatch_p_chunk(frames)))
         return self._drain(keep=1)
+
+    def _dispatch_i_chunk(self, frames):
+        cfg = self.cfg
+        ctu = cfg.ctu_size
+        n_real = len(frames)
+        k = max(cfg.frames_per_launch, 1)
+        frames = list(frames) + [frames[-1]] * (k - n_real) \
+            if n_real < k else list(frames)
+        yps = np.stack([_pad_plane(np.asarray(f[0], np.uint8), ctu)
+                        for f in frames])
+        ups = np.stack([_pad_plane(np.asarray(f[1], np.uint8), ctu // 2)
+                        for f in frames])
+        vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
+                        for f in frames])
+        qp = self._rc.start_pic(True)
+        out = intra_frame.encode_i_chunk_jit(
+            yps, ups, vps, qp, cu=16, ctu=ctu,
+            sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
+            sao_enabled=cfg.sao,
+            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST,
+            chroma_qp_offset=cfg.chroma_qp_offset)
+        self._ref = (out["recon_y"][-1], out["recon_u"][-1],
+                     out["recon_v"][-1])
+        pend = dict(kind="i_chunk", out=out, qp=qp, poc=self._poc,
+                    gop_poc=0, padded=yps.shape[1:], n=n_real,
+                    orig=None)
+        self._poc += n_real
+        self._gop_poc = 1
+        return pend
 
     # -- stage 1: device compute (async dispatch) --
     def _dispatch(self, y, u, v, compute_recon):
@@ -216,6 +255,11 @@ class Encoder:
         if pend["kind"] == "i":
             rec = self._i_record(packed, pend, cfg)
             frames.append(self._emit(rec, pend, True))
+        elif pend["kind"] == "i_chunk":
+            for k in range(pend["n"]):
+                pk = dict(pend, poc=pend["poc"] + k, gop_poc=0, k=k)
+                rec = self._i_record(packed[k], pk, cfg)
+                frames.append(self._emit(rec, pk, True))
         else:
             for k in range(pend["n"]):
                 pk = dict(pend, poc=pend["poc"] + k,

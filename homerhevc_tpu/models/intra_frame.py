@@ -511,3 +511,19 @@ encode_frame_jit = jax.jit(
                                    "rd_lambda_scale", "deblocking",
                                    "sao_enabled", "split_8x8",
                                    "chroma_qp_offset"))
+
+
+def encode_i_chunk(ys, us, vs, qp, **flags):
+    """K independent intra frames in ONE device program (vmap over the
+    frame axis — all-intra streams have no cross-frame dependency, so
+    the wavefront's serialized steps batch K frames of work each and
+    the host pays one dispatch + one transfer per chunk)."""
+    return jax.vmap(
+        lambda y, u, v: encode_frame(y, u, v, qp=qp, **flags))(ys, us, vs)
+
+
+encode_i_chunk_jit = jax.jit(
+    encode_i_chunk, static_argnames=("cu", "ctu", "sign_hiding",
+                                     "rd_lambda_scale", "deblocking",
+                                     "sao_enabled", "split_8x8",
+                                     "chroma_qp_offset"))

@@ -45,3 +45,23 @@ def test_chunked_equals_sync():
     assert len(got) == len(ref)
     for i, (a, b) in enumerate(zip(got, ref)):
         assert a == b, f"frame {i} differs (chunked vs sync)"
+
+
+def test_all_intra_chunked_equals_sync():
+    """All-intra streams chunk via vmap (independent frames); bytes
+    must match the frame-by-frame path."""
+    w, h = 128, 64
+    frames = _frames(5, h, w)
+    cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=1,
+                        deblocking=True, sao=True, frames_per_launch=2)
+    enc_sync = Encoder(EncoderConfig(width=w, height=h, qp=30,
+                                     intra_period=1, deblocking=True,
+                                     sao=True))
+    ref = [enc_sync.encode(*f, compute_recon=False).nalus
+           for f in frames]
+    enc = Encoder(cfg)
+    got = []
+    for f in frames:
+        got += [fr.nalus for fr in enc.encode_async(*f)]
+    got += [fr.nalus for fr in enc.flush()]
+    assert got == ref
