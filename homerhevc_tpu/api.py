@@ -65,13 +65,25 @@ class Encoder:
 
     # -- control (HENC_SETCFG re-configuration) --
     def control(self, cfg: EncoderConfig):
+        """Reconfigure mid-stream.  Drains in-flight work first (the
+        reference stops/joins its engine threads before reconfiguring,
+        hmr_encoder_lib.c:525-536) so no buffered frames are dropped;
+        already-coded output stays available via get_coded_frame()."""
+        if getattr(self, "_worker", None) is not None:
+            self.flush()
+            self._worker.shutdown(wait=True)
+        out = list(getattr(self, "_out", []))
         self.__init__(cfg)
+        self._out = out
 
     def encode(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                compute_recon: bool = True) -> CodedFrame:
         """Encode one frame, blocking until its bytes are ready."""
         pend = self._dispatch(y, u, v, compute_recon)
-        return self._finalize(pend)[0]
+        frames = self._finalize(pend)
+        for fr in frames:
+            self._account(fr)
+        return frames[0]
 
     def encode_async(self, y: np.ndarray, u: np.ndarray, v: np.ndarray
                      ) -> list:
@@ -84,7 +96,7 @@ class Encoder:
         of newly completed CodedFrames (possibly empty); drain the tail
         with flush().  Do not mix with the synchronous encode()."""
         done = []
-        if self.cfg.intra_period <= 1:
+        if self.cfg.intra_period == 1:
             # all-intra: frames are independent -> chunk them too
             self._inbuf.append((y, u, v))
             if len(self._inbuf) >= max(self.cfg.frames_per_launch, 1):
@@ -92,7 +104,10 @@ class Encoder:
             done += self._drain(keep=1)
             return done
         next_poc = self._poc + len(self._inbuf)
-        is_idr = (next_poc % max(self.cfg.intra_period, 1)) == 0 or \
+        # intra_period == 0: only the stream's first frame is intra
+        # (ref hmr_encoder_lib.c:1602) — IDR only at start / on force
+        is_idr = (self.cfg.intra_period > 1
+                  and next_poc % self.cfg.intra_period == 0) or \
             (self._ref is None and not self._pending
              and not self._inbuf) or self._force_idr
         if is_idr:
@@ -120,10 +135,28 @@ class Encoder:
         in flight."""
         done = []
         while len(self._pending) > keep:
-            fr = self._pending.pop(0).result()
-            self._out.extend(fr)
-            done += fr
+            frs = self._pending.pop(0).result()
+            # RC + scene-change bookkeeping happens HERE, on the main
+            # thread at the deterministic FIFO drain point (the worker
+            # thread only transfers + entropy-codes), so the per-frame
+            # QP sequence is independent of thread timing
+            for fr in frs:
+                self._account(fr)
+            self._out.extend(frs)
+            done += frs
         return done
+
+    def _account(self, fr: CodedFrame):
+        """Post-frame rate-control and scene-change bookkeeping (role of
+        hmr_rc_end_pic + the intra-ratio scene check, ref
+        hmr_encoder_lib.c:2767, hmr_motion_inter.c:2836)."""
+        is_idr = fr._is_idr
+        self._rc.end_pic(fr.bits, is_idr, avg_dist=fr._dist)
+        self._last_intra_cand_frac = fr._intra_frac
+        if (not is_idr and self.cfg.scene_change_reinit
+                and self.cfg.intra_period != 1
+                and fr._intra_frac > 0.5):
+            self._force_idr = True
 
     def _flush_inbuf(self) -> list:
         """Dispatch buffered frames as one chunk; collect overdue
@@ -131,7 +164,7 @@ class Encoder:
         if self._inbuf:
             frames = self._inbuf
             self._inbuf = []
-            if self.cfg.intra_period <= 1:
+            if self.cfg.intra_period == 1:
                 self._pending.append(
                     self._submit(self._dispatch_i_chunk(frames)))
             else:
@@ -157,7 +190,8 @@ class Encoder:
             yps, ups, vps, qp, cu=16, ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
-            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST,
+            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
+            and cfg.max_pred_depth >= 3,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
                      out["recon_v"][-1])
@@ -172,8 +206,9 @@ class Encoder:
     def _dispatch(self, y, u, v, compute_recon):
         """Single-frame dispatch (synchronous encode path)."""
         cfg = self.cfg
-        is_idr = cfg.intra_period <= 1 or \
-            (self._poc % max(cfg.intra_period, 1)) == 0 or \
+        is_idr = cfg.intra_period == 1 or \
+            (cfg.intra_period > 1
+             and self._poc % cfg.intra_period == 0) or \
             self._ref is None or self._force_idr
         self._force_idr = False
         if is_idr:
@@ -197,7 +232,8 @@ class Encoder:
             sao_enabled=cfg.sao,
             # the 8x8 split RD is time-amortized (one I frame per GOP)
             # and RD-positive; only rd=ultrafast skips it
-            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST,
+            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
+            and cfg.max_pred_depth >= 3,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
@@ -218,8 +254,15 @@ class Encoder:
         # sync path passes k=1 and never pads)
         if k is None:
             k = max(cfg.frames_per_launch, 1)
-        frames = list(frames) + [frames[-1]] * (k - n_real) \
-            if n_real < k else list(frames)
+        if n_real < k:
+            frames = list(frames) + [frames[-1]] * (k - n_real)
+            # the padded duplicate's reconstruction becomes self._ref,
+            # which differs from what a decoder holds for the real last
+            # frame — force the next frame to IDR so the stream stays
+            # conformant if encoding continues after this partial flush
+            self._force_idr = True
+        else:
+            frames = list(frames)
         yps = np.stack([_pad_plane(np.asarray(f[0], np.uint8), ctu)
                         for f in frames])
         ups = np.stack([_pad_plane(np.asarray(f[1], np.uint8), ctu // 2)
@@ -281,18 +324,16 @@ class Encoder:
         return frames
 
     def _emit(self, rec, pend, is_idr: bool) -> CodedFrame:
+        """Entropy-code one record (worker thread; no shared-state
+        mutation — bookkeeping happens in _account at drain time)."""
         with stage("entropy"):
             slice_bytes = binding.encode_slice(self.ccfg, rec)
         nalus = (self._headers if is_idr else b"") + slice_bytes
         frame = CodedFrame(poc=pend["poc"], nalus=nalus,
                            bits=len(slice_bytes) * 8)
-        self._rc.end_pic(frame.bits, is_idr)
-        # scene-change detection (ref hmr_motion_inter.c:2836: frame
-        # turns mostly intra): restart the GOP at the NEXT frame
-        if (not is_idr and self.cfg.scene_change_reinit
-                and self.cfg.intra_period > 1
-                and self._last_intra_cand_frac > 0.5):
-            self._force_idr = True
+        frame._is_idr = is_idr
+        frame._intra_frac = pend.get("intra_frac", 0.0)
+        frame._dist = pend.get("dist")
         return frame
 
     @staticmethod
@@ -333,7 +374,8 @@ class Encoder:
     # reference planes + POC counters + RC VBV state; IDR frames are the
     # natural restart points, ref hmr_encoder_lib.c:2792) --
     def save_checkpoint(self, path: str):
-        assert not self._pending, "flush() before checkpointing"
+        assert not self._pending and not self._inbuf, \
+            "flush() before checkpointing"
         state = dict(poc=self._poc, gop_poc=self._gop_poc,
                      rc=self._rc.state_dict())
         if self._ref is not None:
@@ -376,14 +418,16 @@ class Encoder:
         modes8 = tail[:n8].reshape(2 * bh, 2 * bw).astype(np.uint8)
         cbf8 = tail[n8:4 * n8].reshape(3, 2 * bh, 2 * bw).astype(np.uint8)
         depth = tail[4 * n8:4 * n8 + bh * bw].reshape(bh, bw)
-        sao_tail = tail[4 * n8 + bh * bw:]
+        pend["dist"] = float(tail[4 * n8 + bh * bw])
+        sao_tail = tail[4 * n8 + bh * bw + 1:]
         rep2 = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1)
         rep4 = lambda m: np.repeat(np.repeat(m, 4, 0), 4, 1)
         mode4 = rep2(modes8)
+        # depth granule map: 1 = 32x32 CU, 2 = 16x16 CU, 3 = 8x8 CUs
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=2, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=True,
-            cu_depth=rep4(np.where(depth > 0, 3, 2)).astype(np.uint8),
+            cu_depth=rep4(np.clip(depth, 1, 3)).astype(np.uint8),
             intra_luma_mode=mode4,
             intra_chroma_mode=mode4,           # DM
             cbf_y=rep2(cbf8[0]), cbf_cb=rep2(cbf8[1]),
@@ -406,9 +450,12 @@ class Encoder:
         cbf = packed[nb * 2:nb * 5].reshape(3, bh, bw).astype(np.uint8)
         is_intra = packed[nb * 5:nb * 6].reshape(bh, bw).astype(np.uint8)
         imodes = packed[nb * 6:nb * 7].reshape(bh, bw).astype(np.uint8)
-        self._last_intra_cand_frac = float(packed[nb * 7]) / nb
+        cu_depth = packed[nb * 7:nb * 8].reshape(bh, bw).astype(np.uint8)
+        tr_depth = packed[nb * 8:nb * 9].reshape(bh, bw).astype(np.uint8)
+        pend["intra_frac"] = float(packed[nb * 9]) / nb
+        pend["dist"] = float(packed[nb * 9 + 1])
         cap_y, cap_c, esc_y, esc_c = p_caps(nb)
-        off = nb * 7 + 1
+        off = nb * 9 + 2
         sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
         sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
         cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_y],
@@ -445,7 +492,6 @@ class Encoder:
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
         imode4 = rep(imodes)
-        cu_depth, tr_depth = _merge_inter_cus(mv, cbf, is_intra)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=1, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
@@ -460,47 +506,6 @@ class Encoder:
         if cfg.sao:
             rec = self._apply_sao_fields(rec, sao_tail, h, w)
         return rec
-
-
-def _merge_inter_cus(mv, cbf, is_intra):
-    """Bottom-up CU merging (the consolidation role of
-    consolidate_prediction_info, ref hmr_motion_inter.c:2503): fold 2x2
-    groups of 16x16 inter blocks with identical MVs into one 32x32 CU
-    (TUs stay 16x16 via tr_depth=1 when residual is present), and 2x2
-    groups of residual-free 32s into one 64x64 skip-class CU (64 CUs
-    cannot carry 16x16 TUs under max_inter_tr_depth=1, so only
-    zero-residual groups fold further).  The bitstream shrinks (one
-    skip/merge CU instead of 4/16) while reconstruction is unchanged.
-
-    mv: [bh, bw, 2]; cbf: [3, bh, bw]; is_intra: [bh, bw].
-    Returns (cu_depth [bh, bw] uint8, tr_depth [bh, bw] uint8).
-    """
-    bh, bw = is_intra.shape   # padded to CTU => divisible by 4
-    cu_depth = np.full((bh, bw), 2, np.uint8)
-    tr_depth = np.zeros((bh, bw), np.uint8)
-    cbf_any = cbf.any(0)
-
-    def grp(a, n):     # [bh, bw] -> [bh//n, n, bw//n, n]
-        return a.reshape(bh // n, n, bw // n, n)
-
-    def mv_eq(n):
-        g0 = grp(mv[..., 0], n)
-        g1 = grp(mv[..., 1], n)
-        return ((g0 == g0[:, :1, :, :1]).all((1, 3))
-                & (g1 == g1[:, :1, :, :1]).all((1, 3)))
-
-    def up(m, n):
-        return np.repeat(np.repeat(m, n, 0), n, 1)
-
-    m32 = ~grp(is_intra != 0, 2).any((1, 3)) & mv_eq(2)   # [bh/2, bw/2]
-    cu_depth[up(m32, 2)] = 1
-    tr_depth[up(m32 & grp(cbf_any, 2).any((1, 3)), 2)] = 1
-
-    # 64x64: all four 32 children merged, zero residual, same MV
-    m64 = grp(up(m32, 2), 4).all((1, 3)) \
-        & ~grp(cbf_any, 4).any((1, 3)) & mv_eq(4)
-    cu_depth[up(m64, 4)] = 0
-    return cu_depth, tr_depth
 
 
 def _flatten_ckpt(state: dict) -> dict:

@@ -24,7 +24,7 @@ import numpy as np
 from homerhevc_tpu import tables
 from homerhevc_tpu.models import schedule
 from homerhevc_tpu.ops import (deblock, interp, intra, me, packing, quant,
-                               sao, transform)
+                               rdbits, sao, transform)
 
 
 def _blocks(plane: jnp.ndarray, b: int):
@@ -48,8 +48,10 @@ def _rd_zero(level, recon, pred, cur, lam):
     components go zero on a merged MV."""
     ssd_coded = jnp.sum((recon - cur) ** 2, (-1, -2)).astype(jnp.float32)
     ssd_zero = jnp.sum((pred - cur) ** 2, (-1, -2)).astype(jnp.float32)
-    bits = 16.0 + 3.0 * jnp.sum(jnp.abs(level), (-1, -2)) \
-        .astype(jnp.float32)
+    # CABAC-LUT bit estimate (role of the reference's counter env,
+    # hmr_binary_encoding.c:280): exact binarization structure replaces
+    # the old 3*sum|level| proxy
+    bits = rdbits.residual_bits(level, level.shape[-1]) + 2.0
     zero = ssd_zero <= ssd_coded + lam * bits
     level = jnp.where(zero[:, None, None], 0, level)
     recon = jnp.where(zero[:, None, None], pred, recon)
@@ -66,6 +68,324 @@ def _tq(resid, size, qp, is_intra, sbh_scan):
     return level, r
 
 
+def merge_candidate_fields(mv_grid, med=None):
+    """Candidate MV fields [(field [bh,bw,2], is_merge), ...] from a
+    round-1 ME grid: left / top neighbours (merge-priced), global
+    median and zero (mvd-priced).  `med` may be precomputed (the
+    row-sharded path passes the full-frame median)."""
+    left = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
+    top = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
+    if med is None:
+        med = me.field_median(mv_grid)
+    glob = jnp.broadcast_to(med, mv_grid.shape)
+    zero = jnp.zeros_like(mv_grid)
+    # the global candidate is priced as mergeable: once the field turns
+    # coherent the neighbours really do carry it (self-fulfilling, and
+    # RD-guarded by the SSD term when the content is not global)
+    return [(left, True), (top, True), (glob, True), (zero, False)]
+
+
+def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
+                   qp, lam, s, sbh_scan, cand_fields=None):
+    """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
+    reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
+    evaluated densely for every block at once).
+
+    Candidates: the block's own ME result, the left / top neighbours'
+    round-1 MVs, the global (median) motion, and zero.  Every candidate
+    gets an EXACT subpel prediction, a full T/Q/IQ/IT reconstruction and
+    a forced-zero-residual variant; costs are SSD + lambda * bits with
+    CABAC-LUT bit estimates (merge candidates price the merge index,
+    others price the exact mvd binarization).  The winner's
+    (mv, level, recon, cbf) fields are gathered per block; coherent
+    winners become skip/merge CUs in the host syntax stage.
+
+    cur_b: [n, S, S]; mv_own/pred_own from ME. Returns
+    (mv [n,2], level [n,S,S], recon [n,S,S], pred [n,S,S],
+    best_cost [n] — the winner's SSD + lambda*bits, consumed by the
+    CU-quadtree consolidation).
+    """
+    if cand_fields is None:
+        cand_fields = merge_candidate_fields(mv_own)
+    left_f = cand_fields[0][0].reshape(-1, 2)
+    cands = [(mv_own.reshape(-1, 2), False)] + \
+        [(f.reshape(-1, 2), m) for f, m in cand_fields]
+
+    best_cost = None
+    sel = (None, None, None, None)
+    for k, (cand, is_merge) in enumerate(cands):
+        if k == 0:
+            pred = pred_own
+        else:
+            pred = me.mc_luma_at(ref_pad, pos_y, pos_x, cand, s)
+        level, rr = _tq(cur_b - pred, s, qp, False, sbh_scan)
+        recon = jnp.clip(pred + rr, 0, 255)
+        ssd_coded = jnp.sum((recon - cur_b) ** 2, (-1, -2)) \
+            .astype(jnp.float32)
+        ssd_zero = jnp.sum((pred - cur_b) ** 2, (-1, -2)) \
+            .astype(jnp.float32)
+        bits_resid = rdbits.residual_bits(level, s) + 2.0
+        if is_merge:
+            # merge flag + merge idx (skip if residual-free)
+            bits_mv = 3.0
+        else:
+            bits_mv = rdbits.mvd_bits(cand - left_f) + 5.0
+        cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
+        cost_zero = ssd_zero + lam * (bits_mv + 1.0)
+        use_zero = cost_zero <= cost_coded
+        cost = jnp.where(use_zero, cost_zero, cost_coded)
+        level = jnp.where(use_zero[:, None, None], 0, level)
+        recon = jnp.where(use_zero[:, None, None], pred, recon)
+        if best_cost is None:
+            best_cost = cost
+            sel = (cand, level, recon, pred)
+        else:
+            take = cost < best_cost
+            best_cost = jnp.where(take, cost, best_cost)
+            t3 = take[:, None, None]
+            sel = (jnp.where(take[:, None], cand, sel[0]),
+                   jnp.where(t3, level, sel[1]),
+                   jnp.where(t3, recon, sel[2]),
+                   jnp.where(t3, pred, sel[3]))
+    return sel + (best_cost,)
+
+
+def _group_mode_mv(mv_tiles):
+    """Representative MV of a group: the member minimizing the L1
+    distance to all others (a 'mode' — the component-wise median of
+    four values need not be one of them).  mv_tiles: [g, k, 2]."""
+    d = jnp.sum(jnp.abs(mv_tiles[:, :, None] - mv_tiles[:, None]),
+                axis=(-1, -2))                       # [g, k] total dist
+    best = jnp.argmin(d, axis=-1)
+    return jnp.take_along_axis(mv_tiles, best[:, None, None],
+                               1)[:, 0]              # [g, 2]
+
+
+def _asm_tiles(t, n: int):
+    """[g, n*n, 16, 16] z-row-major tiles -> [g, 16n, 16n]."""
+    g = t.shape[0]
+    return t.reshape(g, n, n, 16, 16).transpose(0, 1, 3, 2, 4) \
+        .reshape(g, 16 * n, 16 * n)
+
+
+def _split_tiles(p, n: int):
+    """[g, 16n, 16n] -> [g, n*n, 16, 16] (inverse of _asm_tiles)."""
+    g = p.shape[0]
+    return p.reshape(g, n, 16, n, 16).transpose(0, 1, 3, 2, 4) \
+        .reshape(g, n * n, 16, 16)
+
+
+def _quadtree_level(cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y,
+                    recon_y, cost_child, elig_tile, qp, lam, bh, bw,
+                    n: int, sbh_scan16, sbh_scan_big):
+    """One consolidation level: fold n x n groups of 16x16 tiles into a
+    (16n)x(16n) CU when the parent RD (with TU-size RDO) beats the sum
+    of the children (TPU redesign of consolidate_prediction_info +
+    encode_inter's TU split, ref hmr_motion_inter.c:2503/2213).
+
+    n=2: 32x32 CUs with a 32 TB (tr_depth 0) or four 16 TBs (tr_depth
+    1), or forced-zero residual.  n=4: 64x64 CUs with four 32 TBs
+    (tr_depth 1 — a 64 TB does not exist) or zero residual.
+
+    Tile tensors are the [nb, 16, 16] block space; coefficients of big
+    TBs are stored as their 16x16 plane tiles, which the raster
+    coefficient planes (and the host writer) read back exactly.
+
+    Returns updated (mv_flat, level_y, recon_y, cost [g], take [g],
+    cbf_tiles [g, n*n], trd_tiles [g] int, tidx [g, n*n]).
+    """
+    gh, gw = bh // n, bw // n
+    gy = jnp.arange(gh, dtype=jnp.int32)
+    gx = jnp.arange(gw, dtype=jnp.int32)
+    dy = jnp.arange(n, dtype=jnp.int32)
+    tidx = ((n * gy[:, None, None, None] + dy[None, None, :, None]) * bw
+            + (n * gx[None, :, None, None] + dy[None, None, None, :]))
+    tidx = tidx.reshape(-1, n * n)                   # [g, n*n]
+    g = tidx.shape[0]
+    flat = tidx.reshape(-1)
+
+    o_tiles = cur_b[flat].reshape(g, n * n, 16, 16)
+    mv_tiles = mv_flat[flat].reshape(g, n * n, 2)
+    pmv = _group_mode_mv(mv_tiles)
+    pmv_rep = jnp.repeat(pmv, n * n, axis=0)
+    pred_t = me.mc_luma_at(ref_pad, pos_y[flat], pos_x[flat],
+                           pmv_rep, 16).reshape(g, n * n, 16, 16)
+
+    # zero-residual variant
+    ssd_zero = jnp.sum((pred_t - o_tiles) ** 2, (-1, -2, -3)) \
+        .astype(jnp.float32)
+    bits_mv = 3.0                      # merge-priced parent MV
+    cost_zero = ssd_zero + lam * (bits_mv + 1.0)
+
+    if n == 2:
+        # tr_depth 1: four 16x16 TBs on the parent prediction
+        l16, rr16 = _tq((o_tiles - pred_t).reshape(-1, 16, 16), 16, qp,
+                        False, sbh_scan16)
+        rec16 = jnp.clip(pred_t.reshape(-1, 16, 16) + rr16, 0, 255)
+        l16 = l16.reshape(g, n * n, 16, 16)
+        rec16 = rec16.reshape(g, n * n, 16, 16)
+        ssd16 = jnp.sum((rec16 - o_tiles) ** 2, (-1, -2, -3)) \
+            .astype(jnp.float32)
+        rb16 = jnp.sum(rdbits.residual_bits(
+            l16.reshape(-1, 16, 16), 16).reshape(g, n * n), -1)
+        cost_tr1 = ssd16 + lam * (bits_mv + rb16 + 5.0)
+        big = 32
+    else:
+        cost_tr1 = jnp.full((g,), jnp.inf, jnp.float32)
+        l16 = rec16 = None
+        big = 32                       # 64-CU TBs are 32 as well
+
+    # big-TB variant (32 TBs): n==2 -> one TB; n==4 -> four TBs
+    orig_big = _asm_tiles(o_tiles, n)
+    pred_big = _asm_tiles(pred_t, n)
+    if n == 4:
+        q = _split_quads64(orig_big - pred_big)      # [g*4, 32, 32]
+        lB, rrB = _tq(q, 32, qp, False, sbh_scan_big)
+        recB = jnp.clip(_split_quads64(pred_big) + rrB, 0, 255)
+        rbB = jnp.sum(rdbits.residual_bits(lB, 32).reshape(g, 4), -1)
+        lvl_big = _join_quads64(lB)
+        rec_big = _join_quads64(recB)
+        cbf_big_q = jnp.any(lB != 0, (-1, -2)).reshape(g, 4)
+    else:
+        lvl_big, rrB = _tq(orig_big - pred_big, 32, qp, False,
+                           sbh_scan_big)
+        rec_big = jnp.clip(pred_big + rrB, 0, 255)
+        rbB = rdbits.residual_bits(lvl_big, 32)
+        cbf_big_q = jnp.any(lvl_big != 0, (-1, -2))[:, None]
+    ssd_big = jnp.sum((rec_big - orig_big) ** 2, (-1, -2)) \
+        .astype(jnp.float32)
+    cost_big = ssd_big + lam * (bits_mv + rbB + 4.0)
+
+    parent_cost = jnp.minimum(jnp.minimum(cost_big, cost_tr1),
+                              cost_zero)
+    elig = ~(elig_tile[flat].reshape(g, n * n).any(-1))
+    children = jnp.sum(cost_child[flat].reshape(g, n * n), -1) \
+        + lam * 1.0
+    take = elig & (parent_cost < children)
+
+    use_zero = cost_zero <= jnp.minimum(cost_big, cost_tr1)
+    use_big = ~use_zero & (cost_big <= cost_tr1)
+
+    zz = use_zero[:, None, None, None]
+    bb = use_big[:, None, None, None]
+    lvl_big_t = _split_tiles(lvl_big, n)
+    rec_big_t = _split_tiles(rec_big, n)
+    if n == 2:
+        lvl_par = jnp.where(zz, 0, jnp.where(bb, lvl_big_t, l16))
+        rec_par = jnp.where(zz, pred_t, jnp.where(bb, rec_big_t, rec16))
+        cbf16_t = jnp.any(l16 != 0, (-1, -2))        # [g, 4]
+        cbf_par = jnp.where(
+            use_zero[:, None], False,
+            jnp.where(use_big[:, None],
+                      jnp.broadcast_to(cbf_big_q, (g, n * n)), cbf16_t))
+        trd = jnp.where(use_zero | use_big, 0, 1)
+    else:
+        lvl_par = jnp.where(zz, 0, lvl_big_t)
+        rec_par = jnp.where(zz, pred_t, rec_big_t)
+        # per-tile cbf from per-quadrant cbf: tile (ty, tx) of the 4x4
+        # grid lies in quadrant (ty//2)*2 + tx//2
+        qmap = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1,
+                            2, 2, 3, 3, 2, 2, 3, 3])
+        cbf_par = jnp.where(use_zero[:, None], False,
+                            cbf_big_q[:, qmap])
+        trd = jnp.ones((g,), jnp.int32)
+
+    tk = take[:, None, None, None]
+    level_y = level_y.at[flat].set(
+        jnp.where(tk, lvl_par, level_y[flat].reshape(g, n * n, 16, 16))
+        .reshape(-1, 16, 16))
+    recon_y = recon_y.at[flat].set(
+        jnp.where(tk, rec_par, recon_y[flat].reshape(g, n * n, 16, 16))
+        .reshape(-1, 16, 16))
+    mv_flat = mv_flat.at[flat].set(
+        jnp.where(take[:, None, None],
+                  jnp.broadcast_to(pmv[:, None], (g, n * n, 2)),
+                  mv_tiles).reshape(-1, 2))
+    cost_out = jnp.where(take, parent_cost, children)
+    return (mv_flat, level_y, recon_y, cost_out, take, cbf_par, trd,
+            tidx)
+
+
+def _split_quads64(p):
+    """[g, 64, 64] -> [g*4, 32, 32] (z-row-major quadrants)."""
+    g = p.shape[0]
+    return p.reshape(g, 2, 32, 2, 32).transpose(0, 1, 3, 2, 4) \
+        .reshape(-1, 32, 32)
+
+
+def _join_quads64(q):
+    """[g*4, 32, 32] -> [g, 64, 64]."""
+    g = q.shape[0] // 4
+    return q.reshape(g, 2, 2, 32, 32).transpose(0, 1, 3, 2, 4) \
+        .reshape(g, 64, 64)
+
+
+def quadtree_consolidate(cur_b, ref_pad, pos_y, pos_x, mv, level_y,
+                         recon_y, cost16, is_intra_blk, qp, lam,
+                         bh: int, bw: int, sign_hiding: bool):
+    """Full bottom-up CU consolidation 16 -> 32 -> 64 with TU RDO.
+
+    Returns (mv [bh,bw,2], level_y, recon_y, cbf_y [bh,bw],
+    cu_depth [bh,bw], tr_depth [bh,bw], chroma16 [bh//2,bw//2] mask of
+    32-regions whose chroma is one 16x16 TB)."""
+    sbh16 = tuple(tables.scan_order(16, tables.SCAN_DIAG)) \
+        if sign_hiding else None
+    sbh32 = tuple(tables.scan_order(32, tables.SCAN_DIAG)) \
+        if sign_hiding else None
+    mv_flat = mv.reshape(-1, 2)
+    intra_t = is_intra_blk.astype(bool)
+
+    # level 32
+    (mv_flat, level_y, recon_y, cost32, take32, cbf32_t, trd32,
+     tidx32) = _quadtree_level(
+        cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y, recon_y,
+        cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32)
+
+    # level 64: only groups whose four 32-children all merged are
+    # eligible (they then carry one MV each)
+    not32 = jnp.zeros((bh * bw,), bool).at[tidx32.reshape(-1)].set(
+        jnp.repeat(~take32, 4))
+    cost32_tile = jnp.zeros((bh * bw,), jnp.float32) \
+        .at[tidx32.reshape(-1)].set(jnp.repeat(cost32 / 4.0, 4))
+    (mv_flat, level_y, recon_y, cost64, take64, cbf64_t, trd64,
+     tidx64) = _quadtree_level(
+        cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y, recon_y,
+        cost32_tile, intra_t | not32, qp, lam, bh, bw, 4, sbh16,
+        sbh32)
+
+    # granule maps
+    cu_depth = jnp.full((bh * bw,), 2, jnp.int32)
+    tr_depth = jnp.zeros((bh * bw,), jnp.int32)
+    cbf_y = jnp.any(level_y != 0, (-1, -2))
+    g32 = tidx32.reshape(-1)
+    cu_depth = cu_depth.at[g32].set(
+        jnp.where(jnp.repeat(take32, 4), 1, cu_depth[g32]))
+    tr_depth = tr_depth.at[g32].set(
+        jnp.where(jnp.repeat(take32, 4),
+                  jnp.repeat(trd32, 4), tr_depth[g32]))
+    cbf_y = cbf_y.at[g32].set(
+        jnp.where(jnp.repeat(take32, 4), cbf32_t.reshape(-1),
+                  cbf_y[g32]))
+    g64 = tidx64.reshape(-1)
+    cu_depth = cu_depth.at[g64].set(
+        jnp.where(jnp.repeat(take64, 16), 0, cu_depth[g64]))
+    tr_depth = tr_depth.at[g64].set(
+        jnp.where(jnp.repeat(take64, 16), 1, tr_depth[g64]))
+    cbf_y = cbf_y.at[g64].set(
+        jnp.where(jnp.repeat(take64, 16), cbf64_t.reshape(-1),
+                  cbf_y[g64]))
+
+    # chroma 16x16-TB regions: 32-CU with tr_depth 0, or any 64-CU
+    ch32 = take32 & (trd32 == 0)
+    chroma16 = ch32.reshape(bh // 2, bw // 2)
+    in64 = jnp.zeros((bh * bw,), bool).at[g64].set(
+        jnp.repeat(take64, 16))
+    chroma16 = chroma16 | in64.reshape(bh, bw)[::2, ::2]
+    return (mv_flat.reshape(bh, bw, 2), level_y, recon_y,
+            cbf_y.reshape(bh, bw), cu_depth.reshape(bh, bw),
+            tr_depth.reshape(bh, bw), chroma16)
+
+
 def p_caps(nb: int):
     """Compaction capacities: (luma blocks, chroma blocks, luma escape
     BLOCKS, chroma escape BLOCKS); blocks must be even (int8 pairing)."""
@@ -77,17 +397,29 @@ def p_caps(nb: int):
 
 def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
                             block: int, h: int, w: int,
-                            is_intra=None):
+                            is_intra=None, tb2=None):
     """BS maps for a P frame (spec 8.7.2.4; ref
     get_boundary_strength_single hmr_deblocking_filter.c:138): BS=2 at a
     PU/TU boundary when either side is intra, else 1 when either side
     has luma cbf or the MVs differ by >= 4 quarter-pel in any
-    component."""
+    component.  tb2 (optional [bh, bw] bool) marks granules covered by
+    32-wide TBs (quadtree-merged CUs); their interior edges are not
+    TU/PU boundaries and are not filtered."""
     bh, bw = cbf.shape
     mvdiff_v = (jnp.abs(mv[:, :-1] - mv[:, 1:]) >= 4).any(-1)
     cond_v = (cbf[:, :-1] | cbf[:, 1:]).astype(bool) | mvdiff_v  # [bh,bw-1]
     mvdiff_h = (jnp.abs(mv[:-1] - mv[1:]) >= 4).any(-1)
     cond_h = (cbf[:-1] | cbf[1:]).astype(bool) | mvdiff_h        # [bh-1,bw]
+    if tb2 is not None:
+        # interior edges of a 32-wide TB are not TU/PU boundaries:
+        # boundary j (between granules j and j+1) is interior iff j is
+        # even and the granules belong to a 2x-scaled TB
+        j = jnp.arange(bw - 1)
+        interior_v = ((j % 2) == 0)[None, :] & tb2[:, 1:]
+        cond_v = cond_v & ~interior_v
+        i = jnp.arange(bh - 1)
+        interior_h = ((i % 2) == 0)[:, None] & tb2[1:, :]
+        cond_h = cond_h & ~interior_h
     val_v = cond_v.astype(jnp.int32)
     val_h = cond_h.astype(jnp.int32)
     if is_intra is not None:
@@ -295,19 +627,23 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     pos_x = jnp.broadcast_to(pos_x, (bh, bw)).reshape(-1)
 
     cur_b = _blocks(cur, s)
-    # MV-coherence snap toward neighbor/zero candidates (merge/skip RD)
+    # merge/skip RD arbitration over candidate MVs (exact predictions,
+    # full-lambda SSD + CABAC-LUT bits; ref check_rd_cost_merge_2nx2n).
+    # Two rounds: round 2 rebuilds the neighbour candidates from round
+    # 1's winners, propagating coherence the reference gets for free
+    # from its sequential raster scan.
     ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
-    cands = me.snap_candidates(mv)
-    left_pred = cands[1][0].reshape(-1, 2)
-    mv_flat, pred, _ = me.snap_mvs(
-        cur_b, ref_pad, pos_y, pos_x, mv.reshape(-1, 2), pred,
-        sad_me.reshape(-1), cands, left_pred, jnp.sqrt(lam), s)
-    mv = mv_flat.reshape(bh, bw, 2)
-    mv_f = mv.reshape(-1, 2)
-
-    level_y, rres = _tq(cur_b - pred, s, qp, False, sbh_scan)
-    recon_y = jnp.clip(pred + rres, 0, 255)
-    level_y, recon_y = _rd_zero(level_y, recon_y, pred, cur_b, lam)
+    mv_me = mv
+    with jax.named_scope("merge_rd"):
+        for _ in range(2):
+            cands = merge_candidate_fields(mv)
+            mv_flat, level_y, recon_y, pred_sel, cost16 = \
+                _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_me,
+                               pred, qp, lam, s, sbh_scan,
+                               cand_fields=cands)
+            mv = mv_flat.reshape(bh, bw, 2)
+    pred = pred_sel
+    mv_f = mv_flat
     cbf_y = jnp.any(level_y != 0, axis=(-1, -2)).reshape(bh, bw)
 
     # ---- chroma MC (4-tap, eighth-pel = luma quarter-pel values)
@@ -349,6 +685,93 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 pred, qp, qp_c, s, cs, bh, bw, h, w,
                 sbh_scan, sbh_scan_c)
 
+    # ---- device CU-quadtree consolidation (VERDICT round-2 item 3):
+    # fold 2x2 / 4x4 tile groups into 32/64 CUs with TU-size RDO.
+    # Groups touching (or adjacent to) intra-fallback blocks are
+    # excluded so the fallback's intra reference pixels stay exactly
+    # what the decoder reconstructs.
+    with jax.named_scope("quadtree"):
+        igrid = is_intra_blk.reshape(bh, bw).astype(bool)
+        pad_i = jnp.pad(igrid, 1)
+        dil = jnp.zeros_like(igrid)
+        for ddy in (-1, 0, 1):
+            for ddx in (-1, 0, 1):
+                dil = dil | pad_i[1 + ddy:1 + ddy + bh,
+                                  1 + ddx:1 + ddx + bw]
+        (mv, level_y, recon_y, cbf_y, cu_depth, tr_depth, chroma16) = \
+            quadtree_consolidate(
+                cur_b, ref_pad, pos_y, pos_x, mv, level_y, recon_y,
+                cost16, dil.reshape(-1), qp, lam, bh, bw, sign_hiding)
+        mv_f = mv.reshape(-1, 2)
+
+        # chroma re-code for consolidated regions: prediction at the
+        # (possibly changed) parent MV; one 16x16 chroma TB where the
+        # luma TB is 32-wide, else four 8x8 TBs
+        merged = (cu_depth < 2)
+
+        def rechroma(plane, refp, lvl0, rec0, cbf0, scan):
+            refc = jnp.asarray(refp, jnp.int32)
+            rp = jnp.pad(refc, cpad, mode="edge")
+            cw = me._gather_windows(
+                rp,
+                cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
+                cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1, cs + 3)
+            cpred = interp.mc_chroma_phases(cw, mv_f[:, 0] & 7,
+                                            mv_f[:, 1] & 7, cs)
+            cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
+            # TB8 path
+            lvl8, rr8 = _tq(cb - cpred, cs, qp_c, False, scan)
+            rec8 = jnp.clip(cpred + rr8, 0, 255)
+            lvl8, rec8 = _rd_zero(lvl8, rec8, cpred, cb,
+                                  lam_c * chroma_rd_scale)
+            # TB16 path over 2x2 groups of chroma blocks
+            g2h, g2w = bh // 2, bw // 2
+            asm = lambda t: t.reshape(g2h, 2, g2w, 2, cs, cs) \
+                .transpose(0, 2, 1, 4, 3, 5).reshape(-1, 2 * cs, 2 * cs)
+            spl = lambda p: p.reshape(g2h, g2w, 2, cs, 2, cs) \
+                .transpose(0, 2, 1, 4, 3, 5)
+            pred16 = asm(cpred.reshape(bh, bw, cs, cs))
+            orig16 = asm(cb.reshape(bh, bw, cs, cs))
+            scan16 = tuple(tables.scan_order(2 * cs, tables.SCAN_DIAG)) \
+                if sign_hiding else None
+            lvl16c, rr16c = _tq(orig16 - pred16, 2 * cs, qp_c, False,
+                                scan16)
+            rec16c = jnp.clip(pred16 + rr16c, 0, 255)
+            lvl16c, rec16c = _rd_zero(lvl16c, rec16c, pred16, orig16,
+                                      lam_c * chroma_rd_scale)
+            cbf16c = jnp.any(lvl16c != 0, (-1, -2))      # [g2]
+
+            def tiles(p16):   # [g2, 2cs, 2cs] -> [bh, bw, cs, cs]
+                return p16.reshape(g2h, g2w, 2, cs, 2, cs) \
+                    .transpose(0, 2, 1, 4, 3, 5) \
+                    .reshape(bh, bw, cs, cs)
+
+            ch16 = jnp.repeat(jnp.repeat(chroma16, 2, 0), 2, 1)
+            sel16 = ch16.reshape(-1)[:, None, None]
+            new_lvl = jnp.where(sel16,
+                                tiles(lvl16c).reshape(-1, cs, cs), lvl8)
+            new_rec = jnp.where(sel16,
+                                tiles(rec16c).reshape(-1, cs, cs), rec8)
+            new_cbf = jnp.where(
+                ch16, jnp.repeat(jnp.repeat(
+                    cbf16c.reshape(g2h, g2w), 2, 0), 2, 1),
+                jnp.any(new_lvl != 0, (-1, -2)).reshape(bh, bw))
+            mm = merged.reshape(-1)[:, None, None]
+            lvl = jnp.where(mm, new_lvl, lvl0)
+            rec = jnp.where(mm, new_rec, rec0)
+            cbf = jnp.where(merged, new_cbf, cbf0)
+            return lvl, rec, cbf
+
+        level_u, recon_u, cbf_u = rechroma(u, ref_u, level_u, recon_u,
+                                           cbf_u, sbh_scan_c)
+        level_v, recon_v, cbf_v = rechroma(v, ref_v, level_v, recon_v,
+                                           cbf_v, sbh_scan_c)
+
+    # running-distortion signal for rate control (role of the
+    # reference's avg_dist accumulation, hmr_encoder_lib.c:2722-2752):
+    # mean per-16x16-block luma SAD of the unfiltered reconstruction
+    dist16 = jnp.sum(jnp.abs(recon_y - cur_b)) // nb
+
     out_y = _unblocks(recon_y, h, w)
     out_u = _unblocks(recon_u, h // 2, w // 2)
     out_v = _unblocks(recon_v, h // 2, w // 2)
@@ -356,8 +779,10 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     if deblocking:
         # spec 8.7.2.4: the cbf term of the BS is the LUMA TB only
         ii = is_intra_blk.reshape(bh, bw) if intra_fallback else None
+        tb2 = (tr_depth == 0) & (cu_depth == 1) | (cu_depth == 0)
         bs_v, bs_h = inter_boundary_strength(cbf_y.astype(jnp.int32),
-                                             mv, s, h, w, is_intra=ii)
+                                             mv, s, h, w, is_intra=ii,
+                                             tb2=tb2)
         out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
         if intra_fallback:
             # chroma filters only BS==2 edges (intra-adjacent)
@@ -390,7 +815,10 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         out["cbf"].astype(jnp.int16).reshape(-1),
         is_intra_blk.astype(jnp.int16),
         intra_modes.astype(jnp.int16),
+        cu_depth.astype(jnp.int16).reshape(-1),
+        tr_depth.astype(jnp.int16).reshape(-1),
         cand_count.astype(jnp.int16)[None],
+        jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None],
         packing.compact_blocks_i8(level_y, cap_y, esc_y),
         packing.compact_blocks_i8(level_u, cap_c, esc_c),
         packing.compact_blocks_i8(level_v, cap_c, esc_c)]

@@ -1,23 +1,30 @@
-"""Batched wavefront intra-frame encoder (the TPU compute path).
+"""Batched intra-frame encoder: dense decision + wavefront recon.
 
-Re-designs the reference's sequential per-CTU intra loop
+TPU redesign of the reference's sequential per-CTU intra loop
 (ref: wfpp_encoder_thread hmr_encoder_lib.c:2357, motion_intra
-hmr_motion_intra.c:1990) as a single jitted JAX program:
+hmr_motion_intra.c:1990) in TWO passes:
 
-* a static dependency schedule (models/schedule.py) groups coding units
-  into wavefront steps; all CUs of a step are encoded in one batched
-  launch (vmap), honouring the spec's z-scan reconstruction dependency;
-* per CU the full mode decision runs vectorized: all 35 intra
-  predictions are generated in one gather/blend stack (ops/intra.py),
-  costs = SAD + lambda * MPM-aware mode bits (Homer RD_FAST cost,
-  ref hmr_motion_intra.c:1080-1177), argmin selects the mode;
-* transform/quant/dequant/inverse run as batched int32 MXU matmuls
-  (ops/transform.py, ops/quant.py), bit-exact per spec;
-* chroma is encoded alongside at half resolution in DM mode.
+1. **Dense mode + quadtree decision** (no wavefront): intra modes and
+   the CU tree (32 -> 16 -> 8) are decided from SOURCE-pixel reference
+   samples for every block of the frame in a handful of giant batched
+   launches — all 35 predictions, SATD, MPM-aware mode bits, and the
+   split decisions are pure dense tensor ops.  This is the TPU shape of
+   the reference's ufast decoupling (analyse_recursive_info_cu
+   hmr_motion_intra.c:1657 pre-decides splits from variance before any
+   reconstruction); source-based decision is an encoder choice and
+   keeps the stream conformant.
+2. **Wavefront reconstruction** (the only serial part): a static
+   schedule (models/schedule.py) over 32x32 slots; each step
+   reconstructs all slots of an anti-diagonal in one batched launch.
+   With modes fixed, the step body is a single prediction + T/Q/IQ/IT
+   per tree level — an order of magnitude lighter than deciding modes
+   in-loop, which is what makes all-intra throughput scale.
 
-The output is a FrameRecord tensor set (decisions + quantized
-coefficients) that the native host entropy stage serializes to the
-bitstream — the device/host split of SURVEY.md §7.
+CU/TU tree: 32x32 CUs carry 32x32 TBs (chroma 16), 16x16 CUs carry
+16x16 TBs (chroma 8), and 16x16 slots may split into four 8x8 CUs with
+8x8 TBs (chroma 4x4, coded at the 4th child per spec).  The host
+entropy stage serializes the resulting FrameRecord (decisions +
+quantized coefficients) — the device/host split of SURVEY.md §7.
 """
 from __future__ import annotations
 
@@ -29,8 +36,12 @@ import numpy as np
 
 from homerhevc_tpu import tables
 from homerhevc_tpu.models import schedule
-from homerhevc_tpu.ops import deblock, intra, quant, sao, transform
+from homerhevc_tpu.ops import deblock, intra, quant, rdbits, sao, transform
 
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
 
 def _segment_avail_layout(s: int) -> np.ndarray:
     """Map 5 segment-availability bools to the [4S+1] adi mask layout."""
@@ -43,114 +54,11 @@ def _segment_avail_layout(s: int) -> np.ndarray:
     return seg
 
 
-
-# ---- 8x8 split path helpers (z-order sub-blocks inside a 16x16 slot) --
-
-_SUB_OFF = ((0, 0), (0, 8), (8, 0), (8, 8))     # z-order (dy, dx)
-
-
-def _sub_avail(seg_av):
-    """Per-sub-block 5-segment availability [4][nb, 5] derived from the
-    slot's (bottomleft, left, corner, top, topright) availability plus
-    z-scan order within the slot (spec 6.4.1)."""
-    bl = seg_av[:, 0]
-    le = seg_av[:, 1]
-    co = seg_av[:, 2]
-    to = seg_av[:, 3]
-    tr = seg_av[:, 4]
-    t = jnp.ones_like(bl)
-    f = jnp.zeros_like(bl)
-    k0 = jnp.stack([le, le, co, to, to], -1)
-    k1 = jnp.stack([f, t, to, to, tr], -1)
-    k2 = jnp.stack([bl, le, le, t, t], -1)
-    k3 = jnp.stack([f, t, t, t, f], -1)
-    return (k0, k1, k2, k3)
-
-
-def _patch_adi(patch, oy: int, ox: int, size: int):
-    """adi [nb, 4*size+1] of the sub-block at patch-relative origin
-    (1+oy, 1+ox); patch covers one extra row/col of neighbors."""
-    top = patch[:, oy, ox:ox + 2 * size + 1]
-    left = patch[:, 1 + oy:1 + oy + 2 * size, ox]
-    return jnp.concatenate([left[:, ::-1], top], -1)
-
-
-def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
-    """Sign-bit hiding in the block's ACTUAL coefficient scan (spec
-    7.4.9.11 mode-dependent scans for intra 4x4/8x8): the writer hides
-    the sign per coefficient group of its scan, so the parity fix must
-    use the same order."""
-    if not sign_hiding:
-        return level
-    outs = []
-    for idx in (tables.SCAN_DIAG, tables.SCAN_HOR, tables.SCAN_VER):
-        outs.append(quant.sign_bit_hide(
-            level, du, tuple(tables.scan_order(size, idx)), size))
-    ver = (mode >= 6) & (mode <= 14)
-    hor = (mode >= 22) & (mode <= 30)
-    return jnp.where(ver[:, None, None], outs[2],
-                     jnp.where(hor[:, None, None], outs[1], outs[0]))
-
-
-def _tq_mode_scan(orig, pred, size, qp, mode, lam, sign_hiding):
-    """TQ/recon with mode-dependent-scan SBH (for 8x8 luma / 4x4)."""
-    resid = orig.astype(jnp.int32) - pred
-    coeff = transform.forward_transform(resid, size)
-    level, du = quant.quantize(coeff, qp, size, is_intra=True)
-    level = _sbh_by_mode(level, du, mode, size, sign_hiding)
-    deq = quant.dequantize(level, qp, size)
-    r = transform.inverse_transform(deq, size)
-    recon = jnp.clip(pred + r, 0, 255)
-    level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
-    return level, recon
-
-
-def _bits_est(level):
-    return jnp.sum(jnp.abs(level), (-1, -2)).astype(jnp.float32) * 3.0
-
-
-@functools.lru_cache(maxsize=None)
-def build_plan(width: int, height: int, cu: int, ctu: int = 64):
-    """Static wavefront plan for a padded width x height frame."""
-    bw, bh = width // cu, height // cu
-    bpc = ctu // cu
-    steps, n_steps, batches = schedule.wavefront_schedule(bw, bh, bpc)
-    avail = schedule.availability(bw, bh, bpc)
-    amask = np.stack([avail["bottomleft"], avail["left"], avail["corner"],
-                      avail["top"], avail["topright"]], axis=-1)  # [bh,bw,5]
-    nb = batches.shape[1]
-    by = batches[..., 0]
-    bx = batches[..., 1]
-    valid = by >= 0
-    by_c = np.where(valid, by, 0)
-    bx_c = np.where(valid, bx, 0)
-    seg_avail = amask[by_c, bx_c]                       # [n_steps, nb, 5]
-    # "above PU in another CTU row -> treat as DC" flag for MPM (spec 8.4.2)
-    top_other_ctu = (by_c * cu) % ctu == 0
-    # numpy only: this plan is lru_cached across jit traces, and arrays
-    # created inside a trace are tracers that must not escape it
-    plan = dict(
-        n_steps=n_steps, nb=nb,
-        by=np.asarray(by_c, np.int32), bx=np.asarray(bx_c, np.int32),
-        valid=np.asarray(valid),
-        seg_avail=np.asarray(seg_avail),
-        top_other_ctu=np.asarray(top_other_ctu),
-        left_avail=np.asarray(avail["left"][by_c, bx_c]),
-        top_avail=np.asarray(avail["top"][by_c, bx_c]),
-    )
-    return plan
-
-
-def _gather_adi(buf: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, s: int):
-    """adi vector from a (1+H+S, 1+W+S) padded recon buffer.
-
-    Buffer origin is (1, 1); reads the top row (corner..topright) and the
-    left column (left+bottomleft), assembling the reference layout of
-    ops/intra.py.
-    """
-    top = jax.lax.dynamic_slice(buf, (y0, x0), (1, 2 * s + 1))[0]
-    left = jax.lax.dynamic_slice(buf, (y0 + 1, x0), (2 * s, 1))[:, 0]
-    return jnp.concatenate([left[::-1], top])
+def _avail_mask(seg_av, s: int):
+    """[..., 5] segment availability -> [..., 4S+1] pixel mask."""
+    layout = jnp.asarray(_segment_avail_layout(s), jnp.int32)
+    return jnp.einsum("...k,kn->...n", seg_av.astype(jnp.int32),
+                      layout) > 0
 
 
 def _mpm_candidates(left_m, top_m):
@@ -158,11 +66,9 @@ def _mpm_candidates(left_m, top_m):
     a, b = left_m, top_m
     eq = a == b
     a_ang = a >= 2
-    # equal & angular: {a, 2+((a+29)%32), 2+((a-1)%32)}
     c0_eq = jnp.where(a_ang, a, 0)
     c1_eq = jnp.where(a_ang, 2 + ((a + 29) % 32), 1)
     c2_eq = jnp.where(a_ang, 2 + ((a - 1) % 32), 26)
-    # different: {a, b, planar | (26 if a+b<2 else DC)}
     c2_ne = jnp.where((a != 0) & (b != 0), 0,
                       jnp.where(a + b < 2, 26, 1))
     c0 = jnp.where(eq, c0_eq, a)
@@ -181,19 +87,20 @@ def _hadamard(n: int) -> np.ndarray:
 
 def satd(resid: jnp.ndarray, size: int) -> jnp.ndarray:
     """Sum of absolute Hadamard-transformed differences (the HM/Homer
-    mode-decision metric — a far better transform-rate proxy than SAD).
-    resid: [..., S, S] -> [...]."""
+    mode-decision metric).  resid: [..., S, S] -> [...]."""
     h = jnp.asarray(_hadamard(size))
-    t = jnp.einsum("ij,...jk,kl->...il", h, resid.astype(jnp.float32), h)
+    # HIGHEST precision: exact-integer f32 values; the default bf16
+    # matmul would make mode decisions platform-dependent
+    t = jnp.einsum("ij,...jk,kl->...il", h, resid.astype(jnp.float32), h,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(jnp.abs(t), (-1, -2)) / size
 
 
 def _rd_zero_intra(level, recon, pred, orig, lam):
-    """Zero-residual RD for intra blocks (same form as the inter pass)."""
+    """Zero-residual RD with CABAC-LUT bit pricing."""
     ssd_coded = jnp.sum((recon - orig) ** 2, (-1, -2)).astype(jnp.float32)
     ssd_zero = jnp.sum((pred - orig) ** 2, (-1, -2)).astype(jnp.float32)
-    bits = 16.0 + 3.0 * jnp.sum(jnp.abs(level), (-1, -2)) \
-        .astype(jnp.float32)
+    bits = rdbits.residual_bits(level, level.shape[-1]) + 2.0
     zero = ssd_zero <= ssd_coded + lam * bits
     level = jnp.where(zero[..., None, None], 0, level)
     recon = jnp.where(zero[..., None, None],
@@ -201,287 +108,539 @@ def _rd_zero_intra(level, recon, pred, orig, lam):
     return level, recon
 
 
-def _tq_recon(orig, pred, size, qp, lam=None, sbh_scan=None):
-    """residual -> T -> Q -> IQ -> IT -> recon, batched (bit-exact)."""
+def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
+    """Sign-bit hiding in the block's ACTUAL coefficient scan (spec
+    7.4.9.11: intra 4x4/8x8 luma and 4x4 chroma use mode-dependent
+    scans)."""
+    if not sign_hiding:
+        return level
+    outs = []
+    for idx in (tables.SCAN_DIAG, tables.SCAN_HOR, tables.SCAN_VER):
+        outs.append(quant.sign_bit_hide(
+            level, du, tuple(tables.scan_order(size, idx)), size))
+    ver = (mode >= 6) & (mode <= 14)
+    hor = (mode >= 22) & (mode <= 30)
+    return jnp.where(ver[:, None, None], outs[2],
+                     jnp.where(hor[:, None, None], outs[1], outs[0]))
+
+
+def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False):
+    """residual -> T -> Q(-SBH) -> IQ -> IT -> recon + zero-RD.
+
+    mode-dependent-scan SBH applies when `mode` is given (sizes 4/8);
+    otherwise the diagonal scan is used.
+    Returns (level, recon, cbf)."""
     resid = orig.astype(jnp.int32) - pred
     coeff = transform.forward_transform(resid, size)
     level, du = quant.quantize(coeff, qp, size, is_intra=True)
-    if sbh_scan is not None:
-        level = quant.sign_bit_hide(level, du, sbh_scan, size)
+    if sign_hiding:
+        if mode is not None and size in (4, 8):
+            level = _sbh_by_mode(level, du, mode, size, True)
+        else:
+            level = quant.sign_bit_hide(
+                level, du, tuple(tables.scan_order(
+                    size, tables.SCAN_DIAG)), size)
     deq = quant.dequantize(level, qp, size)
     r = transform.inverse_transform(deq, size)
     recon = jnp.clip(pred + r, 0, 255)
-    if lam is not None:
-        level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
+    level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
     cbf = jnp.any(level != 0, axis=(-1, -2))
     return level, recon, cbf
 
 
-def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
+# ---------------------------------------------------------------------------
+# pass 1: dense mode + quadtree decision (source-pixel references)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _avail_np(w: int, h: int, s: int, ctu: int) -> np.ndarray:
+    """[h//s, w//s, 5] neighbour-segment availability at block size s
+    (exact per z-scan coding order; spec 6.4.1)."""
+    av = schedule.availability(w // s, h // s, ctu // s)
+    return np.stack([av["bottomleft"], av["left"], av["corner"],
+                     av["top"], av["topright"]], axis=-1)
+
+
+def _blocks(plane: jnp.ndarray, b: int):
+    h, w = plane.shape
+    return plane.reshape(h // b, b, w // b, b).transpose(0, 2, 1, 3) \
+        .reshape(-1, b, b)
+
+
+def _dense_best(y32, s: int, ctu: int, sqrt_lam):
+    """Best intra mode + cost for every s x s block, from source-pixel
+    reference samples with exact availability.  Returns
+    (mode [bh, bw] int32, cost [bh, bw] f32)."""
+    h, w = y32.shape
+    bh, bw = h // s, w // s
+    nb = bh * bw
+    buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
+    buf = buf.at[1:1 + h, 1:1 + w].set(y32)
+    pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
+    pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
+
+    def gather(yy, xx):
+        top = jax.lax.dynamic_slice(buf, (yy, xx), (1, 2 * s + 1))[0]
+        left = jax.lax.dynamic_slice(buf, (yy + 1, xx), (2 * s, 1))[:, 0]
+        return jnp.concatenate([left[::-1], top])
+
+    adi_raw = jax.vmap(gather)(pos_y, pos_x)
+    amask = jnp.asarray(_avail_np(w, h, s, ctu).reshape(nb, 5))
+    adi = intra.substitute_refs(adi_raw, _avail_mask(amask, s))
+    preds = intra.predict_all_modes(adi, s, True)       # [nb, 35, S, S]
+    orig = _blocks(y32, s)
+    dist = satd(preds - orig[:, None], s)               # [nb, 35]
+
+    # MPM-aware mode bits from a first-round argmin of the neighbours
+    best0 = jnp.argmin(dist, -1).astype(jnp.int32).reshape(bh, bw)
+    left_m = jnp.concatenate([jnp.ones((bh, 1), jnp.int32),
+                              best0[:, :-1]], 1)
+    top_m = jnp.concatenate([jnp.ones((1, bw), jnp.int32),
+                             best0[:-1]], 0)
+    cands = _mpm_candidates(left_m.reshape(-1), top_m.reshape(-1))
+    all_modes = jnp.arange(35, dtype=jnp.int32)
+    in_mpm = (cands[:, :, None] == all_modes[None, None]).any(axis=1)
+    cost = dist + sqrt_lam.astype(jnp.float32) \
+        * rdbits.intra_mode_bits(in_mpm)
+    best = jnp.argmin(cost, -1).astype(jnp.int32)
+    return best.reshape(bh, bw), jnp.min(cost, -1).reshape(bh, bw)
+
+
+# per-CU header bits (mode + part/cbf flags) and split-flag bits used
+# by the in-loop RD split decisions (recon pass)
+_CU_HDR_BITS = 6.0
+_SPLIT_BITS = 1.5
+
+
+def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True):
+    """Dense MODE decision for the whole frame (one best mode per block
+    at each tree level).  The CU-tree split decisions happen in the
+    reconstruction pass with true SSD + lambda*bits RD (both paths are
+    computed there anyway, ref consolidation hmr_motion_intra.c:1440)."""
+    with jax.named_scope("intra.dense32"):
+        mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam)
+    with jax.named_scope("intra.dense16"):
+        mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam)
+    if search_8x8:
+        with jax.named_scope("intra.dense8"):
+            mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam)
+    else:
+        mode8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
+    return dict(mode32=mode32, mode16=mode16, mode8=mode8)
+
+
+# ---------------------------------------------------------------------------
+# pass 2: wavefront reconstruction (32x32 slots)
+# ---------------------------------------------------------------------------
+
+_SUB_OFF = ((0, 0), (0, 1), (1, 0), (1, 1))     # z-order (qy, qx)
+
+
+@functools.lru_cache(maxsize=None)
+def build_plan(width: int, height: int, ctu: int = 64):
+    """Static wavefront plan over 32x32 slots, with per-slot
+    sub-16 / sub-8 availability baked in (numpy; jit constants)."""
+    s = 32
+    bw, bh = width // s, height // s
+    bpc = ctu // s
+    steps, n_steps, batches = schedule.wavefront_schedule(bw, bh, bpc)
+    nb = batches.shape[1]
+    by = batches[..., 0]
+    bx = batches[..., 1]
+    valid = by >= 0
+    by_c = np.where(valid, by, 0)
+    bx_c = np.where(valid, bx, 0)
+    av32 = _avail_np(width, height, 32, ctu)[by_c, bx_c]
+    av16_g = _avail_np(width, height, 16, ctu)
+    av8_g = _avail_np(width, height, 8, ctu)
+    # z-ordered sub-block availability per slot
+    av16 = np.zeros((n_steps, nb, 4, 5), dtype=bool)
+    av8 = np.zeros((n_steps, nb, 4, 4, 5), dtype=bool)
+    for k16, (qy, qx) in enumerate(_SUB_OFF):
+        av16[:, :, k16] = av16_g[2 * by_c + qy, 2 * bx_c + qx]
+        for k8, (ry, rx) in enumerate(_SUB_OFF):
+            av8[:, :, k16, k8] = av8_g[4 * by_c + 2 * qy + ry,
+                                       4 * bx_c + 2 * qx + rx]
+    return dict(
+        n_steps=n_steps, nb=nb,
+        by=np.asarray(by_c, np.int32), bx=np.asarray(bx_c, np.int32),
+        valid=np.asarray(valid), av32=np.asarray(av32),
+        av16=av16, av8=av8,
+    )
+
+
+def _patch_adi(patch, oy, ox, size: int):
+    """adi [nb, 4*size+1] of the sub-block at patch-relative origin
+    (1+oy, 1+ox); patch row/col 0 hold the slot's neighbours.  oy/ox
+    may be traced scalars (the z-order loops run as lax.scan)."""
+    n = patch.shape[0]
+    top = jax.lax.dynamic_slice(
+        patch, (0, oy, ox), (n, 1, 2 * size + 1))[:, 0]
+    left = jax.lax.dynamic_slice(
+        patch, (0, oy + 1, ox), (n, 2 * size, 1))[:, :, 0]
+    return jnp.concatenate([left[:, ::-1], top], -1)
+
+
+def _gather_map(m, by, bx, maxv):
+    """Per-slot gather from a decision grid (clamped; slots are valid)."""
+    return m[jnp.minimum(by, m.shape[0] - 1),
+             jnp.minimum(bx, m.shape[1] - 1)]
+
+
+def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  sign_hiding: bool = False, rd_lambda_scale: float = 1.0,
                  deblocking: bool = False, sao_enabled: bool = False,
-                 split_8x8: bool = True, chroma_qp_offset: int = 0):
+                 search_8x8: bool = True, chroma_qp_offset: int = 0,
+                 cu: int = None, split_8x8: bool = None):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
-    Returns dict of device arrays (FrameRecord fields).
-    """
+    Returns dict of device arrays (FrameRecord fields).  `cu` and
+    `split_8x8` are accepted for backward compatibility (`split_8x8`
+    maps to search_8x8)."""
+    if split_8x8 is not None:
+        search_8x8 = split_8x8
     h, w = y.shape
-    plan = build_plan(w, h, cu, ctu)
-    s, cs = cu, cu // 2
-    qp = jnp.asarray(qp, jnp.int32)   # traced: one program per shape,
+    plan = build_plan(w, h, ctu)
+    qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp + chroma_qp_offset, 0, 57)]
-    seg_layout = jnp.asarray(_segment_avail_layout(s))     # [5, 4S+1]
-    seg_layout_c = jnp.asarray(_segment_avail_layout(cs))
-    seg_layout8 = jnp.asarray(_segment_avail_layout(8))
-    seg_layout4 = jnp.asarray(_segment_avail_layout(4))
     lam_rd = tables.rd_lambda(qp, True)
     lam_rd_c = tables.rd_lambda(qp_c, True)
+    lamf = lam_rd.astype(jnp.float32)
+    lamcf = lam_rd_c.astype(jnp.float32)
     sqrt_lambda = jnp.sqrt(lam_rd) * rd_lambda_scale
-    sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
-        if sign_hiding else None
-    sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
-        if sign_hiding else None
 
     y32 = jnp.asarray(y, jnp.int32)
     u32 = jnp.asarray(u, jnp.int32)
     v32 = jnp.asarray(v, jnp.int32)
 
-    bw, bh = w // s, h // s
-    recon_y0 = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
-    recon_u0 = jnp.zeros((1 + h // 2 + cs, 1 + w // 2 + cs), jnp.int32)
+    # ---- pass 1: dense decision
+    dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8)
+
+    bh, bw = h // 16, w // 16            # 16-granule grid (record maps)
+    b32h, b32w = h // 32, w // 32
+
+    recon_y0 = jnp.zeros((1 + h + 32, 1 + w + 32), jnp.int32)
+    recon_u0 = jnp.zeros((1 + h // 2 + 16, 1 + w // 2 + 16), jnp.int32)
     recon_v0 = jnp.zeros_like(recon_u0)
     coeff_y0 = jnp.zeros((h, w), jnp.int32)
     coeff_u0 = jnp.zeros((h // 2, w // 2), jnp.int32)
     coeff_v0 = jnp.zeros_like(coeff_u0)
-    modes0 = jnp.full((bh, bw), 1, jnp.int32)   # DC default for MPM derive
     modes8_0 = jnp.full((2 * bh, 2 * bw), 1, jnp.int32)
     cbf8_0 = jnp.zeros((3, 2 * bh, 2 * bw), jnp.int32)
-    depth0 = jnp.zeros((bh, bw), jnp.int32)
+    depth0 = jnp.full((bh, bw), 2, jnp.int32)
 
+    # ---- pass 2: wavefront reconstruction over 32x32 slots
     def step(carry, inp):
-        (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, modes8_map,
-         cbf8_map, depth_map) = carry
-        by, bx, valid, seg_av, top_other, left_av, top_av = inp
+        (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cbf8_map,
+         depth_map) = carry
+        by, bx, valid, av32, av16, av8 = inp
         nb = by.shape[0]
-        y0 = by * s
-        x0 = bx * s
-        lamf = lam_rd.astype(jnp.float32)
-        lamcf = lam_rd_c.astype(jnp.float32)
+        y0 = by * 32
+        x0 = bx * 32
 
-        # ---- 16x16 path: adi + 35 predictions + SATD mode cost
-        adi_raw = jax.vmap(lambda yy, xx: _gather_adi(rec_y, yy, xx, s))(
-            y0, x0)
-        avail_mask = jnp.einsum("bk,kn->bn", seg_av.astype(jnp.int32),
-                                seg_layout.astype(jnp.int32)) > 0
-        adi = intra.substitute_refs(adi_raw, avail_mask)
-        preds = intra.predict_all_modes(adi, s, True)      # [nb,35,S,S]
-        orig = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            y32, (yy, xx), (s, s)))(y0, x0)
-        dist = satd(preds - orig[:, None], s)
+        m32 = _gather_map(dec["mode32"], by, bx, 0)        # [nb]
+        orig32 = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            y32, (yy, xx), (32, 32)))(y0, x0)
 
-        left_m = jnp.where(left_av, mode_map[by, bx - 1], 1)
-        top_m = jnp.where(top_av & ~top_other, mode_map[by - 1, bx], 1)
-        cands = _mpm_candidates(left_m, top_m)             # [nb, 3]
-        all_modes = jnp.arange(35, dtype=jnp.int32)
-        in_mpm = (cands[:, :, None] == all_modes[None, None]).any(axis=1)
-        # Homer RD_FAST mode-bit heuristic (ref hmr_motion_intra.c:1142)
-        mode_bits = jnp.where(in_mpm, 1.0, 6.0)
-        cost = dist + sqrt_lambda.astype(jnp.float32) * mode_bits
-        best = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        # ===== luma 32 path (one 32x32 TB)
+        def g_adi(buf, yy, xx, s):
+            top = jax.lax.dynamic_slice(buf, (yy, xx), (1, 2 * s + 1))[0]
+            left = jax.lax.dynamic_slice(
+                buf, (yy + 1, xx), (2 * s, 1))[:, 0]
+            return jnp.concatenate([left[::-1], top])
 
-        pred = jnp.take_along_axis(
-            preds, best[:, None, None, None], axis=1)[:, 0]
-        level16, recon16, _ = _tq_recon(orig, pred, s, qp, lam=lam_rd,
-                                        sbh_scan=sbh_scan)
-        ssd16 = jnp.sum((recon16 - orig) ** 2, (-1, -2)) \
-            .astype(jnp.float32)
-        cost16 = ssd16 + lamf * (22.0 + _bits_est(level16))
+        adi32 = intra.substitute_refs(
+            jax.vmap(lambda yy, xx: g_adi(rec_y, yy, xx, 32))(y0, x0),
+            _avail_mask(av32, 32))
+        pred32 = intra.predict_single_mode(adi32, m32, 32, True)
+        lvl32, rec32, cbf32 = _tq_recon(orig32, pred32, 32, qp, lam_rd,
+                                        sign_hiding=sign_hiding)
 
-        # ---- 8x8 split path: 4 z-order sub-blocks (spec: each sub-CU
-        # predicts from reconstructed neighbours incl. earlier subs)
-        if split_8x8:
-            patch = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                rec_y, (yy, xx), (25, 25)))(y0, x0)
-            subs = _sub_avail(seg_av)
-            lv8 = jnp.zeros((nb, s, s), jnp.int32)
-            modes8 = []
-            cbf8 = []
-            cost8 = lamf * 5.0                       # split + part bins
-            for k, (oy, ox) in enumerate(_SUB_OFF):
-                am = jnp.einsum("bk,kn->bn", subs[k].astype(jnp.int32),
-                                seg_layout8.astype(jnp.int32)) > 0
-                adi8 = intra.substitute_refs(_patch_adi(patch, oy, ox, 8),
-                                             am)
-                p8 = intra.predict_all_modes(adi8, 8, True)
-                o8 = orig[:, oy:oy + 8, ox:ox + 8]
-                d8 = satd(p8 - o8[:, None], 8)
-                c8 = d8 + sqrt_lambda.astype(jnp.float32) * 5.0
-                b8 = jnp.argmin(c8, -1).astype(jnp.int32)
-                pr8 = jnp.take_along_axis(
-                    p8, b8[:, None, None, None], 1)[:, 0]
-                l8, r8 = _tq_mode_scan(o8, pr8, 8, qp, b8, lam_rd,
-                                       sign_hiding)
-                patch = patch.at[:, 1 + oy:9 + oy, 1 + ox:9 + ox].set(r8)
-                lv8 = lv8.at[:, oy:oy + 8, ox:ox + 8].set(l8)
-                modes8.append(b8)
-                cbf8.append(jnp.any(l8 != 0, (-1, -2)))
-                ssd8 = jnp.sum((r8 - o8) ** 2, (-1, -2)) \
-                    .astype(jnp.float32)
-                cost8 = cost8 + ssd8 + lamf * (18.0 + _bits_est(l8))
-            recon8 = patch[:, 1:1 + s, 1:1 + s]
-            split = cost8 < cost16                    # [nb]
-            sp = split[:, None, None]
-            level = jnp.where(sp, lv8, level16)
-            recon = jnp.where(sp, recon8, recon16)
-            modes_q = jnp.where(split[:, None], jnp.stack(modes8, -1),
-                                best[:, None])        # [nb, 4]
-            cbf16 = jnp.any(level16 != 0, (-1, -2))
-            cbf_q = jnp.where(split[:, None], jnp.stack(cbf8, -1),
-                              cbf16[:, None])         # [nb, 4]
-        else:
-            level, recon = level16, recon16
-            split = jnp.zeros((nb,), bool)
-            modes_q = jnp.broadcast_to(best[:, None], (nb, 4))
-            cbf_q = jnp.broadcast_to(
-                jnp.any(level16 != 0, (-1, -2))[:, None], (nb, 4))
+        # ===== luma 16/8 path (patch covers slot + 16 right/below
+        # ext); the four z-order sub-16s run as a lax.scan (and the
+        # 8x8 sub-path as a nested scan) so the compiled body holds ONE
+        # instance of each leaf instead of 16 — compile time, not
+        # runtime, is what this buys
+        patch = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+            rec_y, (yy, xx), (49, 49)))(y0, x0)
+        lvl_ch = jnp.zeros((nb, 32, 32), jnp.int32)
+        offs = jnp.asarray([[16 * q[0], 16 * q[1]] for q in _SUB_OFF],
+                           jnp.int32)
+        m16_all = jnp.stack([_gather_map(dec["mode16"], 2 * by + q[0],
+                                         2 * bx + q[1], 0)
+                             for q in _SUB_OFF], 0)      # [4, nb]
+        m8_all = jnp.stack(
+            [jnp.stack([_gather_map(dec["mode8"],
+                                    4 * by + 2 * q[0] + r[0],
+                                    4 * bx + 2 * q[1] + r[1], 0)
+                        for r in _SUB_OFF], 0)
+             for q in _SUB_OFF], 0)                       # [4, 4, nb]
 
-        # ---- chroma: unsplit 8x8 DM vs split 4x4 DMs
-        cy0 = by * cs
-        cx0 = bx * cs
-        avail_mask_c = jnp.einsum("bk,kn->bn", seg_av.astype(jnp.int32),
-                                  seg_layout_c.astype(jnp.int32)) > 0
+        def sub16_body(carry, xk):
+            patch, lvl_ch, cost_children = carry
+            off, av16_k, av8_k, m16, m8_k = xk
+            oy, ox = off[0], off[1]
+            adi16 = intra.substitute_refs(
+                _patch_adi(patch, oy, ox, 16), _avail_mask(av16_k, 16))
+            pr16 = intra.predict_single_mode(adi16, m16, 16, True)
+            o16 = jax.lax.dynamic_slice(orig32, (0, oy, ox),
+                                        (nb, 16, 16))
+            l16, r16, c16 = _tq_recon(o16, pr16, 16, qp, lam_rd,
+                                      sign_hiding=sign_hiding)
+            cost16 = jnp.sum((r16 - o16) ** 2, (-1, -2)) \
+                .astype(jnp.float32) + lamf * (
+                    rdbits.residual_bits(l16, 16) + _CU_HDR_BITS)
+            if search_8x8:
+                offs8 = jnp.asarray(
+                    [[8 * r[0], 8 * r[1]] for r in _SUB_OFF], jnp.int32)
+
+                def sub8_body(c8carry, x8):
+                    patch8, l8s, cost8 = c8carry
+                    off8, av8_kk, m8 = x8
+                    o8y, o8x = oy + off8[0], ox + off8[1]
+                    adi8 = intra.substitute_refs(
+                        _patch_adi(patch8, o8y, o8x, 8),
+                        _avail_mask(av8_kk, 8))
+                    pr8 = intra.predict_single_mode(adi8, m8, 8, True)
+                    o8 = jax.lax.dynamic_slice(orig32, (0, o8y, o8x),
+                                               (nb, 8, 8))
+                    l8, r8, c8 = _tq_recon(o8, pr8, 8, qp, lam_rd,
+                                           mode=m8,
+                                           sign_hiding=sign_hiding)
+                    cost8 = cost8 + jnp.sum((r8 - o8) ** 2, (-1, -2)) \
+                        .astype(jnp.float32) + lamf * (
+                            rdbits.residual_bits(l8, 8) + _CU_HDR_BITS)
+                    patch8 = jax.lax.dynamic_update_slice(
+                        patch8, r8, (0, o8y + 1, o8x + 1))
+                    l8s = jax.lax.dynamic_update_slice(
+                        l8s, l8, (0, off8[0], off8[1]))
+                    return (patch8, l8s, cost8), (m8, c8)
+
+                (patch8, l8s, cost8), (m8_y, cbf8_y) = jax.lax.scan(
+                    sub8_body,
+                    (patch, jnp.zeros((nb, 16, 16), jnp.int32),
+                     jnp.broadcast_to(lamf * _SPLIT_BITS, (nb,))),
+                    (offs8, av8_k, m8_k))
+                rec8 = jax.lax.dynamic_slice(patch8, (0, oy + 1, ox + 1),
+                                             (nb, 16, 16))
+                sp16 = cost8 < cost16
+                cost_children = cost_children + jnp.minimum(cost8,
+                                                            cost16)
+                spm = sp16[:, None, None]
+                sel16 = jnp.where(spm, rec8, r16)
+                lsel16 = jnp.where(spm, l8s, l16)
+                m8_out = jnp.where(sp16[None, :], m8_y, m16[None, :])
+                cbf_out = jnp.where(sp16[None, :], cbf8_y, c16[None, :])
+            else:
+                sel16, lsel16 = r16, l16
+                sp16 = jnp.zeros((nb,), bool)
+                cost_children = cost_children + cost16
+                m8_out = jnp.broadcast_to(m16[None, :], (4, nb))
+                cbf_out = jnp.broadcast_to(c16[None, :], (4, nb))
+            patch = jax.lax.dynamic_update_slice(
+                patch, sel16, (0, oy + 1, ox + 1))
+            lvl_ch = jax.lax.dynamic_update_slice(
+                lvl_ch, lsel16, (0, oy, ox))
+            return (patch, lvl_ch, cost_children), \
+                (m16, sp16, m8_out, cbf_out)
+
+        (patch, lvl_ch, cost_children), \
+            (m16_y, sp16_y, m8_y2, cbf_y2) = jax.lax.scan(
+                sub16_body,
+                (patch, lvl_ch,
+                 jnp.broadcast_to(lamf * _SPLIT_BITS, (nb,))),
+                (offs, jnp.moveaxis(av16, 1, 0),
+                 jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
+                 m16_all, m8_all))
+        rec_children = patch[:, 1:33, 1:33]
+        m16_sel = m16_y                            # [4, nb]
+        sp16_sel = sp16_y                          # [4, nb]
+        modes_q8 = jnp.moveaxis(m8_y2, 2, 0)       # [nb, 4, 4]
+        cbf_q8 = jnp.moveaxis(cbf_y2, 2, 0)
+
+        # in-loop RD decision: one 32x32 CU vs the four children
+        cost32 = jnp.sum((rec32 - orig32) ** 2, (-1, -2)) \
+            .astype(jnp.float32) + lamf * (
+                rdbits.residual_bits(lvl32, 32) + _CU_HDR_BITS)
+        sp32 = cost_children < cost32
+        sp32m = sp32[:, None, None]
+        recon = jnp.where(sp32m, rec_children, rec32)
+        level = jnp.where(sp32m, lvl_ch, lvl32)
+
+        # per-8 modes / cbf / depth maps [nb, 4(sub16), 4(sub8)]
+        modes_q = jnp.where(sp32[:, None, None], modes_q8,
+                            m32[:, None, None])
+        cbf_q = jnp.where(sp32[:, None, None], cbf_q8,
+                          cbf32[:, None, None])
+        sp16_q = jnp.moveaxis(sp16_sel, 1, 0) & sp32[:, None]  # [nb, 4]
+        depth_q = jnp.where(sp32[:, None],
+                            jnp.where(sp16_q, 3, 2), 1)   # [nb, 4]
+
+        # ===== chroma (DM): 16 TB for CU32, 8 TB for CU16, 4x4 for CU8
+        cy0 = y0 // 2
+        cx0 = x0 // 2
 
         def chroma(rec_p, plane):
-            adi_c_raw = jax.vmap(
-                lambda yy, xx: _gather_adi(rec_p, yy, xx, cs))(cy0, cx0)
-            adi_c = intra.substitute_refs(adi_c_raw, avail_mask_c)
-            preds_c = intra.predict_all_modes(adi_c, cs, False)
-            pred_c = jnp.take_along_axis(
-                preds_c, best[:, None, None, None], axis=1)[:, 0]
             orig_c = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                plane, (yy, xx), (cs, cs)))(cy0, cx0)
-            lvc, rc, _ = _tq_recon(orig_c, pred_c, cs, qp_c,
-                                   lam=lam_rd_c, sbh_scan=sbh_scan_c)
-            if not split_8x8:
-                return lvc, rc, jnp.any(lvc != 0, (-1, -2))[:, None] \
-                    .repeat(4, 1)
-            # split path: four 4x4 chroma DMs in z-order
+                plane, (yy, xx), (16, 16)))(cy0, cx0)
+            adi_c = intra.substitute_refs(
+                jax.vmap(lambda yy, xx: g_adi(rec_p, yy, xx, 16))(
+                    cy0, cx0),
+                _avail_mask(av32, 16))
+            pr_c16 = intra.predict_single_mode(adi_c, m32, 16, False)
+            lc16, rc16, cc16 = _tq_recon(orig_c, pr_c16, 16, qp_c,
+                                         lam_rd_c,
+                                         sign_hiding=sign_hiding)
+            # children: 8 TB per sub16 (or 4x4 z-quads when split to 8)
             cpatch = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                rec_p, (yy, xx), (13, 13)))(cy0, cx0)
-            subs = _sub_avail(seg_av)
-            lv4 = jnp.zeros((nb, cs, cs), jnp.int32)
-            cbf4 = []
-            for k in range(4):
-                oy, ox = _SUB_OFF[k][0] // 2, _SUB_OFF[k][1] // 2
-                am = jnp.einsum("bk,kn->bn", subs[k].astype(jnp.int32),
-                                seg_layout4.astype(jnp.int32)) > 0
-                adi4 = intra.substitute_refs(
-                    _patch_adi(cpatch, oy, ox, 4), am)
-                p4 = intra.predict_all_modes(adi4, 4, False)
-                mk = modes_q[:, k]
-                pr4 = jnp.take_along_axis(
-                    p4, mk[:, None, None, None], 1)[:, 0]
-                o4 = orig_c[:, oy:oy + 4, ox:ox + 4]
-                l4, r4 = _tq_mode_scan(o4, pr4, 4, qp_c, mk, lam_rd_c,
-                                       sign_hiding)
-                cpatch = cpatch.at[:, 1 + oy:5 + oy, 1 + ox:5 + ox] \
-                    .set(r4)
-                lv4 = lv4.at[:, oy:oy + 4, ox:ox + 4].set(l4)
-                cbf4.append(jnp.any(l4 != 0, (-1, -2)))
-            rc4 = cpatch[:, 1:1 + cs, 1:1 + cs]
-            spc = split[:, None, None]
-            lv_out = jnp.where(spc, lv4, lvc)
-            rc_out = jnp.where(spc, rc4, rc)
-            cbfc16 = jnp.any(lvc != 0, (-1, -2))
-            cbf_out = jnp.where(split[:, None], jnp.stack(cbf4, -1),
-                                cbfc16[:, None])
-            return lv_out, rc_out, cbf_out
+                rec_p, (yy, xx), (25, 25)))(cy0, cx0)
+            lv_ch0 = jnp.zeros((nb, 16, 16), jnp.int32)
+            coffs = jnp.asarray([[8 * q[0], 8 * q[1]]
+                                 for q in _SUB_OFF], jnp.int32)
+
+            def csub16_body(carry, xk):
+                cpatch, lv_ch = carry
+                off, av16_k, av8_k, m16, m8_k, sp16 = xk
+                oy, ox = off[0], off[1]
+                adi8 = intra.substitute_refs(
+                    _patch_adi(cpatch, oy, ox, 8),
+                    _avail_mask(av16_k, 8))
+                pr8 = intra.predict_single_mode(adi8, m16, 8, False)
+                o8 = jax.lax.dynamic_slice(orig_c, (0, oy, ox),
+                                           (nb, 8, 8))
+                l8, r8, c8 = _tq_recon(o8, pr8, 8, qp_c, lam_rd_c,
+                                       sign_hiding=sign_hiding)
+                if search_8x8:
+                    coffs4 = jnp.asarray([[4 * r[0], 4 * r[1]]
+                                          for r in _SUB_OFF], jnp.int32)
+
+                    def csub8_body(c4carry, x4):
+                        cpatch4, l4s = c4carry
+                        off4, av8_kk, m8 = x4
+                        o4y, o4x = oy + off4[0], ox + off4[1]
+                        adi4 = intra.substitute_refs(
+                            _patch_adi(cpatch4, o4y, o4x, 4),
+                            _avail_mask(av8_kk, 4))
+                        pr4 = intra.predict_single_mode(adi4, m8, 4,
+                                                        False)
+                        o4 = jax.lax.dynamic_slice(
+                            orig_c, (0, o4y, o4x), (nb, 4, 4))
+                        l4, r4, c4 = _tq_recon(o4, pr4, 4, qp_c,
+                                               lam_rd_c, mode=m8,
+                                               sign_hiding=sign_hiding)
+                        cpatch4 = jax.lax.dynamic_update_slice(
+                            cpatch4, r4, (0, o4y + 1, o4x + 1))
+                        l4s = jax.lax.dynamic_update_slice(
+                            l4s, l4, (0, off4[0], off4[1]))
+                        return (cpatch4, l4s), c4
+
+                    (cpatch4, l4s), cbf4_y = jax.lax.scan(
+                        csub8_body,
+                        (cpatch, jnp.zeros((nb, 8, 8), jnp.int32)),
+                        (coffs4, av8_k, m8_k))
+                    r4q = jax.lax.dynamic_slice(
+                        cpatch4, (0, oy + 1, ox + 1), (nb, 8, 8))
+                    spm = sp16[:, None, None]
+                    r_sel = jnp.where(spm, r4q, r8)
+                    l_sel = jnp.where(spm, l4s, l8)
+                    cbf_sel = jnp.where(sp16[None, :], cbf4_y,
+                                        c8[None, :])       # [4, nb]
+                else:
+                    r_sel, l_sel = r8, l8
+                    cbf_sel = jnp.broadcast_to(c8[None, :], (4, nb))
+                cpatch = jax.lax.dynamic_update_slice(
+                    cpatch, r_sel, (0, oy + 1, ox + 1))
+                lv_ch = jax.lax.dynamic_update_slice(
+                    lv_ch, l_sel, (0, oy, ox))
+                return (cpatch, lv_ch), cbf_sel
+
+            (cpatch, lv_ch), cbf_y4 = jax.lax.scan(
+                csub16_body, (cpatch, lv_ch0),
+                (coffs, jnp.moveaxis(av16, 1, 0),
+                 jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
+                 m16_sel, m8_all, sp16_sel))
+            rc_children = cpatch[:, 1:17, 1:17]
+            spm32 = sp32[:, None, None]
+            rc = jnp.where(spm32, rc_children, rc16)
+            lc = jnp.where(spm32, lv_ch, lc16)
+            cbf_c = jnp.where(sp32[:, None, None],
+                              jnp.moveaxis(cbf_y4, 2, 0),
+                              cc16[:, None, None])    # [nb, 4, 4]
+            return lc, rc, cbf_c
 
         lv_u, rec_u_blk, cbf_u_q = chroma(rec_u, u32)
         lv_v, rec_v_blk, cbf_v_q = chroma(rec_v, v32)
 
-        # ---- scatter (masked blocks dropped via OOB index)
+        # ===== scatter (masked slots dropped via OOB row index)
         def scatter_plane(plane, blks, yy, xx, size, off):
             rows = yy[:, None, None] + off + \
                 jnp.arange(size)[None, :, None]
             cols = xx[:, None, None] + off + \
                 jnp.arange(size)[None, None, :]
-            # masked (padding) blocks get a positive out-of-range row so
-            # mode="drop" discards them (negative would wrap)
             rows = jnp.where(valid[:, None, None], rows, plane.shape[0])
             shp = (rows.shape[0], size, size)
             return plane.at[jnp.broadcast_to(rows, shp),
                             jnp.broadcast_to(cols, shp)].set(blks,
                                                              mode="drop")
 
-        rec_y = scatter_plane(rec_y, recon, y0, x0, s, 1)
-        rec_u = scatter_plane(rec_u, rec_u_blk, cy0, cx0, cs, 1)
-        rec_v = scatter_plane(rec_v, rec_v_blk, cy0, cx0, cs, 1)
-        cf_y = scatter_plane(cf_y, level, y0, x0, s, 0)
-        cf_u = scatter_plane(cf_u, lv_u, cy0, cx0, cs, 0)
-        cf_v = scatter_plane(cf_v, lv_v, cy0, cx0, cs, 0)
+        rec_y = scatter_plane(rec_y, recon, y0, x0, 32, 1)
+        rec_u = scatter_plane(rec_u, rec_u_blk, cy0, cx0, 16, 1)
+        rec_v = scatter_plane(rec_v, rec_v_blk, cy0, cx0, 16, 1)
+        cf_y = scatter_plane(cf_y, level, y0, x0, 32, 0)
+        cf_u = scatter_plane(cf_u, lv_u, cy0, cx0, 16, 0)
+        cf_v = scatter_plane(cf_v, lv_v, cy0, cx0, 16, 0)
 
-        bsafe = jnp.where(valid, by, jnp.int32(mode_map.shape[0]))
-        # representative mode for the MPM cost heuristic of later slots
-        mode_map = mode_map.at[bsafe, bx].set(modes_q[:, 0], mode="drop")
-        depth_map = depth_map.at[bsafe, bx].set(split.astype(jnp.int32),
-                                                mode="drop")
-        # 8x8-granular maps (z-order subs -> raster quadrants)
-        q_y = jnp.asarray([0, 0, 1, 1])
-        q_x = jnp.asarray([0, 1, 0, 1])
-        for k in range(4):
-            modes8_map = modes8_map.at[2 * bsafe + q_y[k],
-                                       2 * bx + q_x[k]].set(
-                modes_q[:, k], mode="drop")
-            cbf8_map = cbf8_map.at[0, 2 * bsafe + q_y[k],
-                                   2 * bx + q_x[k]].set(
-                cbf_q[:, k].astype(jnp.int32), mode="drop")
-            cbf8_map = cbf8_map.at[1, 2 * bsafe + q_y[k],
-                                   2 * bx + q_x[k]].set(
-                cbf_u_q[:, k].astype(jnp.int32), mode="drop")
-            cbf8_map = cbf8_map.at[2, 2 * bsafe + q_y[k],
-                                   2 * bx + q_x[k]].set(
-                cbf_v_q[:, k].astype(jnp.int32), mode="drop")
-        return (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map,
-                modes8_map, cbf8_map, depth_map), None
+        bsafe = jnp.where(valid, by, jnp.int32(10 ** 6))
+        qy = jnp.asarray([o[0] for o in _SUB_OFF], jnp.int32)
+        qx = jnp.asarray([o[1] for o in _SUB_OFF], jnp.int32)
+        depth_map = depth_map.at[
+            2 * bsafe[:, None] + qy[None, :],
+            2 * bx[:, None] + qx[None, :]].set(depth_q, mode="drop")
+        r8y = (4 * bsafe[:, None, None] + 2 * qy[None, :, None]
+               + qy[None, None, :])
+        r8x = (4 * bx[:, None, None] + 2 * qx[None, :, None]
+               + qx[None, None, :])
+        modes8_map = modes8_map.at[r8y, r8x].set(modes_q, mode="drop")
+        cbf8_map = cbf8_map.at[0, r8y, r8x].set(
+            cbf_q.astype(jnp.int32), mode="drop")
+        cbf8_map = cbf8_map.at[1, r8y, r8x].set(
+            cbf_u_q.astype(jnp.int32), mode="drop")
+        cbf8_map = cbf8_map.at[2, r8y, r8x].set(
+            cbf_v_q.astype(jnp.int32), mode="drop")
+        return (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map,
+                cbf8_map, depth_map), None
 
-    xs = (plan["by"], plan["bx"], plan["valid"], plan["seg_avail"],
-          plan["top_other_ctu"], plan["left_avail"], plan["top_avail"])
-    carry0 = (recon_y0, recon_u0, recon_v0, coeff_y0, coeff_u0, coeff_v0,
-              modes0, modes8_0, cbf8_0, depth0)
+    xs = (jnp.asarray(plan["by"]), jnp.asarray(plan["bx"]),
+          jnp.asarray(plan["valid"]), jnp.asarray(plan["av32"]),
+          jnp.asarray(plan["av16"]), jnp.asarray(plan["av8"]))
+    carry0 = (recon_y0, recon_u0, recon_v0, coeff_y0, coeff_u0,
+              coeff_v0, modes8_0, cbf8_0, depth0)
     carry, _ = jax.lax.scan(step, carry0, xs)
-    (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, mode_map, modes8_map,
-     cbf8_map, depth_map) = carry
+    (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cbf8_map,
+     depth_map) = carry
 
     out_y = rec_y[1:1 + h, 1:1 + w]
     out_u = rec_u[1:1 + h // 2, 1:1 + w // 2]
     out_v = rec_v[1:1 + h // 2, 1:1 + w // 2]
+    # RC distortion signal: mean per-16x16-block luma SAD (pre-filter)
+    dist16 = jnp.sum(jnp.abs(out_y - y32)) // (bh * bw)
+
     if deblocking:
-        # decoder-side in-loop filter: recon must match (spec 8.7.2);
-        # all-intra => BS=2 at every CU/TU boundary, which for split
-        # slots includes the interior 8px edges
-        bs_v_np, bs_h_np = deblock.uniform_intra_bs(h, w, s)
-        bs_v = jnp.asarray(bs_v_np)
-        bs_h = jnp.asarray(bs_h_np)
-        split_m = depth_map > 0                      # [bh, bw]
-        inner_v = jnp.repeat(split_m.astype(jnp.int32) * 2, s // 4, 0)
-        bs_v = bs_v.at[:, 1::2].set(inner_v)
-        inner_h = jnp.repeat(split_m.astype(jnp.int32) * 2, s // 4, 1)
-        bs_h = bs_h.at[1::2, :].set(inner_h)
-        bs_vc, bs_hc = deblock.uniform_intra_bs_chroma(h // 2, w // 2, cs)
+        # all-intra: BS=2 at every CU/TU boundary on the 8-pel grid;
+        # boundaries follow the chosen tree (32 TBs switch interior
+        # edges OFF, 8x8 splits switch them on)
+        bs_v, bs_h = _intra_bs_from_tree(depth_map, h, w)
         out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
-        out_u = deblock.deblock_chroma(
-            out_u, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
-        out_v = deblock.deblock_chroma(
-            out_v, jnp.asarray(bs_vc), jnp.asarray(bs_hc), qp_c)
+        bs_vc, bs_hc = _intra_bs_chroma_from_tree(depth_map, h // 2,
+                                                  w // 2)
+        out_u = deblock.deblock_chroma(out_u, bs_vc, bs_hc, qp_c)
+        out_v = deblock.deblock_chroma(out_v, bs_vc, bs_hc, qp_c)
 
     sao_fields = None
     if sao_enabled:
-        lam = tables.rd_lambda(qp, True)
-        lam_c = tables.rd_lambda(qp_c, True)
         out_y, out_u, out_v, sao_fields = sao.sao_frame(
-            y32, u32, v32, out_y, out_u, out_v, lam, lam_c, ctu)
+            y32, u32, v32, out_y, out_u, out_v, lamf, lamcf, ctu)
 
     out = dict(
         recon_y=out_y,
@@ -499,18 +658,95 @@ def encode_frame(y, u, v, qp: int, cu: int = 16, ctu: int = 64,
         out["coeff_cr"].reshape(-1),
         modes8_map.astype(jnp.int16).reshape(-1),
         cbf8_map.astype(jnp.int16).reshape(-1),
-        depth_map.astype(jnp.int16).reshape(-1)]
+        depth_map.astype(jnp.int16).reshape(-1),
+        jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None]]
     if sao_fields is not None:
         parts.append(sao.pack_sao_fields(sao_fields))
     out["packed"] = jnp.concatenate(parts)
     return out
 
 
+def _intra_bs_from_tree(depth_map, h: int, w: int):
+    """Luma BS maps from the CU-depth granule map (1=32, 2=16, 3=8x8).
+
+    Vertical-edge map [h/4, w/8]: column e sits at luma x = 8e (edges
+    every 8 px); BS=2 iff that x is a TB boundary for the block row.
+    """
+    bh, bw = depth_map.shape                  # 16-granules
+    # per-granule "has 16-edge" (depth >= 2) and "has 8-edge" (== 3)
+    d = depth_map
+    e16 = d >= 2
+    e8 = d >= 3
+    bs_v = jnp.zeros((h // 4, w // 8), jnp.int32)
+    # edge columns: e = x/8; x multiple of 32 -> always on (CU bound);
+    # x ≡ 16 (mod 32) -> on if the granule left of x has depth>=2
+    # (16-CU boundary; granule size 16 means granule index x//16 - 1);
+    # x ≡ 8 (mod 16) -> on if containing granule has depth 3
+    ecols = jnp.arange(w // 8)
+    x = ecols * 8
+    # map each edge to its governing granule (the one to the LEFT for
+    # interior-16 edges, the CONTAINING one for 8-edges)
+    g16 = jnp.clip(x // 16 - jnp.where(x % 16 == 0, 1, 0), 0, bw - 1)
+    on_32 = (x % 32) == 0
+    on_16 = ((x % 32) == 16)
+    on_8 = ((x % 16) == 8)
+    rows16 = jnp.repeat(e16, 4, axis=0)       # [h/4, bw] per 4-row
+    rows8 = jnp.repeat(e8, 4, axis=0)
+    col_on = (on_32[None, :]
+              | (on_16[None, :] & rows16[:, g16])
+              | (on_8[None, :] & rows8[:, g16]))
+    bs_v = col_on.astype(jnp.int32) * 2
+    bs_v = bs_v.at[:, 0].set(0)               # frame edge not filtered
+    # horizontal edges: transpose-symmetric
+    erows = jnp.arange(h // 8)
+    yy = erows * 8
+    gy16 = jnp.clip(yy // 16 - jnp.where(yy % 16 == 0, 1, 0), 0, bh - 1)
+    on_32h = (yy % 32) == 0
+    on_16h = ((yy % 32) == 16)
+    on_8h = ((yy % 16) == 8)
+    cols16 = jnp.repeat(e16, 4, axis=1)       # [bh, w/4]
+    cols8 = jnp.repeat(e8, 4, axis=1)
+    row_on = (on_32h[:, None]
+              | (on_16h[:, None] & cols16[gy16, :])
+              | (on_8h[:, None] & cols8[gy16, :]))
+    bs_h = row_on.astype(jnp.int32) * 2
+    bs_h = bs_h.at[0, :].set(0)
+    return bs_v, bs_h
+
+
+def _intra_bs_chroma_from_tree(depth_map, hc: int, wc: int):
+    """Chroma BS (edges on the 8-chroma-px grid = 16-luma grid): on at
+    32-luma boundaries always, and at interior 16-luma boundaries when
+    the 32-slot is split."""
+    bh, bw = depth_map.shape
+    e16 = depth_map >= 2
+    ecols = jnp.arange(wc // 8)
+    x = ecols * 16                            # luma x of the edge
+    g16 = jnp.clip(x // 16 - 1, 0, bw - 1)
+    on_32 = (x % 32) == 0
+    on_16 = (x % 32) == 16
+    rows16 = jnp.repeat(e16, 4, axis=0)       # [hc/2, bw] per 2-chroma
+    col_on = on_32[None, :] | (on_16[None, :] & rows16[:, g16])
+    bs_v = col_on.astype(jnp.int32) * 2
+    bs_v = bs_v.at[:, 0].set(0)
+    erows = jnp.arange(hc // 8)
+    yy = erows * 16
+    gy16 = jnp.clip(yy // 16 - 1, 0, bh - 1)
+    on_32h = (yy % 32) == 0
+    on_16h = (yy % 32) == 16
+    cols16 = jnp.repeat(e16, 4, axis=1)
+    row_on = on_32h[:, None] | (on_16h[:, None] & cols16[gy16, :])
+    bs_h = row_on.astype(jnp.int32) * 2
+    bs_h = bs_h.at[0, :].set(0)
+    return bs_v, bs_h
+
+
 encode_frame_jit = jax.jit(
-    encode_frame, static_argnames=("cu", "ctu", "sign_hiding",
+    encode_frame, static_argnames=("ctu", "sign_hiding",
                                    "rd_lambda_scale", "deblocking",
-                                   "sao_enabled", "split_8x8",
-                                   "chroma_qp_offset"))
+                                   "sao_enabled", "search_8x8",
+                                   "chroma_qp_offset", "cu",
+                                   "split_8x8"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -523,7 +759,8 @@ def encode_i_chunk(ys, us, vs, qp, **flags):
 
 
 encode_i_chunk_jit = jax.jit(
-    encode_i_chunk, static_argnames=("cu", "ctu", "sign_hiding",
+    encode_i_chunk, static_argnames=("ctu", "sign_hiding",
                                      "rd_lambda_scale", "deblocking",
-                                     "sao_enabled", "split_8x8",
-                                     "chroma_qp_offset"))
+                                     "sao_enabled", "search_8x8",
+                                     "chroma_qp_offset", "cu",
+                                     "split_8x8"))

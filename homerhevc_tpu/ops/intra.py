@@ -136,6 +136,87 @@ def _filter_flags(size: int, is_luma: bool) -> np.ndarray:
     return flags
 
 
+def predict_single_mode(adi: jnp.ndarray, mode: jnp.ndarray, size: int,
+                        is_luma: bool, bit_depth: int = 8) -> jnp.ndarray:
+    """Prediction for ONE (traced) mode per block — the cheap path for
+    reconstruction once modes are already decided (the dense decision
+    pass uses predict_all_modes; re-generating all 35 stacks per
+    wavefront leaf would waste ~30x the prediction work).
+
+    adi: int32 [n, 4S+1]; mode: int32 [n].  Returns int32 [n, S, S].
+    Bit-exact vs predict_all_modes + take (asserted in tests).
+    """
+    s = size
+    log2 = int(np.log2(s))
+    corner = 2 * s
+    n = adi.shape[0]
+    adi_f = filter_refs(adi, s)
+
+    top = adi[..., corner + 1: corner + 1 + s]
+    left_idx = np.arange(2 * s - 1, s - 1, -1)
+    left = adi[..., left_idx]
+    top_f = adi_f[..., corner + 1: corner + 1 + s]
+    left_f = adi_f[..., left_idx]
+    col = jnp.arange(s, dtype=jnp.int32)
+    row = col[:, None]
+
+    # --- planar
+    use_f = bool(_filter_flags(s, is_luma)[PLANAR])
+    t = top_f if use_f else top
+    l = left_f if use_f else left
+    tr = (adi_f if use_f else adi)[..., corner + 1 + s]
+    bl = (adi_f if use_f else adi)[..., s - 1]
+    planar = ((s - 1 - col)[None, :] * l[..., :, None]
+              + (col + 1)[None, :] * tr[..., None, None]
+              + (s - 1 - col)[:, None] * t[..., None, :]
+              + (row + 1) * bl[..., None, None]
+              + s) >> (log2 + 1)
+
+    # --- DC
+    dc_val = (jnp.sum(top, -1) + jnp.sum(left, -1) + s) >> (log2 + 1)
+    dc = jnp.broadcast_to(dc_val[..., None, None], (n, s, s))
+    if is_luma and s < 32:
+        dc_row0 = (top + 3 * dc_val[..., None] + 2) >> 2
+        dc_col0 = (left + 3 * dc_val[..., None] + 2) >> 2
+        dc_corner = (left[..., 0] + 2 * dc_val + top[..., 0] + 2) >> 2
+        dc = dc.at[..., 0, :].set(dc_row0)
+        dc = dc.at[..., :, 0].set(dc_col0)
+        dc = dc.at[..., 0, 0].set(dc_corner)
+
+    # --- angular (per-block gather of the mode's static index table)
+    src_idx, fact_np = _angular_tables(s)
+    flags = _filter_flags(s, is_luma)
+    m = jnp.clip(mode - 2, 0, 32)                       # [n]
+    src = jnp.asarray(src_idx)[m]                        # [n, S, S, 2]
+    fact = jnp.asarray(fact_np)[m][:, :, None]           # [n, S, 1]
+    use_filt = jnp.asarray(flags[2:].astype(np.int32))[m]  # [n]
+    adi_m = jnp.where(use_filt[:, None] > 0, adi_f, adi)
+    taps = jnp.take_along_axis(
+        adi_m, src.reshape(n, -1), axis=-1).reshape(n, s, s, 2)
+    ang = ((32 - fact) * taps[..., 0] + fact * taps[..., 1] + 16) >> 5
+
+    # pure hor/ver edge filter (luma, size < 32): in the generation
+    # domain the filter writes column 0
+    if is_luma and s < 32:
+        maxv = (1 << bit_depth) - 1
+        cor = adi[..., corner]
+        v26 = jnp.clip(top[..., 0][..., None]
+                       + ((left - cor[..., None]) >> 1), 0, maxv)
+        v10 = jnp.clip(left[..., 0][..., None]
+                       + ((top - cor[..., None]) >> 1), 0, maxv)
+        edge = jnp.where((mode == 26)[:, None], v26,
+                         jnp.where((mode == 10)[:, None], v10,
+                                   ang[..., :, 0]))
+        ang = ang.at[..., :, 0].set(edge)
+
+    # horizontal modes (2..17) are generated transposed; swap back
+    ang = jnp.where((mode < 18)[:, None, None],
+                    jnp.swapaxes(ang, -1, -2), ang)
+
+    return jnp.where((mode == PLANAR)[:, None, None], planar,
+                     jnp.where((mode == DC)[:, None, None], dc, ang))
+
+
 def predict_all_modes(adi: jnp.ndarray, size: int, is_luma: bool,
                       bit_depth: int = 8) -> jnp.ndarray:
     """All 35 intra predictions from a substituted adi vector.

@@ -233,60 +233,32 @@ def mc_luma_at(ref_pad, pos_y, pos_x, mv, block: int):
                                       block, True)
 
 
-def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
-    """Approximate MVD bit count (EG1 binarization scale)."""
-    a = jnp.abs(d).astype(jnp.float32)
-    return jnp.sum(2.0 * jnp.log2(a + 1.0) + 1.0, axis=-1)
+def field_median(mv_grid: jnp.ndarray) -> jnp.ndarray:
+    """Component-wise median MV of a [..., 2] field (global motion)."""
+    return jnp.stack([jnp.median(mv_grid[..., 0]),
+                      jnp.median(mv_grid[..., 1])]).astype(jnp.int32)
 
 
-def snap_candidates(mv_grid: jnp.ndarray):
-    """Candidate MV fields from a first-round [bh, bw, 2] grid:
-    (left, top, global-median, zero), each [bh, bw, 2]."""
-    left = jnp.concatenate([mv_grid[:, :1], mv_grid[:, :-1]], 1)
-    top = jnp.concatenate([mv_grid[:1], mv_grid[:-1]], 0)
-    # dominant (median) MV = global-motion candidate; first-round
-    # fields over periodic textures are tie-broken incoherently, and
-    # one neighbor-propagation round cannot converge them alone
-    med = jnp.stack([jnp.median(mv_grid[..., 0]),
-                     jnp.median(mv_grid[..., 1])]).astype(jnp.int32)
-    glob = jnp.broadcast_to(med, mv_grid.shape)
-    zero = jnp.zeros_like(mv_grid)
-    return ((glob, 2.0), (left, 2.0), (top, 2.0), (zero, 4.0))
-
-
-def snap_mvs(cur_blocks, ref_pad, pos_y, pos_x, mv, pred_own, sad,
-             cands, left_pred, lam_me, block: int):
-    """MV-coherence pass (role of the reference's merge/AMVP-aware
-    costs, select_mv_candidate_fast hmr_motion_inter.c:981): each block
-    re-evaluates candidate MVs (from snap_candidates) with a
-    merge-cheap bit bonus, snapping when the rate-biased cost wins.
-    Coherent fields turn into merge/skip at the host syntax stage.
-
-    Candidate SADs use integer-rounded MVs (window gather only — no
-    interpolation), so the decision costs 1/16 of an exact evaluation;
-    ONE exact MC at the chosen MV produces the final prediction.
-
-    mv/left_pred: [n, 2]; cands: iterable of ([n, 2] or [bh, bw, 2]
-    reshapeable, bits).  Returns (mv [n,2], pred [n,B,B], sad [n]).
-    """
+def global_arbitrate(cur_blocks, ref_pad, pos_y, pos_x, mv0f, med,
+                     block: int):
+    """Replace a block's coarse MV with the global `med` MV when the
+    latter has lower full-res integer SAD (anti-aliasing arbitration;
+    shared by the single-device and row-sharded paths so sharding stays
+    bit-transparent)."""
     def int_sad(cand):
-        iy = REF_PAD + pos_y + ((cand[:, 0] + 2) >> 2)
-        ix = REF_PAD + pos_x + ((cand[:, 1] + 2) >> 2)
-        win = _gather_windows(ref_pad, iy, ix, block)
+        win = _gather_windows(ref_pad, REF_PAD + pos_y + cand[:, 0],
+                              REF_PAD + pos_x + cand[:, 1], block)
         return jnp.sum(jnp.abs(win - cur_blocks), (-1, -2))
 
-    own_bits = 2.0 + _mvd_bits(mv - left_pred)
-    best_cost = int_sad(mv).astype(jnp.float32) + lam_me * own_bits
-    out_mv = mv
-    for cand, bits in cands:
-        cand = cand.reshape(-1, 2)
-        c = int_sad(cand).astype(jnp.float32) + lam_me * bits
-        take = c < best_cost
-        best_cost = jnp.where(take, c, best_cost)
-        out_mv = jnp.where(take[:, None], cand, out_mv)
-    pred = mc_luma_at(ref_pad, pos_y, pos_x, out_mv, block)
-    out_sad = jnp.sum(jnp.abs(pred - cur_blocks), (-1, -2))
-    return out_mv, pred, out_sad
+    medf = jnp.broadcast_to(med, mv0f.shape)
+    take_med = int_sad(medf) < int_sad(mv0f)
+    return jnp.where(take_med[:, None], medf, mv0f)
+
+
+def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
+    """MVD bit count: exact mvd_coding() binarization (ops/rdbits)."""
+    from homerhevc_tpu.ops import rdbits
+    return rdbits.mvd_bits(d)
 
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
@@ -304,6 +276,17 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
     pos_x = xs.reshape(-1)
     cur_blocks = cur.reshape(bh, block, bw, block).transpose(
         0, 2, 1, 3).reshape(-1, block, block)
+    # global-motion arbitration: the downsampled pyramid aliases on
+    # periodic texture, so per-block coarse MVs can land on false
+    # matches; the field MEDIAN recovers the dominant true motion —
+    # evaluate it at full resolution and take it when it beats the
+    # block's own coarse result (candidate idea per the reference's
+    # AMVP/parent seeding, hmr_motion_inter.c:2060-2074, lifted to a
+    # dense frame-level candidate)
+    with jax.named_scope("me.global_arb"):
+        mv0 = global_arbitrate(cur_blocks, ref_pad, pos_y, pos_x,
+                               mv0.reshape(-1, 2), field_median(mv0),
+                               block)
     with jax.named_scope("me.refine"):
         mv1 = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
                             mv0.reshape(-1, 2), block)

@@ -1,0 +1,208 @@
+"""Device-side RD bit estimation (the CABAC fractional-bit counter).
+
+TPU-native equivalent of the reference's EE_COUNTER entropy environment
+(ref: hmr_binary_encoding.c:280-362 `m_fracBits += g_bc_entropy_bits
+[state ^ bin]` under FAST_BIT_EST hmr_private.h:831, applied by
+rd_estimate_bits_intra_mode hmr_arithmetic_encoding.c:2133 and the
+residual walker :1032-1315).  The reference replays the full syntax
+through a counting CABAC with live adaptive contexts; that is a serial
+process, so the TPU redesign prices each syntax element with its exact
+BINARIZATION (spec 9.3.3: bin counts are exact) and a static per-bin-
+type probability model (adapted steady-state costs, not init states) —
+all pure tensor ops, usable inside every batched RD decision.
+
+Costs are in plain `bits` (float32).  Context-coded bins cost
+`cost(bin)` from a 2-entry table per bin type; bypass bins cost 1.0.
+The per-type constants were calibrated against the native CABAC writer
+(tools/calibrate_rdbits.py): estimated residual bits track measured
+slice bits within ~10% across QP 22-37 on textured content.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from homerhevc_tpu import tables
+
+# ---------------------------------------------------------------------------
+# Static per-bin costs (bits).  A context bin's cost depends on its
+# value: coding the probable value is cheap, the improbable one dear.
+# Steady-state probabilities estimated from HM/Homer context behaviour.
+# ---------------------------------------------------------------------------
+
+# significance flag: p(sig=1) in the coded region ~ 0.45
+SIG_BITS = (0.80, 1.25)          # (bin=0, bin=1)
+# coded-group flag (middle CGs): mostly 1 on real content
+CG_BITS = (1.60, 0.55)
+# greater-than-1 flag: most levels are 1
+GT1_BITS = (0.70, 1.55)
+# greater-than-2 flag
+GT2_BITS = (0.80, 1.30)
+# last-position prefix context bins
+LAST_CTX_BIT = 0.90
+# cbf luma / chroma (qt_cbf contexts)
+CBF_BITS = (0.60, 1.30)
+
+
+@functools.lru_cache(maxsize=None)
+def _last_bits_lut(size: int) -> np.ndarray:
+    """bits of last_sig_coeff_{x,y}_prefix+suffix per coordinate value
+    (spec 9.3.3.2 Table 9-41): prefix = truncated unary of group_idx
+    (context bins), suffix = (group_idx>>1)-1 bypass bins."""
+    def group_idx(c):          # spec Table 9-41 (HM g_uiGroupIdx)
+        if c < 4:
+            return c
+        lg = int(np.floor(np.log2(c)))
+        return 2 * lg + ((c >> (lg - 1)) & 1)
+
+    lut = np.zeros(size, np.float32)
+    max_g = group_idx(size - 1)
+    for c in range(size):
+        gi = group_idx(c)
+        prefix = gi + (1 if gi < max_g else 0)  # truncated unary
+        suffix = (gi >> 1) - 1 if gi > 3 else 0
+        lut[c] = prefix * LAST_CTX_BIT + max(suffix, 0) * 1.0
+    return lut
+
+
+@functools.lru_cache(maxsize=None)
+def _level_bits_lut(maxv: int = 4096) -> np.ndarray:
+    """bits to code one nonzero |level| beyond its sig flag and sign:
+    gt1 bin, gt2 bin, and Golomb-Rice remainder at rice param 0 with
+    the HEVC escape to EG(k) (spec 9.3.3.3; ref encode_residual
+    remaining-level loop hmr_arithmetic_encoding.c:1240-1311)."""
+    lut = np.zeros(maxv + 1, np.float32)
+    for lvl in range(1, maxv + 1):
+        bits = 0.0
+        if lvl == 1:
+            bits += GT1_BITS[0]
+        else:
+            bits += GT1_BITS[1]
+            if lvl == 2:
+                bits += GT2_BITS[0]
+            else:
+                bits += GT2_BITS[1]
+                rem = lvl - 3
+                r = 0
+                if rem < (3 << r):
+                    bits += (rem >> r) + 1 + r       # rice prefix+suffix
+                else:
+                    bits += 4                         # 3 ones + terminator
+                    v = rem - (3 << r)
+                    k = r + 1
+                    while v >= (1 << k):
+                        v -= 1 << k
+                        k += 1
+                        bits += 1                     # EG prefix growth
+                    bits += k + 1 - r                 # EG suffix (approx)
+        lut[lvl] = bits
+    return lut
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_perm(size: int) -> np.ndarray:
+    """Raster->diag-scan permutation indices for a size x size TB."""
+    return np.asarray(tables.scan_order(size, tables.SCAN_DIAG),
+                      np.int32)
+
+
+def residual_bits(level: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Estimated CABAC bits of residual_coding() for each TB.
+
+    level: int32 [..., S, S] quantized levels.  Returns float32 [...]
+    (0 for all-zero TBs; the cbf flag itself is NOT included — price it
+    with `cbf_bits`).  Structure-exact bin counting over the diagonal
+    scan: last-XY binarization, coded-group flags, significance map
+    restricted to flagged groups, per-level gt1/gt2/rice costs, one
+    bypass sign bit per nonzero.
+    """
+    n = size * size
+    perm = jnp.asarray(_scan_perm(size))
+    lv = jnp.abs(level).reshape(*level.shape[:-2], n)
+    lv = jnp.take(lv, perm, axis=-1)                 # scan order
+    nz = lv > 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    any_nz = nz.any(-1)
+    # last significant scan position
+    last = jnp.max(jnp.where(nz, idx, -1), axis=-1)  # [-1 if none]
+    lastc = jnp.maximum(last, 0)
+
+    # last_sig_coeff_x/y bits from the raster coords of the last coeff
+    raster = jnp.take(perm, lastc)                   # raster index
+    lx = raster % size
+    ly = raster // size
+    lb = jnp.asarray(_last_bits_lut(size))
+    bits_last = lb[lx] + lb[ly]
+
+    # coded-group flags: CGs strictly between CG0 and last CG code a
+    # flag; groups outside the coded region code nothing
+    ncg = max(n // 16, 1)
+    cg_nz = nz.reshape(*nz.shape[:-1], ncg, 16).any(-1)
+    cg_idx = jnp.arange(ncg, dtype=jnp.int32)
+    last_cg = lastc // 16
+    cg_coded = (cg_idx >= 1) & (cg_idx[None] < last_cg[..., None]) \
+        if ncg > 1 else jnp.zeros((*lastc.shape, 1), bool)
+    bits_cg = jnp.sum(
+        jnp.where(cg_coded,
+                  jnp.where(cg_nz, CG_BITS[1], CG_BITS[0]), 0.0), -1)
+
+    # significance bins: positions before `last`, inside CGs that are
+    # flagged (or implicit: CG0 and the last CG); the last position
+    # itself is implied 1
+    cg_on = cg_nz | (cg_idx == 0) | (cg_idx[None] == last_cg[..., None])
+    pos_on = jnp.repeat(cg_on, 16, axis=-1) & (idx < last[..., None])
+    bits_sig = jnp.sum(
+        jnp.where(pos_on,
+                  jnp.where(nz, SIG_BITS[1], SIG_BITS[0]), 0.0), -1)
+
+    # level + sign bits
+    lvl_lut = jnp.asarray(_level_bits_lut())
+    bits_lvl = jnp.sum(
+        jnp.where(nz, lvl_lut[jnp.clip(lv, 0, 4096)] + 1.0, 0.0), -1)
+
+    total = bits_last + bits_cg + bits_sig + bits_lvl
+    return jnp.where(any_nz, total, 0.0)
+
+
+def cbf_bits(coded) -> jnp.ndarray:
+    """Cost of one cbf flag given its value (bool tensor)."""
+    return jnp.where(coded, CBF_BITS[1], CBF_BITS[0])
+
+
+def mvd_bits(mvd: jnp.ndarray) -> jnp.ndarray:
+    """Exact bin count of mvd_coding() (spec 9.3.3.5; ref
+    hmr_arithmetic_encoding.c:679-717): per component, 2 context bins
+    (|v|>0, |v|>1) then EG1 of |v|-2 plus a bypass sign.
+
+    mvd: int32 [..., 2] quarter-pel difference.  Returns float32 [...].
+    """
+    a = jnp.abs(mvd).astype(jnp.float32)
+    gt0 = a > 0
+    gt1 = a > 1
+    # EG1 length of (a-2): group k holds 2^(k+1) values -> 2k+2 bins
+    v = jnp.maximum(a - 2.0, 0.0)
+    egk = jnp.floor(jnp.log2(v / 2.0 + 1.0))
+    eg1 = 2.0 * egk + 2.0
+    comp = (1.0                                  # >0 ctx bin (always)
+            + jnp.where(gt0, 2.0, 0.0)           # >1 ctx bin + sign EP
+            + jnp.where(gt1, eg1, 0.0))          # EG1 remainder
+    return jnp.sum(comp, axis=-1)
+
+
+def merge_idx_bits(idx, num_cands: int = 2) -> jnp.ndarray:
+    """Unary-max merge index bins (first bin context-coded)."""
+    i = jnp.asarray(idx, jnp.float32)
+    return jnp.minimum(i + 1.0, float(max(num_cands - 1, 1)))
+
+
+def intra_mode_bits(in_mpm, mpm_idx=None) -> jnp.ndarray:
+    """Luma intra mode bits (spec 9.3.3.6; ref :783-849): MPM hit =
+    flag + 1-2 bypass bins; miss = flag + 5 bypass bins."""
+    hit = jnp.asarray(in_mpm)
+    if mpm_idx is None:
+        mpm_cost = 2.4          # average over idx 0/1/2 (1 + {1,2,2})
+    else:
+        mpm_cost = 1.0 + jnp.where(jnp.asarray(mpm_idx) == 0, 1.0, 2.0)
+    return jnp.where(hit, mpm_cost, 1.0 + 5.0)

@@ -80,42 +80,59 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
         pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
         cur_b = inter_frame._blocks(cur, s)
+        # global-motion arbitration uses the FULL field median (ICI
+        # all_gather) so results match the single-device path
+        mv0_full = jax.lax.all_gather(mv0, row_axis) \
+            .reshape(h // s, bw, 2)
+        mv0 = me.global_arbitrate(cur_b, ref_pad, pos_y, pos_x,
+                                  mv0.reshape(-1, 2),
+                                  me.field_median(mv0_full), s)
         mv1 = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
                                mv0.reshape(-1, 2), s)
         mv_q, sad_me, pred = me.subpel_search(cur_b, ref_pad, pos_y,
                                               pos_x, mv1, s)
 
-        # MV-coherence snap: candidates derive from the FULL first-round
-        # grid (ICI all_gather) so results match the single-device path
-        mv_grid_full = jax.lax.all_gather(
-            mv_q.reshape(bh, bw, 2), row_axis).reshape(h // s, bw, 2)
-        cands_full = me.snap_candidates(mv_grid_full)
+        # merge/skip RD (two coherence-propagation rounds, matching
+        # encode_p_frame): candidate fields derive from the FULL grid
+        # via all_gather (left/top cross band boundaries)
         brow = band * bh
 
         def band_rows(a):
             return jax.lax.dynamic_slice(
-                a, (brow, 0, 0), (bh, bw, 2)).reshape(-1, 2)
+                a, (brow, 0, 0), (bh, bw, 2))
 
-        cands = [(band_rows(c), b) for c, b in cands_full]
-        left_pred = cands[1][0]
-        mv_flat, pred, _ = me.snap_mvs(
-            cur_b, ref_pad, pos_y, pos_x, mv_q, pred, sad_me,
-            cands, left_pred, jnp.sqrt(lam), s)
-        mv = mv_flat.reshape(bh, bw, 2)
-
-        level_y, rr = inter_frame._tq(cur_b - pred, s, qp, False,
-                                      sbh_scan)
-        recon_y = jnp.clip(pred + rr, 0, 255)
-        level_y, recon_y = inter_frame._rd_zero(level_y, recon_y, pred,
-                                                cur_b, lam)
+        mv_me = mv_q.reshape(bh, bw, 2)
+        mv_band = mv_me
+        for _ in range(2):
+            mv_grid_full = jax.lax.all_gather(
+                mv_band, row_axis).reshape(h // s, bw, 2)
+            cands_full = inter_frame.merge_candidate_fields(
+                mv_grid_full, me.field_median(mv_grid_full))
+            cands = [(band_rows(c), m) for c, m in cands_full]
+            mv_flat, level_y, recon_y, pred_sel, cost16 = \
+                inter_frame._merge_skip_rd(
+                    cur_b, ref_pad, pos_y, pos_x, mv_me, pred, qp,
+                    lam, s, sbh_scan, cand_fields=cands)
+            mv_band = mv_flat.reshape(bh, bw, 2)
+        pred = pred_sel
+        mv = mv_band
         cbf_y = jnp.any(level_y != 0, (-1, -2)).reshape(bh, bw)
+
+        # device CU-quadtree consolidation (matches encode_p_frame;
+        # 32/64 groups never cross CTU-aligned band boundaries)
+        (mv, level_y, recon_y, cbf_y, cu_depth, tr_depth, chroma16) = \
+            inter_frame.quadtree_consolidate(
+                cur_b, ref_pad, pos_y, pos_x, mv, level_y, recon_y,
+                cost16, jnp.zeros((bh * bw,), bool), qp, lam, bh, bw,
+                sign_hiding)
+        mv_fl = mv.reshape(-1, 2)
 
         cpad = me.REF_PAD // 2
 
         def chroma(plane_b, refp):
             refc = refp.astype(jnp.int32)
             rp = jnp.pad(refc, cpad, mode="edge")
-            mv_f = mv.reshape(-1, 2)
+            mv_f = mv_fl
             cw = me._gather_windows(
                 rp,
                 cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
@@ -128,7 +145,34 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             rec = jnp.clip(cpred + rrc, 0, 255)
             lvl, rec = inter_frame._rd_zero(lvl, rec, cpred, cb,
                                             lam_c * chroma_rd_scale)
-            return lvl, rec, jnp.any(lvl != 0, (-1, -2)).reshape(bh, bw)
+            # 16x16 chroma TBs where the luma TB is 32-wide
+            g2h, g2w = bh // 2, bw // 2
+            asm = lambda t: t.reshape(g2h, 2, g2w, 2, cs, cs) \
+                .transpose(0, 2, 1, 4, 3, 5).reshape(-1, 2 * cs, 2 * cs)
+            pred16 = asm(cpred.reshape(bh, bw, cs, cs))
+            orig16 = asm(cb.reshape(bh, bw, cs, cs))
+            scan16 = tuple(tables.scan_order(2 * cs, tables.SCAN_DIAG)) \
+                if sign_hiding else None
+            lvl16, rr16 = inter_frame._tq(orig16 - pred16, 2 * cs, qp_c,
+                                          False, scan16)
+            rec16 = jnp.clip(pred16 + rr16, 0, 255)
+            lvl16, rec16 = inter_frame._rd_zero(
+                lvl16, rec16, pred16, orig16, lam_c * chroma_rd_scale)
+            cbf16 = jnp.any(lvl16 != 0, (-1, -2))
+
+            def tiles(p16):
+                return p16.reshape(g2h, g2w, 2, cs, 2, cs) \
+                    .transpose(0, 2, 1, 4, 3, 5).reshape(bh, bw, cs, cs)
+
+            ch16 = jnp.repeat(jnp.repeat(chroma16, 2, 0), 2, 1)
+            sel16 = ch16.reshape(-1)[:, None, None]
+            lvl = jnp.where(sel16, tiles(lvl16).reshape(-1, cs, cs), lvl)
+            rec = jnp.where(sel16, tiles(rec16).reshape(-1, cs, cs), rec)
+            cbf = jnp.where(
+                ch16, jnp.repeat(jnp.repeat(
+                    cbf16.reshape(g2h, g2w), 2, 0), 2, 1),
+                jnp.any(lvl != 0, (-1, -2)).reshape(bh, bw))
+            return lvl, rec, cbf
 
         level_u, recon_u, cbf_u = chroma(u_b, refu)
         level_v, recon_v, cbf_v = chroma(v_b, refv)
@@ -137,10 +181,11 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         band_u = inter_frame._unblocks(recon_u, hb // 2, w // 2)
         band_v = inter_frame._unblocks(recon_v, hb // 2, w // 2)
 
+        tb2 = (tr_depth == 0) & (cu_depth == 1) | (cu_depth == 0)
         if deblocking:
             # vertical pass is row-local: filter within the band
             bs_v, _ = inter_frame.inter_boundary_strength(
-                cbf_y.astype(jnp.int32), mv, s, hb, w)
+                cbf_y.astype(jnp.int32), mv, s, hb, w, tb2=tb2)
             band_y = deblock._luma_pass(band_y, bs_v, qp)
 
         # ---- assemble the frame (ICI all_gather over the row axis)
@@ -162,8 +207,9 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
 
         if deblocking:
             # horizontal pass on the assembled frame (replicated)
+            tb2_f = jax.lax.all_gather(tb2, row_axis).reshape(h // s, bw)
             _, bs_h = inter_frame.inter_boundary_strength(
-                cbf_y_f.astype(jnp.int32), mv_f, s, h, w)
+                cbf_y_f.astype(jnp.int32), mv_f, s, h, w, tb2=tb2_f)
             full_y = deblock._luma_pass(full_y.T, bs_h.T, qp).T
 
         sao_fields = None
@@ -178,6 +224,9 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                 yf, uf, vf, full_y, full_u, full_v, lam, lam_c, ctu)
 
         nb = (h // s) * bw
+        # RC distortion signal (psum over bands == single-device sum)
+        dist16 = jax.lax.psum(
+            jnp.sum(jnp.abs(recon_y - cur_b)), row_axis) // nb
         cap_y, cap_c, esc_y, esc_c = inter_frame.p_caps(nb)
         parts = [
             mv_f.astype(jnp.int16).reshape(-1),
@@ -185,7 +234,12 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             .astype(jnp.int16).reshape(-1),
             jnp.zeros((nb,), jnp.int16),           # is_intra (fallback off)
             jnp.zeros((nb,), jnp.int16),           # intra modes
+            jax.lax.all_gather(cu_depth, row_axis)
+            .astype(jnp.int16).reshape(-1),
+            jax.lax.all_gather(tr_depth, row_axis)
+            .astype(jnp.int16).reshape(-1),
             jnp.zeros((1,), jnp.int16),            # cand count
+            jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None],
             packing.compact_blocks_i8(lvl_y_f, cap_y, esc_y),
             packing.compact_blocks_i8(lvl_u_f, cap_c, esc_c),
             packing.compact_blocks_i8(lvl_v_f, cap_c, esc_c)]

@@ -54,3 +54,23 @@ def test_filter_refs_keeps_ends():
     assert f[0] == adi[0] and f[-1] == adi[-1]
     k = 5
     assert f[k] == (adi[k - 1] + 2 * adi[k] + adi[k + 1] + 2) >> 2
+
+
+def test_predict_single_mode_matches_all_modes():
+    """predict_single_mode (recon-pass fast path) must be bit-exact vs
+    the full 35-stack + select for every mode/size/component."""
+    import jax.numpy as jnp
+    from homerhevc_tpu.ops import intra as iops
+    rng = np.random.default_rng(11)
+    for size in (4, 8, 16, 32):
+        for is_luma in (True, False):
+            adi = jnp.asarray(
+                rng.integers(0, 256, (35, 4 * size + 1)), jnp.int32)
+            modes = jnp.arange(35, dtype=jnp.int32)
+            full = iops.predict_all_modes(adi, size, is_luma)
+            sel = jnp.take_along_axis(
+                full, modes[:, None, None, None], 1)[:, 0]
+            single = iops.predict_single_mode(adi, modes, size, is_luma)
+            np.testing.assert_array_equal(
+                np.asarray(single), np.asarray(sel),
+                err_msg=f"size={size} luma={is_luma}")
