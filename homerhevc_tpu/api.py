@@ -14,7 +14,7 @@ from typing import BinaryIO, Optional
 
 import numpy as np
 
-from homerhevc_tpu.config import EncoderConfig, RDMode
+from homerhevc_tpu.config import EncoderConfig, PerfMode, RDMode
 from homerhevc_tpu.entropy import binding
 from homerhevc_tpu.models import inter_frame, intra_frame
 from homerhevc_tpu.rc import RateControl
@@ -55,6 +55,7 @@ class Encoder:
         self._pending: list = []
         self._inbuf: list = []
         self._rc = RateControl(cfg)
+        self._per_ctu_qp = bool(self.ccfg.cu_qp_delta_enabled)
         self._force_idr = False
         self._last_intra_cand_frac = 0.0
         # single host worker: transfer + entropy of chunk N-1 overlap
@@ -99,7 +100,8 @@ class Encoder:
         if self.cfg.intra_period == 1:
             # all-intra: frames are independent -> chunk them too
             self._inbuf.append((y, u, v))
-            if len(self._inbuf) >= max(self.cfg.frames_per_launch, 1):
+            if len(self._inbuf) >= max(
+                    self.cfg.intra_frames_per_launch, 1):
                 done += self._flush_inbuf()
             done += self._drain(keep=1)
             return done
@@ -176,7 +178,7 @@ class Encoder:
         cfg = self.cfg
         ctu = cfg.ctu_size
         n_real = len(frames)
-        k = max(cfg.frames_per_launch, 1)
+        k = max(cfg.intra_frames_per_launch, 1)
         frames = list(frames) + [frames[-1]] * (k - n_real) \
             if n_real < k else list(frames)
         yps = np.stack([_pad_plane(np.asarray(f[0], np.uint8), ctu)
@@ -187,11 +189,12 @@ class Encoder:
                         for f in frames])
         qp = self._rc.start_pic(True)
         out = intra_frame.encode_i_chunk_jit(
-            yps, ups, vps, qp, cu=16, ctu=ctu,
+            yps, ups, vps, qp, ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
-            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
+            search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
             and cfg.max_pred_depth >= 3,
+            scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
                      out["recon_v"][-1])
@@ -227,13 +230,14 @@ class Encoder:
         qp = self._rc.start_pic(True)
         self._gop_poc = 0
         out = intra_frame.encode_frame_jit(
-            yp, up, vp, qp=qp, cu=16, ctu=ctu,
+            yp, up, vp, qp=qp, ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
             # the 8x8 split RD is time-amortized (one I frame per GOP)
             # and RD-positive; only rd=ultrafast skips it
-            split_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
+            search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
             and cfg.max_pred_depth >= 3,
+            scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
@@ -270,19 +274,28 @@ class Encoder:
         vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
                         for f in frames])
         qp = self._rc.start_pic(False)
+        qp_maps = None
+        if self._per_ctu_qp:
+            from homerhevc_tpu.rc import ctu_qp_map
+            qp_maps = np.stack([ctu_qp_map(qp, yy, ctu) for yy in yps])
         ultra = cfg.rd_mode == RDMode.RD_ULTRAFAST
         out = inter_frame.encode_p_chunk_jit(
-            yps, ups, vps, *self._ref, qp=qp, block=16,
+            yps, ups, vps, *self._ref, qp=qp, qp_maps=qp_maps, block=16,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao, ctu=ctu,
             intra_fallback=cfg.intra_in_p and not ultra,
             chroma_rd_scale=3.0 if ultra else 1.0,
             chroma_qp_offset=cfg.chroma_qp_offset,
-            me_precision=cfg.motion_estimation_precision)
+            me_precision=cfg.motion_estimation_precision,
+            scaling_lists=cfg.scaling_lists,
+            # perf=FULL searches the complete +-3 qpel reachable set of
+            # the reference's half+quarter walk; FAST/UFAST trim to +-2
+            me_subpel_r=3 if cfg.performance_mode == PerfMode.FULL_COMPUTATION
+            else 2)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="p", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yps.shape[1:],
-                    n=n_real,
+                    n=n_real, qp_maps=qp_maps,
                     orig=frames[-1] if compute_recon else None)
         self._poc += n_real
         self._gop_poc += n_real
@@ -365,7 +378,24 @@ class Encoder:
         rec.sao_type = sao_type
         rec.sao_offset = sao_off
         rec.sao_band_pos = sao_bp
-        rec.sao_merge = np.zeros(nctu, np.uint8)
+        # merge-left / merge-up when the independently-derived params
+        # coincide with the neighbour's (role of sao_derive_mode_merge
+        # _rdo, ref hmr_sao.c:854, restricted to exact coincidences:
+        # identical params -> identical reconstruction, strictly fewer
+        # bits, no wavefront needed)
+        tg = sao_type.reshape(-1, 3)[:n_real].reshape(ctus_y, ctus_x, 3)
+        og = sao_off.reshape(-1, 3, 4)[:n_real] \
+            .reshape(ctus_y, ctus_x, 12)
+        bg = sao_bp.reshape(-1, 3)[:n_real].reshape(ctus_y, ctus_x, 3)
+        allp = np.concatenate([tg, og, bg], axis=-1)
+        eq_l = np.zeros((ctus_y, ctus_x), bool)
+        eq_l[:, 1:] = (allp[:, 1:] == allp[:, :-1]).all(-1)
+        eq_u = np.zeros((ctus_y, ctus_x), bool)
+        eq_u[1:, :] = (allp[1:] == allp[:-1]).all(-1)
+        merge = np.where(eq_l, 1, np.where(eq_u, 2, 0)).astype(np.uint8)
+        sao_merge = np.zeros(nctu, np.uint8)
+        sao_merge[:n_real] = merge.reshape(-1)
+        rec.sao_merge = sao_merge
         rec.sao_luma = True
         rec.sao_chroma = True
         return rec
@@ -424,9 +454,12 @@ class Encoder:
         rep4 = lambda m: np.repeat(np.repeat(m, 4, 0), 4, 1)
         mode4 = rep2(modes8)
         # depth granule map: 1 = 32x32 CU, 2 = 16x16 CU, 3 = 8x8 CUs
+        qpm = None
+        if self._per_ctu_qp:
+            qpm = np.full((h // 4, w // 4), pend["qp"], np.int8)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=2, slice_qp=pend["qp"],
-            poc=pend["gop_poc"], is_idr=True,
+            poc=pend["gop_poc"], is_idr=True, qp_map=qpm,
             cu_depth=rep4(np.clip(depth, 1, 3)).astype(np.uint8),
             intra_luma_mode=mode4,
             intra_chroma_mode=mode4,           # DM
@@ -492,6 +525,11 @@ class Encoder:
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
         imode4 = rep(imodes)
+        qpm = None
+        if pend.get("qp_maps") is not None:
+            r = cfg.ctu_size // 4
+            qpm = np.repeat(np.repeat(
+                pend["qp_maps"][pend["k"]], r, 0), r, 1).astype(np.int8)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=1, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
@@ -502,6 +540,7 @@ class Encoder:
             mv_y=np.ascontiguousarray(rep(mv[..., 0])),
             cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
+            qp_map=qpm,
         )
         if cfg.sao:
             rec = self._apply_sao_fields(rec, sao_tail, h, w)

@@ -49,8 +49,17 @@ class EncoderConfig:
     vbv_init: float = 0.35
     sign_hiding: bool = True
     sao: bool = True
+    # SPS default scaling lists (capability parity with the reference,
+    # which signals them: hmr_encoder_lib.c:1281).  Default OFF: on the
+    # bench content the coarser high-frequency quantization degrades the
+    # I-frame anchor enough that P frames pay more than the lists save
+    # (measured: 917 kbps @ 31.99 dB vs 883 @ 32.41 flat).
+    scaling_lists: bool = False
     deblocking: bool = True
     intra_in_p: bool = True      # isolated intra fallback in P frames
+    # per-CTU QP (cu_qp_delta syntax + activity-adaptive modulation);
+    # automatically active under CBR/VBR, opt-in for fixed QP
+    adaptive_qp: bool = False
     scene_change_reinit: bool = True   # restart GOP on scene change
     rd_mode: RDMode = RDMode.RD_FAST
     performance_mode: PerfMode = PerfMode.UFAST
@@ -58,6 +67,10 @@ class EncoderConfig:
     bit_depth: int = 8
     # TPU specifics
     frames_per_launch: int = 4   # P frames batched per device program
+    # all-intra frames are fully independent, so larger chunks amortize
+    # the wavefront's serialized steps further (measured: 10.6 -> 14.8
+    # fps at 416x240 going 4 -> 12)
+    intra_frames_per_launch: int = 8
     num_chips: int = 1           # row-band sharding within a frame
     num_hosts: int = 1           # GOP sharding across hosts
 
@@ -94,7 +107,12 @@ class EncoderConfig:
         return (self.padded_height - self.height) // 2
 
     def validate(self) -> "EncoderConfig":
-        assert self.cu_size in (16, 32, 64)
+        # the device pipeline (quadtree tiers, SAO maps, per-CTU QP
+        # groups) is built around 64x64 CTUs; smaller CTU configs are
+        # rejected rather than silently miscoded
+        assert self.cu_size == 64, \
+            "cu_size 16/32 not supported by the TPU pipeline (use 64)"
+
         assert 0 <= self.qp <= 51
         assert self.bit_depth == 8, "only 8-bit in round 1"
         assert self.width % 2 == 0 and self.height % 2 == 0

@@ -27,7 +27,7 @@ class CHevcCfg(ctypes.Structure):
         "deblock_disabled", "num_ref_frames", "bit_depth",
         "strong_intra_smoothing", "cu_qp_delta_enabled",
         "diff_cu_qp_delta_depth", "frame_rate_num", "frame_rate_den",
-        "chroma_qp_offset")]
+        "chroma_qp_offset", "scaling_list_enabled")]
 
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -196,11 +196,16 @@ def make_cfg(cfg) -> CHevcCfg:
     c.num_ref_frames = cfg.num_ref_frames
     c.bit_depth = cfg.bit_depth
     c.strong_intra_smoothing = 0
-    c.cu_qp_delta_enabled = 0
+    from homerhevc_tpu.config import BitrateMode
+    c.cu_qp_delta_enabled = 1 if (
+        getattr(cfg, "adaptive_qp", False)
+        or cfg.bitrate_mode != BitrateMode.FIXED_QP) else 0
     c.diff_cu_qp_delta_depth = 0
     c.frame_rate_num = int(cfg.frame_rate * 1000)
     c.frame_rate_den = 1000
     c.chroma_qp_offset = cfg.chroma_qp_offset
+    c.scaling_list_enabled = 1 if getattr(cfg, "scaling_lists", False) \
+        else 0
     return c
 
 

@@ -58,14 +58,33 @@ def _rd_zero(level, recon, pred, cur, lam):
     return level, recon
 
 
-def _tq(resid, size, qp, is_intra, sbh_scan):
+def _tq(resid, size, qp, is_intra, sbh_scan, scaling=False):
     coeff = transform.forward_transform(resid, size)
-    level, du = quant.quantize(coeff, qp, size, is_intra=is_intra)
+    level, du = quant.quantize(coeff, qp, size, is_intra=is_intra,
+                               scaling=scaling)
     if sbh_scan is not None:
         level = quant.sign_bit_hide(level, du, sbh_scan, size)
-    deq = quant.dequantize(level, qp, size)
+    deq = quant.dequantize(level, qp, size, is_intra=is_intra,
+                           scaling=scaling)
     r = transform.inverse_transform(deq, size)
     return level, r
+
+
+def _mc_plane_luma(ref_pad, mv, y0, out_h: int, out_w: int):
+    """Whole-plane luma MC at ONE (traced) quarter-pel MV: a single
+    dynamic slice + separable 8-tap filtering — no per-block gathers
+    (coherent candidates like the global-motion field don't need them).
+    Bit-exact vs per-block mc_luma_at."""
+    win = jax.lax.dynamic_slice(
+        ref_pad,
+        (me.REF_PAD + y0 + (mv[0] >> 2) - 3,
+         me.REF_PAD + (mv[1] >> 2) - 3),
+        (out_h + 7, out_w + 7))
+    ch = jnp.asarray(interp.LUMA_FILTERS)[mv[1] & 3]
+    cv = jnp.asarray(interp.LUMA_FILTERS)[mv[0] & 3]
+    tmp = interp._hfilter(win, ch, 8, out_w)
+    pred = interp._vfilter(tmp, cv, 8, out_h) >> 6
+    return jnp.clip((pred + 32) >> 6, 0, 255)
 
 
 def merge_candidate_fields(mv_grid, med=None):
@@ -86,7 +105,8 @@ def merge_candidate_fields(mv_grid, med=None):
 
 
 def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
-                   qp, lam, s, sbh_scan, cand_fields=None):
+                   qp, lam, s, sbh_scan, cand_fields=None,
+                   scaling=False):
     """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
     reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
     evaluated densely for every block at once).
@@ -110,55 +130,53 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     left_f = cand_fields[0][0].reshape(-1, 2)
     cands = [(mv_own.reshape(-1, 2), False)] + \
         [(f.reshape(-1, 2), m) for f, m in cand_fields]
+    n = cur_b.shape[0]
+    nc = len(cands)
+    bh, bw = mv_own.shape[:2]
+    h, w = bh * s, bw * s
+    y0 = pos_y[0]                     # band row offset (0 single-dev)
 
-    best_cost = None
-    sel = (None, None, None, None)
-    for k, (cand, is_merge) in enumerate(cands):
-        if k == 0:
-            pred = pred_own
-        else:
-            pred = me.mc_luma_at(ref_pad, pos_y, pos_x, cand, s)
-        level, rr = _tq(cur_b - pred, s, qp, False, sbh_scan)
-        recon = jnp.clip(pred + rr, 0, 255)
-        ssd_coded = jnp.sum((recon - cur_b) ** 2, (-1, -2)) \
-            .astype(jnp.float32)
-        ssd_zero = jnp.sum((pred - cur_b) ** 2, (-1, -2)) \
-            .astype(jnp.float32)
-        bits_resid = rdbits.residual_bits(level, s) + 2.0
-        if is_merge:
-            # merge flag + merge idx (skip if residual-free)
-            bits_mv = 3.0
-        else:
-            bits_mv = rdbits.mvd_bits(cand - left_f) + 5.0
-        cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
-        cost_zero = ssd_zero + lam * (bits_mv + 1.0)
-        use_zero = cost_zero <= cost_coded
-        cost = jnp.where(use_zero, cost_zero, cost_coded)
-        level = jnp.where(use_zero[:, None, None], 0, level)
-        recon = jnp.where(use_zero[:, None, None], pred, recon)
-        if best_cost is None:
-            best_cost = cost
-            sel = (cand, level, recon, pred)
-        else:
-            take = cost < best_cost
-            best_cost = jnp.where(take, cost, best_cost)
-            t3 = take[:, None, None]
-            sel = (jnp.where(take[:, None], cand, sel[0]),
-                   jnp.where(t3, level, sel[1]),
-                   jnp.where(t3, recon, sel[2]),
-                   jnp.where(t3, pred, sel[3]))
-    return sel + (best_cost,)
+    # predictions: own comes from ME (already exact MC), left/top need
+    # per-block gathers (ONE batched call), the global candidate is a
+    # single MV -> whole-plane MC, zero is a plane crop.  Gathers with
+    # tiny trailing dims are the dominant TPU cost; this removes 3 of 5.
+    all_mv = jnp.concatenate([c for c, _ in cands], 0)     # [nc*n, 2]
+    lt_mv = jnp.concatenate([cands[1][0], cands[2][0]], 0)
+    lt_pred = me.mc_luma_at(ref_pad, jnp.tile(pos_y, 2),
+                            jnp.tile(pos_x, 2), lt_mv, s)
+    med = cand_fields[2][0][0, 0]
+    glob_pred = _blocks(_mc_plane_luma(ref_pad, med, y0, h, w), s)
+    zero_pred = _blocks(jax.lax.dynamic_slice(
+        ref_pad, (me.REF_PAD + y0, me.REF_PAD), (h, w)), s)
+    preds = jnp.concatenate([pred_own, lt_pred, glob_pred, zero_pred],
+                            0)
+    cur_c = jnp.tile(cur_b, (nc, 1, 1))
+    qp_cands = jnp.tile(qp, nc) if jnp.ndim(qp) > 0 else qp
+    level, rr = _tq(cur_c - preds, s, qp_cands, False, sbh_scan,
+                    scaling)
+    recon = jnp.clip(preds + rr, 0, 255)
+    ssd_coded = jnp.sum((recon - cur_c) ** 2, (-1, -2)) \
+        .astype(jnp.float32).reshape(nc, n)
+    ssd_zero = jnp.sum((preds - cur_c) ** 2, (-1, -2)) \
+        .astype(jnp.float32).reshape(nc, n)
+    bits_resid = (rdbits.residual_bits(level, s) + 2.0).reshape(nc, n)
+    bits_mv = jnp.stack(
+        [jnp.full((n,), 3.0) if is_merge
+         else rdbits.mvd_bits(c - left_f) + 5.0
+         for c, is_merge in cands], 0)                      # [nc, n]
+    cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
+    cost_zero = ssd_zero + lam * (bits_mv + 1.0)
+    use_zero = cost_zero <= cost_coded
+    cost = jnp.where(use_zero, cost_zero, cost_coded)
+    level = jnp.where(use_zero.reshape(-1)[:, None, None], 0, level)
+    recon = jnp.where(use_zero.reshape(-1)[:, None, None], preds,
+                      recon)
+    best = jnp.argmin(cost, axis=0)                         # [n]
+    best_cost = jnp.min(cost, axis=0)
+    pick = best * n + jnp.arange(n)
 
-
-def _group_mode_mv(mv_tiles):
-    """Representative MV of a group: the member minimizing the L1
-    distance to all others (a 'mode' — the component-wise median of
-    four values need not be one of them).  mv_tiles: [g, k, 2]."""
-    d = jnp.sum(jnp.abs(mv_tiles[:, :, None] - mv_tiles[:, None]),
-                axis=(-1, -2))                       # [g, k] total dist
-    best = jnp.argmin(d, axis=-1)
-    return jnp.take_along_axis(mv_tiles, best[:, None, None],
-                               1)[:, 0]              # [g, 2]
+    return (all_mv[pick], level[pick], recon[pick], preds[pick],
+            best_cost)
 
 
 def _asm_tiles(t, n: int):
@@ -175,9 +193,9 @@ def _split_tiles(p, n: int):
         .reshape(g, n * n, 16, 16)
 
 
-def _quadtree_level(cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y,
+def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
                     recon_y, cost_child, elig_tile, qp, lam, bh, bw,
-                    n: int, sbh_scan16, sbh_scan_big):
+                    n: int, sbh_scan16, sbh_scan_big, scaling=False):
     """One consolidation level: fold n x n groups of 16x16 tiles into a
     (16n)x(16n) CU when the parent RD (with TU-size RDO) beats the sum
     of the children (TPU redesign of consolidate_prediction_info +
@@ -206,21 +224,35 @@ def _quadtree_level(cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y,
 
     o_tiles = cur_b[flat].reshape(g, n * n, 16, 16)
     mv_tiles = mv_flat[flat].reshape(g, n * n, 2)
-    pmv = _group_mode_mv(mv_tiles)
-    pmv_rep = jnp.repeat(pmv, n * n, axis=0)
-    pred_t = me.mc_luma_at(ref_pad, pos_y[flat], pos_x[flat],
-                           pmv_rep, 16).reshape(g, n * n, 16, 16)
+    # parents are only evaluated on MV-uniform groups (the coherence
+    # rounds of the merge RD drive fields uniform where merging could
+    # win), so the children's already-computed predictions ARE the
+    # parent prediction — no MC, no gathers
+    uniform = (mv_tiles == mv_tiles[:, :1]).all((-1, -2))
+    pmv = mv_tiles[:, 0]
+    pred_t = pred_sel[flat].reshape(g, n * n, 16, 16)
+
+    # per-group qp/lambda (groups never cross a CTU, so the per-tile
+    # maps are uniform within a group)
+    if jnp.ndim(qp) > 0:
+        qp_g = qp[flat].reshape(g, n * n)[:, 0]
+        lam_g = lam[flat].reshape(g, n * n)[:, 0]
+        qp_tile = qp[flat]
+    else:
+        qp_g = qp
+        lam_g = lam
+        qp_tile = qp
 
     # zero-residual variant
     ssd_zero = jnp.sum((pred_t - o_tiles) ** 2, (-1, -2, -3)) \
         .astype(jnp.float32)
     bits_mv = 3.0                      # merge-priced parent MV
-    cost_zero = ssd_zero + lam * (bits_mv + 1.0)
+    cost_zero = ssd_zero + lam_g * (bits_mv + 1.0)
 
     if n == 2:
         # tr_depth 1: four 16x16 TBs on the parent prediction
-        l16, rr16 = _tq((o_tiles - pred_t).reshape(-1, 16, 16), 16, qp,
-                        False, sbh_scan16)
+        l16, rr16 = _tq((o_tiles - pred_t).reshape(-1, 16, 16), 16,
+                        qp_tile, False, sbh_scan16, scaling)
         rec16 = jnp.clip(pred_t.reshape(-1, 16, 16) + rr16, 0, 255)
         l16 = l16.reshape(g, n * n, 16, 16)
         rec16 = rec16.reshape(g, n * n, 16, 16)
@@ -228,7 +260,7 @@ def _quadtree_level(cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y,
             .astype(jnp.float32)
         rb16 = jnp.sum(rdbits.residual_bits(
             l16.reshape(-1, 16, 16), 16).reshape(g, n * n), -1)
-        cost_tr1 = ssd16 + lam * (bits_mv + rb16 + 5.0)
+        cost_tr1 = ssd16 + lam_g * (bits_mv + rb16 + 5.0)
         big = 32
     else:
         cost_tr1 = jnp.full((g,), jnp.inf, jnp.float32)
@@ -240,27 +272,28 @@ def _quadtree_level(cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y,
     pred_big = _asm_tiles(pred_t, n)
     if n == 4:
         q = _split_quads64(orig_big - pred_big)      # [g*4, 32, 32]
-        lB, rrB = _tq(q, 32, qp, False, sbh_scan_big)
+        qp_q = jnp.repeat(qp_g, 4) if jnp.ndim(qp) > 0 else qp
+        lB, rrB = _tq(q, 32, qp_q, False, sbh_scan_big, scaling)
         recB = jnp.clip(_split_quads64(pred_big) + rrB, 0, 255)
         rbB = jnp.sum(rdbits.residual_bits(lB, 32).reshape(g, 4), -1)
         lvl_big = _join_quads64(lB)
         rec_big = _join_quads64(recB)
         cbf_big_q = jnp.any(lB != 0, (-1, -2)).reshape(g, 4)
     else:
-        lvl_big, rrB = _tq(orig_big - pred_big, 32, qp, False,
-                           sbh_scan_big)
+        lvl_big, rrB = _tq(orig_big - pred_big, 32, qp_g, False,
+                           sbh_scan_big, scaling)
         rec_big = jnp.clip(pred_big + rrB, 0, 255)
         rbB = rdbits.residual_bits(lvl_big, 32)
         cbf_big_q = jnp.any(lvl_big != 0, (-1, -2))[:, None]
     ssd_big = jnp.sum((rec_big - orig_big) ** 2, (-1, -2)) \
         .astype(jnp.float32)
-    cost_big = ssd_big + lam * (bits_mv + rbB + 4.0)
+    cost_big = ssd_big + lam_g * (bits_mv + rbB + 4.0)
 
     parent_cost = jnp.minimum(jnp.minimum(cost_big, cost_tr1),
                               cost_zero)
-    elig = ~(elig_tile[flat].reshape(g, n * n).any(-1))
+    elig = uniform & ~(elig_tile[flat].reshape(g, n * n).any(-1))
     children = jnp.sum(cost_child[flat].reshape(g, n * n), -1) \
-        + lam * 1.0
+        + lam_g * 1.0
     take = elig & (parent_cost < children)
 
     use_zero = cost_zero <= jnp.minimum(cost_big, cost_tr1)
@@ -320,9 +353,10 @@ def _join_quads64(q):
         .reshape(g, 64, 64)
 
 
-def quadtree_consolidate(cur_b, ref_pad, pos_y, pos_x, mv, level_y,
+def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
                          recon_y, cost16, is_intra_blk, qp, lam,
-                         bh: int, bw: int, sign_hiding: bool):
+                         bh: int, bw: int, sign_hiding: bool,
+                         scaling: bool = False):
     """Full bottom-up CU consolidation 16 -> 32 -> 64 with TU RDO.
 
     Returns (mv [bh,bw,2], level_y, recon_y, cbf_y [bh,bw],
@@ -338,8 +372,8 @@ def quadtree_consolidate(cur_b, ref_pad, pos_y, pos_x, mv, level_y,
     # level 32
     (mv_flat, level_y, recon_y, cost32, take32, cbf32_t, trd32,
      tidx32) = _quadtree_level(
-        cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y, recon_y,
-        cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32)
+        cur_b, pred_sel, mv_flat, level_y, recon_y,
+        cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32, scaling)
 
     # level 64: only groups whose four 32-children all merged are
     # eligible (they then carry one MV each)
@@ -349,9 +383,9 @@ def quadtree_consolidate(cur_b, ref_pad, pos_y, pos_x, mv, level_y,
         .at[tidx32.reshape(-1)].set(jnp.repeat(cost32 / 4.0, 4))
     (mv_flat, level_y, recon_y, cost64, take64, cbf64_t, trd64,
      tidx64) = _quadtree_level(
-        cur_b, ref_pad, pos_y, pos_x, mv_flat, level_y, recon_y,
+        cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost32_tile, intra_t | not32, qp, lam, bh, bw, 4, sbh16,
-        sbh32)
+        sbh32, scaling)
 
     # granule maps
     cu_depth = jnp.full((bh * bw,), 2, jnp.int32)
@@ -455,15 +489,56 @@ def chroma_boundary_strength(is_intra: jnp.ndarray, block: int,
     return bs_v, bs_h
 
 
+def _edge_qp_maps(eff_map, h: int, w: int, cell: int):
+    """Per-edge average QP maps for the luma deblock passes (spec
+    8.7.2.5.3: qp = (QpP + QpQ + 1) >> 1) from a QP grid with `cell`-px
+    cells: [h/4, w/8] for vertical edges and [h/8, w/4] for
+    horizontal."""
+    ncy, ncx = eff_map.shape
+    rows = jnp.repeat(eff_map, cell // 4, axis=0)      # [h/4, ncx]
+    x = jnp.arange(w // 8) * 8
+    cl = jnp.clip((x - 1) // cell, 0, ncx - 1)
+    cr = jnp.clip(x // cell, 0, ncx - 1)
+    qp_v = (rows[:, cl] + rows[:, cr] + 1) >> 1        # [h/4, w/8]
+    cols = jnp.repeat(eff_map, cell // 4, axis=1)      # [ncy, w/4]
+    yy = jnp.arange(h // 8) * 8
+    rt = jnp.clip((yy - 1) // cell, 0, ncy - 1)
+    rb = jnp.clip(yy // cell, 0, ncy - 1)
+    qp_h = (cols[rt, :] + cols[rb, :] + 1) >> 1        # [h/8, w/4]
+    return qp_v, qp_h
+
+
+def _edge_qp_maps_chroma(eff_map, h: int, w: int, cell: int,
+                         chroma_qp_offset: int):
+    """Chroma per-edge QP maps ([hc/2, wc/8], [hc/8, wc/2]): average
+    luma QP of the sides mapped through the chroma table (spec
+    8.7.2.5.5)."""
+    ncy, ncx = eff_map.shape
+    cqt = jnp.asarray(tables.CHROMA_QP_TABLE)
+    hc, wc = h // 2, w // 2
+    rows = jnp.repeat(eff_map, cell // 4, axis=0)      # [hc/2, ncx]
+    x = jnp.arange(wc // 8) * 16                       # luma x of edge
+    cl = jnp.clip((x - 1) // cell, 0, ncx - 1)
+    cr = jnp.clip(x // cell, 0, ncx - 1)
+    avg_v = (rows[:, cl] + rows[:, cr] + 1) >> 1
+    qp_v = cqt[jnp.clip(avg_v + chroma_qp_offset, 0, 57)]
+    cols = jnp.repeat(eff_map, cell // 4, axis=1)      # [ncy, wc/2]
+    yy = jnp.arange(hc // 8) * 16
+    rt = jnp.clip((yy - 1) // cell, 0, ncy - 1)
+    rb = jnp.clip(yy // cell, 0, ncy - 1)
+    avg_h = (cols[rt, :] + cols[rb, :] + 1) >> 1
+    qp_h = cqt[jnp.clip(avg_h + chroma_qp_offset, 0, 57)]
+    return qp_v, qp_h
+
+
 _FALLBACK_CAP = 512          # max intra CUs per P frame (static shape)
 
 
-def _intra_fallback_pass(cur_b, u, v, recon_y, recon_u, recon_v,
-                         level_y, level_u, level_v,
-                         cbf_y, cbf_u, cbf_v, inter_pred,
-                         qp, qp_c, s, cs, bh, bw, h, w,
-                         sbh_scan, sbh_scan_c):
-    """Replace up to _FALLBACK_CAP inter CUs by intra CUs.
+def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
+                         qp, s, bh, bw, h, w, sbh_scan,
+                         scaling=False):
+    """Luma half of the isolated intra fallback: replace up to
+    _FALLBACK_CAP inter CUs by intra CUs.
 
     Intra CUs are restricted to blocks whose 8-neighborhood stays
     inter, so their ADI reference pixels come from inter
@@ -471,7 +546,8 @@ def _intra_fallback_pass(cur_b, u, v, recon_y, recon_u, recon_v,
     launch with no wavefront.  Candidates: DC-prediction SAD beats the
     inter SAD with margin; the best ones are gathered via top-k (stream
     compaction), fully mode-searched (all 35 modes), TQ-reconstructed
-    and scattered back."""
+    and scattered back.  Chroma follows in _intra_fallback_chroma once
+    the (post-quadtree) chroma reconstruction its ADI needs exists."""
     nb = bh * bw
     kcap = min(_FALLBACK_CAP, nb)
     plane_y = _unblocks(recon_y, h, w)
@@ -493,15 +569,8 @@ def _intra_fallback_pass(cur_b, u, v, recon_y, recon_u, recon_v,
     pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
 
-    def gather_adi(b, py, px, size):
-        top = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            b, (yy, xx), (1, 2 * size + 1))[0])(py, px)
-        left = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            b, (yy + 1, xx), (2 * size, 1))[:, 0])(py, px)
-        return jnp.concatenate([left[:, ::-1], top], -1)
-
-    adi = intra.substitute_refs(gather_adi(buf, pos_y, pos_x, s),
-                                pix_avail)
+    adi = intra.substitute_refs(
+        _gather_adi_blocks(buf, pos_y, pos_x, s), pix_avail)
 
     # ---- DC-proxy decision + isolation
     dc = (jnp.sum(adi[:, s:2 * s], -1) + jnp.sum(
@@ -532,61 +601,66 @@ def _intra_fallback_pass(cur_b, u, v, recon_y, recon_u, recon_v,
     best = jnp.argmin(sads, -1).astype(jnp.int32)     # [k]
     pred_sel = jnp.take_along_axis(
         preds, best[:, None, None, None], 1)[:, 0]
-    lvl_sel, rr = _tq(cur_sel - pred_sel, s, qp, True, sbh_scan)
+    qp_sel = qp[sel] if jnp.ndim(qp) > 0 else qp
+    lvl_sel, rr = _tq(cur_sel - pred_sel, s, qp_sel, True, sbh_scan,
+                      scaling)
     rec_sel = jnp.clip(pred_sel + rr, 0, 255)
     cbf_sel = jnp.any(lvl_sel != 0, (-1, -2))
 
-    # ---- chroma (DM) for the same blocks
-    def chroma_intra(plane_blocks, plane_full, scan):
-        pfull = _unblocks(plane_blocks, h // 2, w // 2)
-        cbuf = jnp.zeros((1 + h // 2 + cs, 1 + w // 2 + cs), jnp.int32)
-        cbuf = cbuf.at[1:1 + h // 2, 1:1 + w // 2].set(pfull)
-        segc = np.zeros((5, 4 * cs + 1), dtype=bool)
-        segc[0, 0:cs] = True
-        segc[1, cs:2 * cs] = True
-        segc[2, 2 * cs] = True
-        segc[3, 2 * cs + 1:3 * cs + 1] = True
-        segc[4, 3 * cs + 1:] = True
-        pix_c = jnp.asarray(amask @ segc > 0)[sel]
-        adi_c = intra.substitute_refs(
-            gather_adi(cbuf, pos_y[sel] // 2, pos_x[sel] // 2, cs),
-            pix_c)
-        preds_c = intra.predict_all_modes(adi_c, cs, False)
-        pred_c = jnp.take_along_axis(
-            preds_c, best[:, None, None, None], 1)[:, 0]
-        orig_c = _blocks(jnp.asarray(plane_full, jnp.int32), cs)[sel]
-        lvl_c, rr_c = _tq(orig_c - pred_c, cs, qp_c, True, scan)
-        rec_c = jnp.clip(pred_c + rr_c, 0, 255)
-        return lvl_c, rec_c, jnp.any(lvl_c != 0, (-1, -2))
-
-    lvl_cu, rec_cu, cbf_cu = chroma_intra(recon_u, u, sbh_scan_c)
-    lvl_cv, rec_cv, cbf_cv = chroma_intra(recon_v, v, sbh_scan_c)
-
-    # ---- scatter back (drop non-accepted via OOB index)
     slot = jnp.where(sel_ok, sel, nb)
-
-    def put(blocks, vals):
-        return blocks.at[slot].set(vals, mode="drop")
-
-    def put_map(m, vals):
-        return m.reshape(-1).at[slot].set(vals, mode="drop") \
-            .reshape(bh, bw)
-
-    recon_y = put(recon_y, rec_sel)
-    level_y = put(level_y, lvl_sel)
-    recon_u = put(recon_u, rec_cu)
-    level_u = put(level_u, lvl_cu)
-    recon_v = put(recon_v, rec_cv)
-    level_v = put(level_v, lvl_cv)
-    cbf_y = put_map(cbf_y, cbf_sel)
-    cbf_u = put_map(cbf_u, cbf_cu)
-    cbf_v = put_map(cbf_v, cbf_cv)
+    recon_y = recon_y.at[slot].set(rec_sel, mode="drop")
+    level_y = level_y.at[slot].set(lvl_sel, mode="drop")
+    cbf_y = cbf_y.reshape(-1).at[slot].set(cbf_sel, mode="drop") \
+        .reshape(bh, bw)
     is_intra_blk = jnp.zeros((nb,), jnp.int32).at[slot].set(1,
                                                             mode="drop")
     intra_modes = jnp.zeros((nb,), jnp.int32).at[slot].set(best,
                                                            mode="drop")
-    return (recon_y, recon_u, recon_v, level_y, level_u, level_v,
-            cbf_y, cbf_u, cbf_v, is_intra_blk, intra_modes, cand_count)
+    return (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
+            cand_count, sel, slot, best, amask)
+
+
+def _gather_adi_blocks(b, py, px, size):
+    top = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+        b, (yy, xx), (1, 2 * size + 1))[0])(py, px)
+    left = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+        b, (yy + 1, xx), (2 * size, 1))[:, 0])(py, px)
+    return jnp.concatenate([left[:, ::-1], top], -1)
+
+
+def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
+                           sel, slot, best, amask, qp_c, cs, bh, bw,
+                           h, w, scan, scaling=False):
+    """Chroma (DM) for the fallback blocks, run AFTER the inter chroma
+    coding so the ADI neighbours are the final reconstruction (fallback
+    neighbourhoods are excluded from CU merging, so those pixels are
+    decoder-exact)."""
+    pfull = _unblocks(plane_blocks, h // 2, w // 2)
+    cbuf = jnp.zeros((1 + h // 2 + cs, 1 + w // 2 + cs), jnp.int32)
+    cbuf = cbuf.at[1:1 + h // 2, 1:1 + w // 2].set(pfull)
+    segc = np.zeros((5, 4 * cs + 1), dtype=bool)
+    segc[0, 0:cs] = True
+    segc[1, cs:2 * cs] = True
+    segc[2, 2 * cs] = True
+    segc[3, 2 * cs + 1:3 * cs + 1] = True
+    segc[4, 3 * cs + 1:] = True
+    pix_c = jnp.asarray(amask @ segc > 0)[sel]
+    pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 2 * cs, bw)
+    pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 2 * cs, bh)
+    adi_c = intra.substitute_refs(
+        _gather_adi_blocks(cbuf, pos_y[sel] // 2, pos_x[sel] // 2, cs),
+        pix_c)
+    pred_c = intra.predict_single_mode(adi_c, best, cs, False)
+    orig_c = _blocks(jnp.asarray(plane_full, jnp.int32), cs)[sel]
+    qpc_sel = qp_c[sel] if jnp.ndim(qp_c) > 0 else qp_c
+    lvl_c, rr_c = _tq(orig_c - pred_c, cs, qpc_sel, True, scan, scaling)
+    rec_c = jnp.clip(pred_c + rr_c, 0, 255)
+    cbf_sel = jnp.any(lvl_c != 0, (-1, -2))
+    plane_blocks = plane_blocks.at[slot].set(rec_c, mode="drop")
+    level_c = level_c.at[slot].set(lvl_c, mode="drop")
+    cbf_c = cbf_c.reshape(-1).at[slot].set(cbf_sel, mode="drop") \
+        .reshape(bh, bw)
+    return plane_blocks, level_c, cbf_c
 
 
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
@@ -595,7 +669,10 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    intra_fallback: bool = False,
                    chroma_rd_scale: float = 1.0,
                    chroma_qp_offset: int = 0,
-                   me_precision: int = 2):
+                   me_precision: int = 2,
+                   scaling_lists: bool = False,
+                   me_subpel_r: int = 2,
+                   qp_map=None):
     """Encode one P frame against one reference.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
@@ -609,6 +686,19 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp + chroma_qp_offset, 0, 57)]
+    # per-CTU QP (cu_qp_delta / per-CTU rate control, ref
+    # hmr_rc_calc_cu_qp hmr_rate_control.c:261): a [ctus_y, ctus_x]
+    # map expanded to per-16-tile arrays; None = uniform slice QP
+    ncy, ncx = h // ctu, w // ctu
+    if qp_map is None:
+        qp_map = jnp.broadcast_to(qp, (ncy, ncx))
+    qp_map = jnp.asarray(qp_map, jnp.int32)
+    r16 = ctu // s
+    qp_t = jnp.repeat(jnp.repeat(qp_map, r16, 0), r16, 1).reshape(-1)
+    qp_ct = jnp.asarray(tables.CHROMA_QP_TABLE)[
+        jnp.clip(qp_t + chroma_qp_offset, 0, 57)]
+    lam_t = tables.rd_lambda(qp_t, False).astype(jnp.float32)
+    lam_ct = tables.rd_lambda(qp_ct, False).astype(jnp.float32)
     sbh_scan = tuple(tables.scan_order(s, tables.SCAN_DIAG)) \
         if sign_hiding else None
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
@@ -620,7 +710,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     lam_c = tables.rd_lambda(qp_c, False)
     # ME returns the final MC prediction (the winning subpel candidate)
     mv, sad_me, pred = me.motion_estimate(cur, refy, block=s,
-                                          precision=me_precision)
+                                          precision=me_precision,
+                                          subpel_r=me_subpel_r)
     pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
     pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
     pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
@@ -639,51 +730,29 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             cands = merge_candidate_fields(mv)
             mv_flat, level_y, recon_y, pred_sel, cost16 = \
                 _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_me,
-                               pred, qp, lam, s, sbh_scan,
-                               cand_fields=cands)
+                               pred, qp_t, lam_t, s, sbh_scan,
+                               cand_fields=cands,
+                               scaling=scaling_lists)
             mv = mv_flat.reshape(bh, bw, 2)
     pred = pred_sel
     mv_f = mv_flat
     cbf_y = jnp.any(level_y != 0, axis=(-1, -2)).reshape(bh, bw)
-
-    # ---- chroma MC (4-tap, eighth-pel = luma quarter-pel values)
     cpad = me.REF_PAD // 2
 
-    def chroma(plane, refp, scan):
-        refc = jnp.asarray(refp, jnp.int32)
-        rp = jnp.pad(refc, cpad, mode="edge")
-        cw = me._gather_windows(
-            rp,
-            cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
-            cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1, cs + 3)
-        cpred = interp.mc_chroma_phases(cw, mv_f[:, 0] & 7,
-                                        mv_f[:, 1] & 7, cs)
-        cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
-        lvl, rr = _tq(cb - cpred, cs, qp_c, False, scan)
-        rec = jnp.clip(cpred + rr, 0, 255)
-        lvl, rec = _rd_zero(lvl, rec, cpred, cb,
-                            lam_c * chroma_rd_scale)
-        cbf = jnp.any(lvl != 0, axis=(-1, -2)).reshape(bh, bw)
-        return lvl, rec, cbf
-
-    level_u, recon_u, cbf_u = chroma(u, ref_u, sbh_scan_c)
-    level_v, recon_v, cbf_v = chroma(v, ref_v, sbh_scan_c)
-
-    # ---- isolated intra fallback (scene changes / uncovered content;
-    # role of the reference's per-CU intra-vs-inter arbitration,
-    # hmr_motion_inter.c:3043)
+    # ---- isolated intra fallback, LUMA (scene changes / uncovered
+    # content; role of the reference's per-CU intra-vs-inter
+    # arbitration, hmr_motion_inter.c:3043).  Chroma follows after the
+    # (single) chroma coding pass below.
     nb = bh * bw
     is_intra_blk = jnp.zeros((nb,), jnp.int32)
     intra_modes = jnp.zeros((nb,), jnp.int32)
     cand_count = jnp.int32(0)
     if intra_fallback:
-        (recon_y, recon_u, recon_v, level_y, level_u, level_v,
-         cbf_y, cbf_u, cbf_v, is_intra_blk, intra_modes, cand_count) = \
-            _intra_fallback_pass(
-                cur_b, u, v, recon_y, recon_u, recon_v,
-                level_y, level_u, level_v, cbf_y, cbf_u, cbf_v,
-                pred, qp, qp_c, s, cs, bh, bw, h, w,
-                sbh_scan, sbh_scan_c)
+        (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
+         cand_count, fb_sel, fb_slot, fb_best, fb_amask) = \
+            _intra_fallback_luma(
+                cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
+                h, w, sbh_scan, scaling_lists)
 
     # ---- device CU-quadtree consolidation (VERDICT round-2 item 3):
     # fold 2x2 / 4x4 tile groups into 32/64 CUs with TU-size RDO.
@@ -700,16 +769,20 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                                   1 + ddx:1 + ddx + bw]
         (mv, level_y, recon_y, cbf_y, cu_depth, tr_depth, chroma16) = \
             quadtree_consolidate(
-                cur_b, ref_pad, pos_y, pos_x, mv, level_y, recon_y,
-                cost16, dil.reshape(-1), qp, lam, bh, bw, sign_hiding)
+                cur_b, pred_sel, mv, level_y, recon_y,
+                cost16, dil.reshape(-1), qp_t, lam_t, bh, bw,
+                sign_hiding, scaling_lists)
         mv_f = mv.reshape(-1, 2)
 
-        # chroma re-code for consolidated regions: prediction at the
-        # (possibly changed) parent MV; one 16x16 chroma TB where the
-        # luma TB is 32-wide, else four 8x8 TBs
-        merged = (cu_depth < 2)
+        # chroma coding (single pass, post-quadtree): prediction at
+        # the final MV; one 16x16 chroma TB where the luma TB is
+        # 32-wide, else four 8x8 TBs
+        qp_ct_g = qp_ct.reshape(bh // 2, 2, bw // 2, 2)[:, 0, :, 0] \
+            .reshape(-1)
+        lam_ct_g = lam_ct.reshape(bh // 2, 2, bw // 2, 2)[:, 0, :, 0] \
+            .reshape(-1)
 
-        def rechroma(plane, refp, lvl0, rec0, cbf0, scan):
+        def rechroma(plane, refp, scan):
             refc = jnp.asarray(refp, jnp.int32)
             rp = jnp.pad(refc, cpad, mode="edge")
             cw = me._gather_windows(
@@ -720,10 +793,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                                             mv_f[:, 1] & 7, cs)
             cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
             # TB8 path
-            lvl8, rr8 = _tq(cb - cpred, cs, qp_c, False, scan)
+            lvl8, rr8 = _tq(cb - cpred, cs, qp_ct, False, scan,
+                            scaling_lists)
             rec8 = jnp.clip(cpred + rr8, 0, 255)
             lvl8, rec8 = _rd_zero(lvl8, rec8, cpred, cb,
-                                  lam_c * chroma_rd_scale)
+                                  lam_ct * chroma_rd_scale)
             # TB16 path over 2x2 groups of chroma blocks
             g2h, g2w = bh // 2, bw // 2
             asm = lambda t: t.reshape(g2h, 2, g2w, 2, cs, cs) \
@@ -734,11 +808,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             orig16 = asm(cb.reshape(bh, bw, cs, cs))
             scan16 = tuple(tables.scan_order(2 * cs, tables.SCAN_DIAG)) \
                 if sign_hiding else None
-            lvl16c, rr16c = _tq(orig16 - pred16, 2 * cs, qp_c, False,
-                                scan16)
+            lvl16c, rr16c = _tq(orig16 - pred16, 2 * cs, qp_ct_g,
+                                False, scan16, scaling_lists)
             rec16c = jnp.clip(pred16 + rr16c, 0, 255)
             lvl16c, rec16c = _rd_zero(lvl16c, rec16c, pred16, orig16,
-                                      lam_c * chroma_rd_scale)
+                                      lam_ct_g * chroma_rd_scale)
             cbf16c = jnp.any(lvl16c != 0, (-1, -2))      # [g2]
 
             def tiles(p16):   # [g2, 2cs, 2cs] -> [bh, bw, cs, cs]
@@ -756,16 +830,22 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 ch16, jnp.repeat(jnp.repeat(
                     cbf16c.reshape(g2h, g2w), 2, 0), 2, 1),
                 jnp.any(new_lvl != 0, (-1, -2)).reshape(bh, bw))
-            mm = merged.reshape(-1)[:, None, None]
-            lvl = jnp.where(mm, new_lvl, lvl0)
-            rec = jnp.where(mm, new_rec, rec0)
-            cbf = jnp.where(merged, new_cbf, cbf0)
-            return lvl, rec, cbf
+            return new_lvl, new_rec, new_cbf
 
-        level_u, recon_u, cbf_u = rechroma(u, ref_u, level_u, recon_u,
-                                           cbf_u, sbh_scan_c)
-        level_v, recon_v, cbf_v = rechroma(v, ref_v, level_v, recon_v,
-                                           cbf_v, sbh_scan_c)
+        level_u, recon_u, cbf_u = rechroma(u, ref_u, sbh_scan_c)
+        level_v, recon_v, cbf_v = rechroma(v, ref_v, sbh_scan_c)
+
+    # ---- fallback chroma (after the chroma pass so its DM intra
+    # prediction reads final neighbour reconstructions)
+    if intra_fallback:
+        recon_u, level_u, cbf_u = _intra_fallback_chroma(
+            recon_u, u, level_u, cbf_u, fb_sel, fb_slot, fb_best,
+            fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
+            scaling_lists)
+        recon_v, level_v, cbf_v = _intra_fallback_chroma(
+            recon_v, v, level_v, cbf_v, fb_sel, fb_slot, fb_best,
+            fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
+            scaling_lists)
 
     # running-distortion signal for rate control (role of the
     # reference's avg_dist accumulation, hmr_encoder_lib.c:2722-2752):
@@ -777,18 +857,58 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     out_v = _unblocks(recon_v, h // 2, w // 2)
 
     if deblocking:
+        # EFFECTIVE QP for the in-loop filter (spec 8.6.1, QG = CTB):
+        # a CTU with no coded cbf never writes its cu_qp_delta, so the
+        # decoder keeps the previous QP in decoding order; within a
+        # delta-carrying CTU, CUs decoded BEFORE the delta's CU also
+        # still use the predicted QP.  Replicate with (a) a forward-
+        # fill scan over the CTU raster and (b) a per-granule split at
+        # the z-scan start of the first cbf-carrying CU.
+        cbf_any_g = (cbf_y | cbf_u | cbf_v)                # [bh, bw]
+        has_cbf_ctu = cbf_any_g.reshape(
+            ncy, r16, ncx, r16).any((1, 3)).reshape(-1)
+        posc = jnp.arange(ncy * ncx, dtype=jnp.int32)
+        ff = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(has_cbf_ctu, posc, -1))
+        eff = jnp.where(ff >= 0,
+                        qp_map.reshape(-1)[jnp.maximum(ff, 0)], qp)
+        # QP that PRECEDES each CTU (prediction for its leading CUs)
+        prev_eff = jnp.concatenate(
+            [jnp.broadcast_to(qp, (1,)), eff[:-1]])
+        z_np = tables.zscan_of_raster(r16)                 # [r16, r16]
+        z_g = jnp.asarray(np.tile(z_np, (ncy, ncx)), jnp.int32)
+        cstart = jnp.where(cu_depth == 2, z_g,
+                           jnp.where(cu_depth == 1,
+                                     z_g // 4 * 4, 0))    # [bh, bw]
+        big = jnp.int32(r16 * r16)
+        first = jnp.min(
+            jnp.where(cbf_any_g, cstart, big).reshape(
+                ncy, r16, ncx, r16).transpose(0, 2, 1, 3)
+            .reshape(ncy, ncx, -1), -1)                    # [ncy, ncx]
+        rep_c = lambda m: jnp.repeat(jnp.repeat(m, r16, 0), r16, 1)
+        qp_g16 = jnp.where(
+            cstart < rep_c(first),
+            rep_c(prev_eff.reshape(ncy, ncx)),
+            rep_c(qp_map))                                 # [bh, bw]
+
         # spec 8.7.2.4: the cbf term of the BS is the LUMA TB only
         ii = is_intra_blk.reshape(bh, bw) if intra_fallback else None
         tb2 = (tr_depth == 0) & (cu_depth == 1) | (cu_depth == 0)
         bs_v, bs_h = inter_boundary_strength(cbf_y.astype(jnp.int32),
                                              mv, s, h, w, is_intra=ii,
                                              tb2=tb2)
-        out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
+        qp_v, qp_h = _edge_qp_maps(qp_g16, h, w, 16)
+        out_y = deblock._luma_pass(out_y, bs_v, qp_v)
+        out_y = deblock._luma_pass(out_y.T, bs_h.T, qp_h.T).T
         if intra_fallback:
             # chroma filters only BS==2 edges (intra-adjacent)
             bs_vc, bs_hc = chroma_boundary_strength(ii, s, h // 2, w // 2)
-            out_u = deblock.deblock_chroma(out_u, bs_vc, bs_hc, qp_c)
-            out_v = deblock.deblock_chroma(out_v, bs_vc, bs_hc, qp_c)
+            qpcv, qpch = _edge_qp_maps_chroma(qp_g16, h, w, 16,
+                                              chroma_qp_offset)
+            out_u = deblock._chroma_pass(out_u, bs_vc, qpcv)
+            out_u = deblock._chroma_pass(out_u.T, bs_hc.T, qpch.T).T
+            out_v = deblock._chroma_pass(out_v, bs_vc, qpcv)
+            out_v = deblock._chroma_pass(out_v.T, bs_hc.T, qpch.T).T
 
     sao_fields = None
     if sao_enabled:
@@ -833,10 +953,11 @@ encode_p_frame_jit = jax.jit(
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset",
-                     "me_precision"))
+                     "me_precision", "scaling_lists", "me_subpel_r"))
 
 
-def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, **flags):
+def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
+                   **flags):
     """Encode K consecutive P frames in ONE device program (lax.scan
     over the inter-frame reference dependency).
 
@@ -849,17 +970,23 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, **flags):
     """
     def step(carry, xs):
         ry, ru, rv = carry
-        y, u, v = xs
-        out = encode_p_frame(y, u, v, ry, ru, rv, qp=qp, **flags)
+        if qp_maps is None:
+            y, u, v = xs
+            qmap = None
+        else:
+            y, u, v, qmap = xs
+        out = encode_p_frame(y, u, v, ry, ru, rv, qp=qp, qp_map=qmap,
+                             **flags)
         per_frame = dict(packed=out["packed"], coeff_y=out["coeff_y"],
                          coeff_cb=out["coeff_cb"],
                          coeff_cr=out["coeff_cr"])
         return ((out["recon_y"], out["recon_u"], out["recon_v"]),
                 per_frame)
 
+    xs = (ys, us, vs) if qp_maps is None else (ys, us, vs, qp_maps)
     (ry, ru, rv), outs = jax.lax.scan(
         step, (jnp.asarray(ref_y, jnp.int32), jnp.asarray(ref_u, jnp.int32),
-               jnp.asarray(ref_v, jnp.int32)), (ys, us, vs))
+               jnp.asarray(ref_v, jnp.int32)), xs)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
                 packed=outs["packed"], coeff_y=outs["coeff_y"],
                 coeff_cb=outs["coeff_cb"], coeff_cr=outs["coeff_cr"])
@@ -870,4 +997,4 @@ encode_p_chunk_jit = jax.jit(
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset",
-                     "me_precision"))
+                     "me_precision", "scaling_lists", "me_subpel_r"))

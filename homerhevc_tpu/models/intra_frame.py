@@ -124,7 +124,8 @@ def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
                      jnp.where(hor[:, None, None], outs[1], outs[0]))
 
 
-def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False):
+def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False,
+              scaling=False):
     """residual -> T -> Q(-SBH) -> IQ -> IT -> recon + zero-RD.
 
     mode-dependent-scan SBH applies when `mode` is given (sizes 4/8);
@@ -132,7 +133,8 @@ def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False):
     Returns (level, recon, cbf)."""
     resid = orig.astype(jnp.int32) - pred
     coeff = transform.forward_transform(resid, size)
-    level, du = quant.quantize(coeff, qp, size, is_intra=True)
+    level, du = quant.quantize(coeff, qp, size, is_intra=True,
+                               scaling=scaling)
     if sign_hiding:
         if mode is not None and size in (4, 8):
             level = _sbh_by_mode(level, du, mode, size, True)
@@ -140,7 +142,8 @@ def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False):
             level = quant.sign_bit_hide(
                 level, du, tuple(tables.scan_order(
                     size, tables.SCAN_DIAG)), size)
-    deq = quant.dequantize(level, qp, size)
+    deq = quant.dequantize(level, qp, size, is_intra=True,
+                           scaling=scaling)
     r = transform.inverse_transform(deq, size)
     recon = jnp.clip(pred + r, 0, 255)
     level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
@@ -169,8 +172,14 @@ def _blocks(plane: jnp.ndarray, b: int):
 
 def _dense_best(y32, s: int, ctu: int, sqrt_lam):
     """Best intra mode + cost for every s x s block, from source-pixel
-    reference samples with exact availability.  Returns
-    (mode [bh, bw] int32, cost [bh, bw] f32)."""
+    reference samples with exact availability.
+
+    Staged search (the dense reshape of Homer's 4-stage refinement,
+    ref search_points hmr_motion_intra.c:1072-1177): 11 seed modes
+    (planar, DC, every 4th angle) then ±2/±1 refinement around the
+    winner — ~15 single-mode predictions instead of the full 35-mode
+    stack, with an MPM-aware re-argmin over everything evaluated.
+    Returns (mode [bh, bw] int32, cost [bh, bw] f32)."""
     h, w = y32.shape
     bh, bw = h // s, w // s
     nb = bh * bw
@@ -187,27 +196,41 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam):
     adi_raw = jax.vmap(gather)(pos_y, pos_x)
     amask = jnp.asarray(_avail_np(w, h, s, ctu).reshape(nb, 5))
     adi = intra.substitute_refs(adi_raw, _avail_mask(amask, s))
-    preds = intra.predict_all_modes(adi, s, True)       # [nb, 35, S, S]
     orig = _blocks(y32, s)
-    dist = satd(preds - orig[:, None], s)               # [nb, 35]
+
+    def ev(m_arr):
+        p = intra.predict_single_mode(adi, m_arr, s, True)
+        return satd(p - orig, s)
+
+    seeds = (0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34)
+    modes = [jnp.full((nb,), m, jnp.int32) for m in seeds]
+    satds = [ev(m) for m in modes]
+    st = jnp.stack(satds, -1)
+    seed_best = jnp.asarray(seeds, jnp.int32)[jnp.argmin(st, -1)]
+    for d in (-2, -1, 1, 2):
+        m_arr = jnp.where(seed_best >= 2,
+                          jnp.clip(seed_best + d, 2, 34), seed_best)
+        modes.append(m_arr)
+        satds.append(ev(m_arr))
+    all_m = jnp.stack(modes, -1)                    # [nb, 15]
+    all_s = jnp.stack(satds, -1)
 
     # MPM-aware mode bits from a first-round argmin of the neighbours
-    best0 = jnp.argmin(dist, -1).astype(jnp.int32).reshape(bh, bw)
+    best0 = jnp.take_along_axis(
+        all_m, jnp.argmin(all_s, -1)[:, None], -1)[:, 0].reshape(bh, bw)
     left_m = jnp.concatenate([jnp.ones((bh, 1), jnp.int32),
                               best0[:, :-1]], 1)
     top_m = jnp.concatenate([jnp.ones((1, bw), jnp.int32),
                              best0[:-1]], 0)
     cands = _mpm_candidates(left_m.reshape(-1), top_m.reshape(-1))
-    all_modes = jnp.arange(35, dtype=jnp.int32)
-    in_mpm = (cands[:, :, None] == all_modes[None, None]).any(axis=1)
-    cost = dist + sqrt_lam.astype(jnp.float32) \
+    in_mpm = (all_m[..., None] == cands[:, None, :]).any(-1)
+    cost = all_s + sqrt_lam.astype(jnp.float32) \
         * rdbits.intra_mode_bits(in_mpm)
-    best = jnp.argmin(cost, -1).astype(jnp.int32)
+    k = jnp.argmin(cost, -1)
+    best = jnp.take_along_axis(all_m, k[:, None], -1)[:, 0]
     return best.reshape(bh, bw), jnp.min(cost, -1).reshape(bh, bw)
 
 
-# per-CU header bits (mode + part/cbf flags) and split-flag bits used
-# by the in-loop RD split decisions (recon pass)
 _CU_HDR_BITS = 6.0
 _SPLIT_BITS = 1.5
 
@@ -291,6 +314,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  sign_hiding: bool = False, rd_lambda_scale: float = 1.0,
                  deblocking: bool = False, sao_enabled: bool = False,
                  search_8x8: bool = True, chroma_qp_offset: int = 0,
+                 scaling_lists: bool = False,
                  cu: int = None, split_8x8: bool = None):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
@@ -355,7 +379,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             _avail_mask(av32, 32))
         pred32 = intra.predict_single_mode(adi32, m32, 32, True)
         lvl32, rec32, cbf32 = _tq_recon(orig32, pred32, 32, qp, lam_rd,
-                                        sign_hiding=sign_hiding)
+                                        sign_hiding=sign_hiding,
+                                        scaling=scaling_lists)
 
         # ===== luma 16/8 path (patch covers slot + 16 right/below
         # ext); the four z-order sub-16s run as a lax.scan (and the
@@ -387,7 +412,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             o16 = jax.lax.dynamic_slice(orig32, (0, oy, ox),
                                         (nb, 16, 16))
             l16, r16, c16 = _tq_recon(o16, pr16, 16, qp, lam_rd,
-                                      sign_hiding=sign_hiding)
+                                      sign_hiding=sign_hiding,
+                                      scaling=scaling_lists)
             cost16 = jnp.sum((r16 - o16) ** 2, (-1, -2)) \
                 .astype(jnp.float32) + lamf * (
                     rdbits.residual_bits(l16, 16) + _CU_HDR_BITS)
@@ -407,7 +433,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                                                (nb, 8, 8))
                     l8, r8, c8 = _tq_recon(o8, pr8, 8, qp, lam_rd,
                                            mode=m8,
-                                           sign_hiding=sign_hiding)
+                                           sign_hiding=sign_hiding,
+                                           scaling=scaling_lists)
                     cost8 = cost8 + jnp.sum((r8 - o8) ** 2, (-1, -2)) \
                         .astype(jnp.float32) + lamf * (
                             rdbits.residual_bits(l8, 8) + _CU_HDR_BITS)
@@ -491,7 +518,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             pr_c16 = intra.predict_single_mode(adi_c, m32, 16, False)
             lc16, rc16, cc16 = _tq_recon(orig_c, pr_c16, 16, qp_c,
                                          lam_rd_c,
-                                         sign_hiding=sign_hiding)
+                                         sign_hiding=sign_hiding,
+                                         scaling=scaling_lists)
             # children: 8 TB per sub16 (or 4x4 z-quads when split to 8)
             cpatch = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
                 rec_p, (yy, xx), (25, 25)))(cy0, cx0)
@@ -510,7 +538,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 o8 = jax.lax.dynamic_slice(orig_c, (0, oy, ox),
                                            (nb, 8, 8))
                 l8, r8, c8 = _tq_recon(o8, pr8, 8, qp_c, lam_rd_c,
-                                       sign_hiding=sign_hiding)
+                                       sign_hiding=sign_hiding,
+                                       scaling=scaling_lists)
                 if search_8x8:
                     coffs4 = jnp.asarray([[4 * r[0], 4 * r[1]]
                                           for r in _SUB_OFF], jnp.int32)
@@ -528,7 +557,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                             orig_c, (0, o4y, o4x), (nb, 4, 4))
                         l4, r4, c4 = _tq_recon(o4, pr4, 4, qp_c,
                                                lam_rd_c, mode=m8,
-                                               sign_hiding=sign_hiding)
+                                               sign_hiding=sign_hiding,
+                                               scaling=scaling_lists)
                         cpatch4 = jax.lax.dynamic_update_slice(
                             cpatch4, r4, (0, o4y + 1, o4x + 1))
                         l4s = jax.lax.dynamic_update_slice(
@@ -745,8 +775,8 @@ encode_frame_jit = jax.jit(
     encode_frame, static_argnames=("ctu", "sign_hiding",
                                    "rd_lambda_scale", "deblocking",
                                    "sao_enabled", "search_8x8",
-                                   "chroma_qp_offset", "cu",
-                                   "split_8x8"))
+                                   "chroma_qp_offset", "scaling_lists",
+                                   "cu", "split_8x8"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -762,5 +792,5 @@ encode_i_chunk_jit = jax.jit(
     encode_i_chunk, static_argnames=("ctu", "sign_hiding",
                                      "rd_lambda_scale", "deblocking",
                                      "sao_enabled", "search_8x8",
-                                     "chroma_qp_offset", "cu",
-                                     "split_8x8"))
+                                     "chroma_qp_offset", "scaling_lists",
+                                     "cu", "split_8x8"))

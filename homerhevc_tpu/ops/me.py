@@ -28,9 +28,11 @@ import numpy as np
 from homerhevc_tpu.ops import interp
 
 # padding of the full-res reference plane used by refine/subpel/MC;
-# bounds the reachable MV magnitude
-REF_PAD = 48
-COARSE_R = 16          # half-res full-search radius => ±32 full-res
+# bounds the reachable MV magnitude (reference search range ±128x±64,
+# hmr_private.h:76-77, plus refinement slack and the 8-tap support)
+REF_PAD = 144
+COARSE_RY = 8          # eighth-res full-search radius => ±64 full-res
+COARSE_RX = 16         # => ±128 full-res (ref hmr_private.h:76)
 REFINE_R = 3
 
 
@@ -48,29 +50,30 @@ def _pool_matrix(n: int, bs: int) -> np.ndarray:
     return m
 
 
-def _slab_search(cur_s, ref_s, bs: int, r: int, row0):
+def _slab_search(cur_s, ref_s, bs: int, ry: int, rx: int, row0):
     """Full search of cur_s (a band of blocks, size bs) against the
-    full-plane ref_s over offsets [-r, r]^2; the band starts at row
-    `row0` of ref_s.  |mv| tie-break (ref mv_cost hmr_common.h:50).
+    full-plane ref_s over offsets [-ry, ry] x [-rx, rx]; the band
+    starts at row `row0` of ref_s.  |mv| tie-break (ref mv_cost
+    hmr_common.h:50).
 
     Static slices over the slab + matmul pooling: all offsets become
     elementwise diffs + two small MXU matmuls — no gathers."""
     h, w = cur_s.shape
     slab = jax.lax.dynamic_slice(
-        jnp.pad(ref_s, r, mode="edge"), (row0, 0),
-        (h + 2 * r, ref_s.shape[1] + 2 * r))
+        jnp.pad(ref_s, ((ry, ry), (rx, rx)), mode="edge"), (row0, 0),
+        (h + 2 * ry, ref_s.shape[1] + 2 * rx))
     # NOTE a Pallas version exists (ops/pallas_kernels.slab_search_pallas,
     # interpreter-verified) but the current Mosaic build miscompiles it
     # on hardware (wrong argmin results; smaller variants SIGABRT the
     # remote compiler), so the XLA formulation stays the production path
     # until the toolchain settles.  It was perf-neutral end to end.
-    best_idx = slab_search_jnp(cur_s, slab, bs, r)
-    dy = best_idx // (2 * r + 1) - r
-    dx = best_idx % (2 * r + 1) - r
+    best_idx = slab_search_jnp(cur_s, slab, bs, ry, rx)
+    dy = best_idx // (2 * rx + 1) - ry
+    dx = best_idx % (2 * rx + 1) - rx
     return jnp.stack([dy, dx], axis=-1).astype(jnp.int32)
 
 
-def slab_search_jnp(cur_s, slab, bs: int, r: int):
+def slab_search_jnp(cur_s, slab, bs: int, ry: int, rx: int):
     """jnp reference of the Pallas slab-search kernel (CPU fallback and
     equivalence oracle): returns [bh, bw] flat best-offset indices."""
     h, w = cur_s.shape
@@ -81,12 +84,12 @@ def slab_search_jnp(cur_s, slab, bs: int, r: int):
     best_idx = None
     k = 0
     hp = jax.lax.Precision.HIGHEST
-    for dy in range(2 * r + 1):
-        for dx in range(2 * r + 1):
+    for dy in range(2 * ry + 1):
+        for dx in range(2 * rx + 1):
             d = jnp.abs(slab[dy:dy + h, dx:dx + w].astype(jnp.float32)
                         - cf)
             sad = jnp.einsum("yb,yx,xc->bc", pr, d, pc, precision=hp) \
-                + (abs(dy - r) + abs(dx - r))
+                + (abs(dy - ry) + abs(dx - rx))
             if best_sad is None:
                 best_sad, best_idx = sad, jnp.zeros_like(sad,
                                                          dtype=jnp.int32)
@@ -98,15 +101,17 @@ def slab_search_jnp(cur_s, slab, bs: int, r: int):
     return best_idx
 
 
-def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0):
+def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0,
+                   max_base: int):
     """±r refinement around per-block base MVs [bh, bw, 2] with
-    per-block window gathers from the full plane ref_s."""
+    per-block window gathers from the full plane ref_s; |base| is
+    bounded by max_base (sets the padding)."""
     h, w = cur_s.shape
     bh, bw = h // bs, w // bs
     pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * bs, bw)
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * bs, bh)
     bflat = base.reshape(-1, 2)
-    off0 = 2 * r + COARSE_R * 2
+    off0 = r + max_base
     big = jnp.pad(ref_s, off0, mode="edge")
     win = _gather_windows(
         big, off0 + pos_y + bflat[:, 0] - r,
@@ -126,9 +131,10 @@ def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0):
 
 def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
                   row0=0):
-    """Hierarchical coarse search: quarter-res full search (covers the
-    same ±2*COARSE_R full-res range) then half-res ±2 refinement —
-    ~12x fewer SAD ops than a flat half-res full search.
+    """Hierarchical coarse search: eighth-res full search over
+    ±COARSE_RY x ±COARSE_RX (= ±64 x ±128 full-res, the reference's
+    search range hmr_private.h:76-77), then ±2 refinements at quarter
+    and half resolution.
 
     cur may be a row band of the full-plane ref starting at row `row0`
     (the row-sharded path passes its band; row0=0 single device).
@@ -138,10 +144,14 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
     ref_h = _block_sum(ref, 2)
     cur_q = _block_sum(cur, 4)                       # 4x4 sums
     ref_q = _block_sum(ref, 4)
-    r_q = COARSE_R // 2
-    mv_q = _slab_search(cur_q, ref_q, block // 4, r_q, row0 // 4)
+    cur_e = _block_sum(cur, 8)                       # 8x8 sums
+    ref_e = _block_sum(ref, 8)
+    mv_e = _slab_search(cur_e, ref_e, block // 8, COARSE_RY, COARSE_RX,
+                        row0 // 8)
+    mv_q = _gather_refine(cur_q, ref_q, block // 4, 2, mv_e * 2,
+                          row0 // 4, max_base=2 * COARSE_RX + 2)
     mv_h = _gather_refine(cur_h, ref_h, block // 2, 2, mv_q * 2,
-                          row0 // 2)
+                          row0 // 2, max_base=4 * COARSE_RX + 8)
     return mv_h * 2
 
 
@@ -177,16 +187,17 @@ def refine_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
 
 
 def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
-                  precision: int = 2):
-    """Dense subpel: evaluate ALL quarter-pel positions in [-3, 3]^2
-    around the integer MV (a superset of the reference's half-then-
-    quarter 9+9 walk — dense is the TPU-idiomatic shape and strictly
-    better RD) and return (quarter-pel MV [n, 2], SAD [n], best
-    prediction [n, B, B]).
+                  precision: int = 2, r: int = 2):
+    """Dense subpel: evaluate ALL quarter-pel positions in [-r, r]^2
+    around the integer MV (the TPU-idiomatic reshape of the reference's
+    half-then-quarter 9+9 walk) and return (quarter-pel MV [n, 2],
+    SAD [n], best prediction [n, B, B]).
 
     precision: 0 = integer pel, 1 = half pel, 2 = quarter pel (ref
     motion_estimation_precision, homer_app.c); lower precisions search
-    the corresponding sub-grid.
+    the corresponding sub-grid.  r=3 covers the reference walk's full
+    reachable set (49 evals); r=2 (25 evals) drops only the ±3-qpel
+    corners — the fast-mode default.
 
     Every position is a static-phase band-matrix interpolation
     (ops/interp.fir2d) on a shared [n, B+9, B+9] window — no dynamic
@@ -200,7 +211,7 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
         REF_PAD + pos_x + mv_int[:, 1] - 4,
         block + 9)
     step = {0: 4, 1: 2, 2: 1}[precision]
-    offs = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)
+    offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)
             if dy % step == 0 and dx % step == 0]
 
     def pred_at(dy, dx):
@@ -262,7 +273,7 @@ def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
-                    precision: int = 2):
+                    precision: int = 2, subpel_r: int = 2):
     """Full ME pipeline. cur/ref [H, W] int32. Returns (mv_q [bh,bw,2],
     sad [bh,bw], pred [n, B, B] final luma MC prediction)."""
     h, w = cur.shape
@@ -292,5 +303,6 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
                             mv0.reshape(-1, 2), block)
     with jax.named_scope("me.subpel"):
         mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y,
-                                       pos_x, mv1, block, precision)
+                                       pos_x, mv1, block, precision,
+                                       subpel_r)
     return mv2.reshape(bh, bw, 2), sad.reshape(bh, bw), pred

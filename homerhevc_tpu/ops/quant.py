@@ -26,26 +26,48 @@ _CLIP_MAX = 32767
 def quant_params(qp, size: int, bit_depth: int = 8):
     """(per, rem, qbits, transform_shift) for a size x size TB.
 
-    qp may be a Python int or a traced int32 scalar — all downstream
-    arithmetic stays tensor-friendly so one compiled program serves
-    every QP (rate control changes QP per frame)."""
+    qp may be a Python int, a traced int32 scalar, or a PER-BLOCK
+    tensor [...] (cu_qp_delta / per-CTU rate control) — all downstream
+    arithmetic stays tensor-friendly, broadcasting against [..., N, N]
+    coefficient blocks."""
     log2 = int(np.log2(size))
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim > 0:
+        qp = qp.reshape(qp.shape + (1, 1))    # broadcast over the TB
     per, rem = qp // 6, qp % 6
     transform_shift = tables.MAX_TR_DYNAMIC_RANGE - bit_depth - log2
     qbits = tables.QUANT_SHIFT + per + transform_shift
     return per, rem, qbits, transform_shift
 
 
+@functools.lru_cache(maxsize=None)
+def _q_matrices(size: int, is_intra: bool):
+    """Per-rem quantization factor stacks [(6, N, N)] for the default
+    scaling lists: Q = (quant_scale[rem] << 4) / m (integer division,
+    ref init_quant_pyramids hmr_tables.c:222-251); flat m=16 reduces to
+    the plain quant_scale."""
+    m = tables.scaling_matrix(size, is_intra)
+    q = (tables.QUANT_SCALES[:, None, None] << 4) // m[None]
+    dq = tables.INV_QUANT_SCALES[:, None, None] * m[None]
+    return q.astype(np.int32), dq.astype(np.int32)
+
+
 def quantize(coeff: jnp.ndarray, qp, size: int, is_intra: bool = True,
-             bit_depth: int = 8):
+             bit_depth: int = 8, scaling: bool = False):
     """Quantize coefficients; returns (levels int32 [..., N, N], delta_u).
 
     Rounding offset 171/512 for intra, 85/512 for inter (HM convention;
     the reference uses 171 unconditionally, hmr_quant.c:185 — an encoder
     choice, both conformant).  delta_u is the sign-bit-hiding residue.
+    scaling=True applies the default scaling lists (ref signals them in
+    its SPS, hmr_encoder_lib.c:1281).
     """
     per, rem, qbits, _ = quant_params(qp, size, bit_depth)
-    q = jnp.asarray(tables.QUANT_SCALES)[rem]
+    if scaling:
+        qmat = jnp.asarray(_q_matrices(size, is_intra)[0])
+        q = qmat[rem[..., 0, 0]] if rem.ndim > 0 else qmat[rem]
+    else:
+        q = jnp.asarray(tables.QUANT_SCALES)[rem]
     add = jnp.int32(171 if is_intra else 85) << (qbits - 9)
     c = coeff.astype(jnp.int32)
     absc = jnp.abs(c)
@@ -57,12 +79,17 @@ def quantize(coeff: jnp.ndarray, qp, size: int, is_intra: bool = True,
 
 
 def dequantize(level: jnp.ndarray, qp, size: int,
-               bit_depth: int = 8) -> jnp.ndarray:
-    """Inverse quantization with flat scaling (spec 8.6.3)."""
+               bit_depth: int = 8, is_intra: bool = True,
+               scaling: bool = False) -> jnp.ndarray:
+    """Inverse quantization (spec 8.6.3), flat or default-list scaled."""
     per, rem, _, transform_shift = quant_params(qp, size, bit_depth)
     iq_shift = (tables.QUANT_IQUANT_SHIFT - tables.QUANT_SHIFT
                 - transform_shift + 4)
-    dq = jnp.asarray(tables.INV_QUANT_SCALES)[rem] * 16
+    if scaling:
+        dqm = jnp.asarray(_q_matrices(size, is_intra)[1])
+        dq = dqm[rem[..., 0, 0]] if rem.ndim > 0 else dqm[rem]
+    else:
+        dq = jnp.asarray(tables.INV_QUANT_SCALES)[rem] * 16
     lv = level.astype(jnp.int32)
     # per is data-dependent under rate control: evaluate both the
     # rounded-downshift and upshift forms and select

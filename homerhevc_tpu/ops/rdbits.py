@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from homerhevc_tpu import tables
@@ -108,6 +109,34 @@ def _scan_perm(size: int) -> np.ndarray:
                       np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _scan_perm_mat(size: int) -> np.ndarray:
+    """One-hot [n, n] f32 permutation matrix: scan = raster @ P.
+    Gathers with tiny trailing dims are slow on TPU; a permutation
+    matmul rides the MXU instead (exact for |values| < 2^24)."""
+    perm = _scan_perm(size)
+    n = size * size
+    p = np.zeros((n, n), np.float32)
+    p[perm, np.arange(n)] = 1.0
+    return p
+
+
+def _level_bits_arith(lv: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form per-coefficient level bits (gt1/gt2/rice-0 with the
+    EG escape) — arithmetic only, no LUT gathers.  lv: abs levels > 0
+    (values at zero positions are masked by the caller)."""
+    l = lv.astype(jnp.float32)
+    rem = l - 3.0
+    # rice r=0: rem<3 -> rem+1 bins; else 3 ones + terminator + EG1 of
+    # (rem-3): group k (k>=1) holds 2^k values, total bits 4 + 2k
+    k = jnp.floor(jnp.log2(jnp.maximum(rem - 3.0, 0.0) + 2.0))
+    rice = jnp.where(rem < 3.0, rem + 1.0, 4.0 + 2.0 * k)
+    return jnp.where(
+        l <= 1.0, GT1_BITS[0],
+        jnp.where(l <= 2.0, GT1_BITS[1] + GT2_BITS[0],
+                  GT1_BITS[1] + GT2_BITS[1] + rice))
+
+
 def residual_bits(level: jnp.ndarray, size: int) -> jnp.ndarray:
     """Estimated CABAC bits of residual_coding() for each TB.
 
@@ -120,8 +149,11 @@ def residual_bits(level: jnp.ndarray, size: int) -> jnp.ndarray:
     """
     n = size * size
     perm = jnp.asarray(_scan_perm(size))
-    lv = jnp.abs(level).reshape(*level.shape[:-2], n)
-    lv = jnp.take(lv, perm, axis=-1)                 # scan order
+    pm = jnp.asarray(_scan_perm_mat(size))
+    lv_r = jnp.abs(level).reshape(*level.shape[:-2], n)
+    lv = jnp.einsum("...n,nm->...m", lv_r.astype(jnp.float32), pm,
+                    precision=jax.lax.Precision.HIGHEST) \
+        .astype(jnp.int32)                           # scan order
     nz = lv > 0
     idx = jnp.arange(n, dtype=jnp.int32)
     any_nz = nz.any(-1)
@@ -157,10 +189,9 @@ def residual_bits(level: jnp.ndarray, size: int) -> jnp.ndarray:
         jnp.where(pos_on,
                   jnp.where(nz, SIG_BITS[1], SIG_BITS[0]), 0.0), -1)
 
-    # level + sign bits
-    lvl_lut = jnp.asarray(_level_bits_lut())
+    # level + sign bits (arithmetic closed form — no LUT gathers)
     bits_lvl = jnp.sum(
-        jnp.where(nz, lvl_lut[jnp.clip(lv, 0, 4096)] + 1.0, 0.0), -1)
+        jnp.where(nz, _level_bits_arith(lv) + 1.0, 0.0), -1)
 
     total = bits_last + bits_cg + bits_sig + bits_lvl
     return jnp.where(any_nz, total, 0.0)

@@ -39,14 +39,16 @@ from homerhevc_tpu.ops import deblock, interp, me, packing, quant, sao, \
 @functools.partial(
     jax.jit, static_argnames=("mesh", "row_axis", "block", "sign_hiding",
                               "deblocking", "sao_enabled", "ctu",
-                              "chroma_rd_scale", "chroma_qp_offset"))
+                              "chroma_rd_scale", "chroma_qp_offset",
+                              "scaling_lists"))
 def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                               mesh: Mesh, row_axis: str = "row",
                               block: int = 16, sign_hiding: bool = True,
                               deblocking: bool = True,
                               sao_enabled: bool = True, ctu: int = 64,
                               chroma_rd_scale: float = 1.0,
-                              chroma_qp_offset: int = 0):
+                              chroma_qp_offset: int = 0,
+                              scaling_lists: bool = False):
     """P-frame encode with CTU-row bands sharded over mesh[row_axis].
 
     Inputs are full planes (uint8/int32); the reference planes are
@@ -112,7 +114,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             mv_flat, level_y, recon_y, pred_sel, cost16 = \
                 inter_frame._merge_skip_rd(
                     cur_b, ref_pad, pos_y, pos_x, mv_me, pred, qp,
-                    lam, s, sbh_scan, cand_fields=cands)
+                    lam, s, sbh_scan, cand_fields=cands,
+                    scaling=scaling_lists)
             mv_band = mv_flat.reshape(bh, bw, 2)
         pred = pred_sel
         mv = mv_band
@@ -122,9 +125,9 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         # 32/64 groups never cross CTU-aligned band boundaries)
         (mv, level_y, recon_y, cbf_y, cu_depth, tr_depth, chroma16) = \
             inter_frame.quadtree_consolidate(
-                cur_b, ref_pad, pos_y, pos_x, mv, level_y, recon_y,
+                cur_b, pred_sel, mv, level_y, recon_y,
                 cost16, jnp.zeros((bh * bw,), bool), qp, lam, bh, bw,
-                sign_hiding)
+                sign_hiding, scaling_lists)
         mv_fl = mv.reshape(-1, 2)
 
         cpad = me.REF_PAD // 2
@@ -141,7 +144,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                                             mv_f[:, 1] & 7, cs)
             cb = inter_frame._blocks(plane_b.astype(jnp.int32), cs)
             lvl, rrc = inter_frame._tq(cb - cpred, cs, qp_c, False,
-                                       sbh_scan_c)
+                                       sbh_scan_c, scaling_lists)
             rec = jnp.clip(cpred + rrc, 0, 255)
             lvl, rec = inter_frame._rd_zero(lvl, rec, cpred, cb,
                                             lam_c * chroma_rd_scale)
@@ -154,7 +157,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             scan16 = tuple(tables.scan_order(2 * cs, tables.SCAN_DIAG)) \
                 if sign_hiding else None
             lvl16, rr16 = inter_frame._tq(orig16 - pred16, 2 * cs, qp_c,
-                                          False, scan16)
+                                          False, scan16, scaling_lists)
             rec16 = jnp.clip(pred16 + rr16, 0, 255)
             lvl16, rec16 = inter_frame._rd_zero(
                 lvl16, rec16, pred16, orig16, lam_c * chroma_rd_scale)

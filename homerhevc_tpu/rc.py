@@ -120,3 +120,25 @@ class RateControl:
 
 def _clip(v, lo, hi):
     return max(lo, min(hi, v))
+
+
+def ctu_qp_map(base_qp: int, y_plane, ctu: int,
+               strength: float = 1.5, max_delta: int = 3):
+    """Per-CTU QP map from source activity (the TPU-batched reshape of
+    the reference's per-CU QP modulation, hmr_rc_calc_cu_qp
+    hmr_rate_control.c:261: the serial running-bits feedback becomes a
+    content-adaptive pre-pass so the whole frame still encodes in one
+    launch; VBV tracking stays at frame granularity).
+
+    y_plane: padded uint8 luma.  Returns [ctus_y, ctus_x] int32.
+    """
+    import numpy as np
+    h, w = y_plane.shape
+    ncy, ncx = h // ctu, w // ctu
+    b = y_plane.reshape(ncy, ctu // 8, 8, ncx, ctu // 8, 8) \
+        .astype(np.float32)
+    v = b.var(axis=(2, 5)).mean(axis=(1, 3)) + 1.0     # [ncy, ncx]
+    log_act = np.log2(v)
+    offs = np.clip(np.round(strength * (log_act - log_act.mean())),
+                   -max_delta, max_delta)
+    return np.clip(base_qp + offs, 1, 51).astype(np.int32)

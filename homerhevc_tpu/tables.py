@@ -341,3 +341,46 @@ DEBLOCK_BETA_TABLE = np.array(
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11, 12,
      13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42,
      44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=np.int32)
+
+# ---------------------------------------------------------------------------
+# Default scaling lists (spec 7.4.5 Table 7-5/7-6; ref get_default_qtable
+# hmr_tables.c:200-251 — ITU-T spec constants).  4x4 lists are flat 16;
+# 8x8 lists below are upsampled 2x/4x for 16x16/32x32 with the DC
+# coefficient overridden to the default dc value 16.
+# ---------------------------------------------------------------------------
+
+DEFAULT_SCALING_8x8_INTRA = np.array([
+    16, 16, 16, 16, 17, 18, 21, 24,
+    16, 16, 16, 16, 17, 19, 22, 25,
+    16, 16, 17, 18, 20, 22, 25, 29,
+    16, 16, 18, 21, 24, 27, 31, 36,
+    17, 17, 20, 24, 30, 35, 41, 47,
+    18, 19, 22, 27, 35, 44, 54, 65,
+    21, 22, 25, 31, 41, 54, 70, 88,
+    24, 25, 29, 36, 47, 65, 88, 115], dtype=np.int32).reshape(8, 8)
+
+DEFAULT_SCALING_8x8_INTER = np.array([
+    16, 16, 16, 16, 17, 18, 20, 24,
+    16, 16, 16, 17, 18, 20, 24, 25,
+    16, 16, 17, 18, 20, 24, 25, 28,
+    16, 17, 18, 20, 24, 25, 28, 33,
+    17, 18, 20, 24, 25, 28, 33, 41,
+    18, 20, 24, 25, 28, 33, 41, 54,
+    20, 24, 25, 28, 33, 41, 54, 71,
+    24, 25, 28, 33, 41, 54, 71, 91], dtype=np.int32).reshape(8, 8)
+
+
+@functools.lru_cache(maxsize=None)
+def scaling_matrix(size: int, is_intra: bool) -> np.ndarray:
+    """Default scaling factors m[y][x] for a size x size TB (spec
+    8.6.3 with scaling_list_enabled=1, data_present=0)."""
+    if size == 4:
+        return np.full((4, 4), 16, np.int32)
+    base = DEFAULT_SCALING_8x8_INTRA if is_intra \
+        else DEFAULT_SCALING_8x8_INTER
+    if size == 8:
+        return base.copy()
+    r = size // 8
+    m = np.repeat(np.repeat(base, r, 0), r, 1)
+    m[0, 0] = 16                     # default DC value
+    return m

@@ -95,7 +95,9 @@ std::vector<uint8_t> make_sps(const HevcCfg* cfg) {
   b.ue(log2i(cfg->max_tu_size) - log2i(cfg->min_tu_size));
   b.ue(cfg->max_inter_tr_depth);
   b.ue(cfg->max_intra_tr_depth);
-  b.put(0, 1);  // scaling_list_enabled_flag (flat lists)
+  b.put(cfg->scaling_list_enabled ? 1 : 0, 1);  // scaling_list_enabled_flag
+  if (cfg->scaling_list_enabled)
+    b.put(0, 1);  // sps_scaling_list_data_present_flag -> default lists
   b.put(0, 1);  // amp_enabled_flag
   b.put(cfg->sao_enabled ? 1 : 0, 1);
   b.put(0, 1);  // pcm_enabled_flag

@@ -40,7 +40,8 @@ typedef struct HevcCfg {
   int32_t diff_cu_qp_delta_depth;
   int32_t frame_rate_num;
   int32_t frame_rate_den;
-  int32_t chroma_qp_offset;  // PPS pps_cb/cr_qp_offset
+  int32_t chroma_qp_offset;
+  int32_t scaling_list_enabled;  // SPS flag; 1 = default lists  // PPS pps_cb/cr_qp_offset
 } HevcCfg;
 
 // Per-4x4-block dense maps, row-major [height/4][width/4].

@@ -98,9 +98,21 @@ class SliceWriter {
     write_slice_header(bs_, &cfg_, &rec_);
     ctx_.init(rec_.slice_type, rec_.slice_qp);
     cabac_.start();
+    prev_qp_ = rec_.slice_qp;
     for (int cy = 0; cy < ctus_y_; ++cy) {
       for (int cx = 0; cx < ctus_x_; ++cx) {
         if (rec_.sao_luma || rec_.sao_chroma) write_sao(cx, cy);
+        // quantization group = CTU (diff_cu_qp_delta_depth 0): arm one
+        // cu_qp_delta for the CTU, emitted at its first coded TU (spec
+        // 7.3.8.10); a CTU with no coded cbf keeps the predicted QP
+        // (= previous in decoding order, since the left/above QGs lie
+        // in other CTBs and are unavailable per spec 8.6.1)
+        if (cfg_.cu_qp_delta_enabled) {
+          qp_pending_ = true;
+          pending_qp_ = m4(
+              reinterpret_cast<const uint8_t*>(rec_.qp_map),
+              cx << ctu_log2_, cy << ctu_log2_);
+        }
         quadtree(cx << ctu_log2_, cy << ctu_log2_, ctu_log2_, 0);
         bool last = (cy == ctus_y_ - 1) && (cx == ctus_x_ - 1);
         cabac_.encode_terminate(last ? 1 : 0);
@@ -113,6 +125,9 @@ class SliceWriter {
   }
 
  private:
+  int prev_qp_ = 0;
+  bool qp_pending_ = false;
+  int pending_qp_ = 0;
   // ---- map accessors (4x4 granularity) ----
   int m4(const uint8_t* p, int x, int y) const {
     return p[(y >> 2) * w4_ + (x >> 2)];
@@ -588,7 +603,15 @@ class SliceWriter {
     } else {
       cbf_y = true;  // inferred
     }
-    // transform_unit
+    // transform_unit: cu_qp_delta precedes the residuals of the
+    // first TU with any coded cbf (spec 7.3.8.10)
+    bool chroma_here = (log2 > 2) ? (cb || cr)
+                                  : (blk_idx == 3 && (cb || cr));
+    if (qp_pending_ && (cbf_y || chroma_here)) {
+      write_cu_qp_delta(pending_qp_ - prev_qp_);
+      prev_qp_ = pending_qp_;
+      qp_pending_ = false;
+    }
     if (cbf_y) residual(x0, y0, log2, 0, intra);
     if (log2 > 2) {
       if (cb) residual(x0, y0, log2 - 1, 1, intra);
@@ -597,6 +620,30 @@ class SliceWriter {
       if (cb) residual(x_base, y_base, 2, 1, intra);
       if (cr) residual(x_base, y_base, 2, 2, intra);
     }
+  }
+
+  void write_cu_qp_delta(int d) {
+    int a = d < 0 ? -d : d;
+    // cu_qp_delta_abs: TU(5) prefix (first bin ctx 0, rest ctx 1),
+    // then EG0 bypass suffix; bypass sign (spec 9.3.3.10)
+    int prefix = a < 5 ? a : 5;
+    for (int i = 0; i < prefix; ++i)
+      cabac_.encode_bin(&ctx_.ctx[CTX_DQP + (i == 0 ? 0 : 1)], 1);
+    if (prefix < 5)
+      cabac_.encode_bin(&ctx_.ctx[CTX_DQP + (prefix == 0 ? 0 : 1)], 0);
+    else {
+      // EG0 suffix of a-5 (spec 9.3.3.3: ONES-terminated prefix)
+      uint32_t sym = static_cast<uint32_t>(a - 5);
+      int k = 0;
+      while (sym >= (1u << k)) {
+        cabac_.encode_bypass(1);
+        sym -= 1u << k;
+        ++k;
+      }
+      cabac_.encode_bypass(0);
+      while (k--) cabac_.encode_bypass((sym >> k) & 1);
+    }
+    if (a) cabac_.encode_bypass(d < 0);
   }
 
   // ---- residual coding (spec 7.3.8.11) ----

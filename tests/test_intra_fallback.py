@@ -28,9 +28,15 @@ def test_scene_change_intra_fallback_conformant():
                                       dx // 2:dx // 2 + w // 2])
         v = np.ascontiguousarray(base[dy // 2 + 4:dy // 2 + 4 + h // 2,
                                       dx // 2 + 4:dx // 2 + 4 + w // 2])
-        if i >= 2:   # hard scene change to flat gradient content
+        if i >= 2:   # hard scene change to flat gradient content.
+            # NOTE values sit NEAR 255, above anything in `base`: since
+            # the ME range reaches the edge-replicated reference
+            # padding (a legitimate, decoder-exact prediction source),
+            # flat content at values present in the reference would be
+            # predicted from the padding instead of going intra.
             yy = np.mgrid[0:h, 0:w][0]
-            y = ((yy // 6) * 10 + 40 + 2 * i).astype(np.uint8)
+            y = (250 + (yy // 16) + 2 * (i - 2)).clip(0, 255) \
+                .astype(np.uint8)
         f = enc.encode(y, u, v)
         stream += f.nalus
         recons.append(f.recon)

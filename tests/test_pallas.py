@@ -15,7 +15,7 @@ def test_slab_search_kernel_matches_jnp():
     slab[r + 4:r + 12, r + 8:r + 16] = cur[4:12, 8:16]
     slab[r - 2 + 4:r - 2 + 12, r + 3 + 8:r + 3 + 16] = cur[4:12, 8:16]
     want = np.asarray(me.slab_search_jnp(jnp.asarray(cur),
-                                         jnp.asarray(slab), bs, r))
+                                         jnp.asarray(slab), bs, r, r))
     got = np.asarray(pallas_kernels.slab_search_pallas(
         jnp.asarray(cur), jnp.asarray(slab), bs, r, interpret=True))
     np.testing.assert_array_equal(got, want)
