@@ -104,53 +104,11 @@ def merge_candidate_fields(mv_grid, med=None):
     return [(left, True), (top, True), (glob, True), (zero, False)]
 
 
-def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
-                   qp, lam, s, sbh_scan, cand_fields=None,
-                   scaling=False):
-    """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
-    reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
-    evaluated densely for every block at once).
-
-    Candidates: the block's own ME result, the left / top neighbours'
-    round-1 MVs, the global (median) motion, and zero.  Every candidate
-    gets an EXACT subpel prediction, a full T/Q/IQ/IT reconstruction and
-    a forced-zero-residual variant; costs are SSD + lambda * bits with
-    CABAC-LUT bit estimates (merge candidates price the merge index,
-    others price the exact mvd binarization).  The winner's
-    (mv, level, recon, cbf) fields are gathered per block; coherent
-    winners become skip/merge CUs in the host syntax stage.
-
-    cur_b: [n, S, S]; mv_own/pred_own from ME. Returns
-    (mv [n,2], level [n,S,S], recon [n,S,S], pred [n,S,S],
-    best_cost [n] — the winner's SSD + lambda*bits, consumed by the
-    CU-quadtree consolidation).
-    """
-    if cand_fields is None:
-        cand_fields = merge_candidate_fields(mv_own)
-    left_f = cand_fields[0][0].reshape(-1, 2)
-    cands = [(mv_own.reshape(-1, 2), False)] + \
-        [(f.reshape(-1, 2), m) for f, m in cand_fields]
-    n = cur_b.shape[0]
-    nc = len(cands)
-    bh, bw = mv_own.shape[:2]
-    h, w = bh * s, bw * s
-    y0 = pos_y[0]                     # band row offset (0 single-dev)
-
-    # predictions: own comes from ME (already exact MC), left/top need
-    # per-block gathers (ONE batched call), the global candidate is a
-    # single MV -> whole-plane MC, zero is a plane crop.  Gathers with
-    # tiny trailing dims are the dominant TPU cost; this removes 3 of 5.
-    all_mv = jnp.concatenate([c for c, _ in cands], 0)     # [nc*n, 2]
-    lt_mv = jnp.concatenate([cands[1][0], cands[2][0]], 0)
-    lt_pred = me.mc_luma_at(ref_pad, jnp.tile(pos_y, 2),
-                            jnp.tile(pos_x, 2), lt_mv, s)
-    med = cand_fields[2][0][0, 0]
-    glob_pred = _blocks(_mc_plane_luma(ref_pad, med, y0, h, w), s)
-    zero_pred = _blocks(jax.lax.dynamic_slice(
-        ref_pad, (me.REF_PAD + y0, me.REF_PAD), (h, w)), s)
-    preds = jnp.concatenate([pred_own, lt_pred, glob_pred, zero_pred],
-                            0)
-    cur_c = jnp.tile(cur_b, (nc, 1, 1))
+def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
+             n):
+    """Shared candidate evaluation: TQ + zero-residual fold + cost.
+    cur_c/preds: [nc*n, S, S]; bits_mv [nc, n].  Returns
+    (level, recon [nc*n, S, S], cost [nc, n])."""
     qp_cands = jnp.tile(qp, nc) if jnp.ndim(qp) > 0 else qp
     level, rr = _tq(cur_c - preds, s, qp_cands, False, sbh_scan,
                     scaling)
@@ -160,10 +118,6 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     ssd_zero = jnp.sum((preds - cur_c) ** 2, (-1, -2)) \
         .astype(jnp.float32).reshape(nc, n)
     bits_resid = (rdbits.residual_bits(level, s) + 2.0).reshape(nc, n)
-    bits_mv = jnp.stack(
-        [jnp.full((n,), 3.0) if is_merge
-         else rdbits.mvd_bits(c - left_f) + 5.0
-         for c, is_merge in cands], 0)                      # [nc, n]
     cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
     cost_zero = ssd_zero + lam * (bits_mv + 1.0)
     use_zero = cost_zero <= cost_coded
@@ -171,12 +125,98 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     level = jnp.where(use_zero.reshape(-1)[:, None, None], 0, level)
     recon = jnp.where(use_zero.reshape(-1)[:, None, None], preds,
                       recon)
+    return level, recon, cost
+
+
+def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
+                   qp, lam, s, sbh_scan, cand_fields=None,
+                   scaling=False, carry_in=None):
+    """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
+    reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
+    evaluated densely for every block at once).
+
+    Candidates: the block's own ME result, the left / top neighbours'
+    MVs, the global (median) motion, and zero.  Every candidate gets an
+    EXACT subpel prediction, a full T/Q/IQ/IT reconstruction and a
+    forced-zero-residual variant; costs are SSD + lambda * bits with
+    CABAC-LUT bit estimates (merge candidates price the merge index,
+    others price the exact mvd binarization).  The winner's
+    (mv, level, recon, cbf) fields are gathered per block; coherent
+    winners become skip/merge CUs in the host syntax stage.
+
+    carry_in: optional cached evaluations from a previous coherence
+    round — dict(mv/level/recon/pred [.. per block], cost [n]) of that
+    round's winner plus `fixed` = (all_mv, preds, level, recon, cost)
+    of the own/glob/zero candidates (whose predictions do not change
+    between rounds).  When given, only the left/top candidates are
+    re-evaluated — 2 TQ passes instead of 5.
+
+    cur_b: [n, S, S]; mv_own/pred_own from ME. Returns
+    (mv [n,2], level [n,S,S], recon [n,S,S], pred [n,S,S],
+    best_cost [n], carry_out).
+    """
+    if cand_fields is None:
+        cand_fields = merge_candidate_fields(mv_own)
+    left_f = cand_fields[0][0].reshape(-1, 2)
+    n = cur_b.shape[0]
+    bh, bw = mv_own.shape[:2]
+    h, w = bh * s, bw * s
+    y0 = pos_y[0]                     # band row offset (0 single-dev)
+
+    # left/top predictions need per-block gathers (ONE batched call)
+    lt_mv = jnp.concatenate([cand_fields[0][0].reshape(-1, 2),
+                             cand_fields[1][0].reshape(-1, 2)], 0)
+    lt_pred = me.mc_luma_at(ref_pad, jnp.tile(pos_y, 2),
+                            jnp.tile(pos_x, 2), lt_mv, s)
+    bits_lt = jnp.full((2, n), 3.0)
+    lvl_lt, rec_lt, cost_lt = _cand_rd(
+        jnp.tile(cur_b, (2, 1, 1)), lt_pred, qp, lam, s, sbh_scan,
+        scaling, bits_lt, 2, n)
+
+    if carry_in is None:
+        # own + global + zero (global: one MV -> whole-plane MC; zero:
+        # a plane crop — no per-block gathers)
+        med = cand_fields[2][0][0, 0]
+        glob_pred = _blocks(_mc_plane_luma(ref_pad, med, y0, h, w), s)
+        zero_pred = _blocks(jax.lax.dynamic_slice(
+            ref_pad, (me.REF_PAD + y0, me.REF_PAD), (h, w)), s)
+        ogz_mv = jnp.concatenate(
+            [mv_own.reshape(-1, 2), cand_fields[2][0].reshape(-1, 2),
+             jnp.zeros((n, 2), jnp.int32)], 0)
+        ogz_pred = jnp.concatenate([pred_own, glob_pred, zero_pred], 0)
+        bits_ogz = jnp.stack(
+            [rdbits.mvd_bits(mv_own.reshape(-1, 2) - left_f) + 5.0,
+             jnp.full((n,), 3.0),
+             rdbits.mvd_bits(-left_f) + 5.0], 0)
+        lvl_ogz, rec_ogz, cost_ogz = _cand_rd(
+            jnp.tile(cur_b, (3, 1, 1)), ogz_pred, qp, lam, s, sbh_scan,
+            scaling, bits_ogz, 3, n)
+        fixed = (ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz)
+        all_mv = jnp.concatenate([lt_mv, ogz_mv], 0)
+        preds = jnp.concatenate([lt_pred, ogz_pred], 0)
+        level = jnp.concatenate([lvl_lt, lvl_ogz], 0)
+        recon = jnp.concatenate([rec_lt, rec_ogz], 0)
+        cost = jnp.concatenate([cost_lt, cost_ogz], 0)
+    else:
+        # cached own/glob/zero + previous round's winner
+        fixed = carry_in["fixed"]
+        ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz = fixed
+        all_mv = jnp.concatenate(
+            [lt_mv, ogz_mv, carry_in["mv"]], 0)
+        preds = jnp.concatenate([lt_pred, ogz_pred, carry_in["pred"]], 0)
+        level = jnp.concatenate([lvl_lt, lvl_ogz, carry_in["level"]], 0)
+        recon = jnp.concatenate([rec_lt, rec_ogz, carry_in["recon"]], 0)
+        cost = jnp.concatenate([cost_lt, cost_ogz,
+                                carry_in["cost"][None]], 0)
+
     best = jnp.argmin(cost, axis=0)                         # [n]
     best_cost = jnp.min(cost, axis=0)
     pick = best * n + jnp.arange(n)
-
+    carry_out = dict(fixed=fixed, mv=all_mv[pick], pred=preds[pick],
+                     level=level[pick], recon=recon[pick],
+                     cost=best_cost)
     return (all_mv[pick], level[pick], recon[pick], preds[pick],
-            best_cost)
+            best_cost, carry_out)
 
 
 def _asm_tiles(t, n: int):
@@ -726,13 +766,16 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
     mv_me = mv
     with jax.named_scope("merge_rd"):
+        # round 2 re-evaluates only the left/top propagation candidates;
+        # own/global/zero (and round 1's winner) are carried cached
+        carry = None
         for _ in range(2):
             cands = merge_candidate_fields(mv)
-            mv_flat, level_y, recon_y, pred_sel, cost16 = \
+            mv_flat, level_y, recon_y, pred_sel, cost16, carry = \
                 _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_me,
                                pred, qp_t, lam_t, s, sbh_scan,
                                cand_fields=cands,
-                               scaling=scaling_lists)
+                               scaling=scaling_lists, carry_in=carry)
             mv = mv_flat.reshape(bh, bw, 2)
     pred = pred_sel
     mv_f = mv_flat
@@ -832,8 +875,17 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 jnp.any(new_lvl != 0, (-1, -2)).reshape(bh, bw))
             return new_lvl, new_rec, new_cbf
 
-        level_u, recon_u, cbf_u = rechroma(u, ref_u, sbh_scan_c)
-        level_v, recon_v, cbf_v = rechroma(v, ref_v, sbh_scan_c)
+        # Cb and Cr share every shape and table: run them as ONE
+        # vmapped call (halves the sequential op count of the stage)
+        lvl_c2, rec_c2, cbf_c2 = jax.vmap(
+            lambda p, r: rechroma(p, r, sbh_scan_c))(
+                jnp.stack([jnp.asarray(u, jnp.int32),
+                           jnp.asarray(v, jnp.int32)]),
+                jnp.stack([jnp.asarray(ref_u, jnp.int32),
+                           jnp.asarray(ref_v, jnp.int32)]))
+        level_u, level_v = lvl_c2[0], lvl_c2[1]
+        recon_u, recon_v = rec_c2[0], rec_c2[1]
+        cbf_u, cbf_v = cbf_c2[0], cbf_c2[1]
 
     # ---- fallback chroma (after the chroma pass so its DM intra
     # prediction reads final neighbour reconstructions)

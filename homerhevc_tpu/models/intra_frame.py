@@ -111,17 +111,38 @@ def _rd_zero_intra(level, recon, pred, orig, lam):
 def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
     """Sign-bit hiding in the block's ACTUAL coefficient scan (spec
     7.4.9.11: intra 4x4/8x8 luma and 4x4 chroma use mode-dependent
-    scans)."""
+    scans).
+
+    ONE SBH pass with per-block permutation matrices (one-hot scan
+    select + batched permutation matmuls) instead of three full passes
+    + select."""
     if not sign_hiding:
         return level
-    outs = []
-    for idx in (tables.SCAN_DIAG, tables.SCAN_HOR, tables.SCAN_VER):
-        outs.append(quant.sign_bit_hide(
-            level, du, tuple(tables.scan_order(size, idx)), size))
+    n = size * size
+    perms = jnp.asarray(np.stack(
+        [quant._perm_matrix_np(tuple(tables.scan_order(size, idx)), n)
+         for idx in (tables.SCAN_DIAG, tables.SCAN_HOR,
+                     tables.SCAN_VER)]))
     ver = (mode >= 6) & (mode <= 14)
     hor = (mode >= 22) & (mode <= 30)
-    return jnp.where(ver[:, None, None], outs[2],
-                     jnp.where(hor[:, None, None], outs[1], outs[0]))
+    sel = jnp.where(ver, 2, jnp.where(hor, 1, 0))
+    hp = jax.lax.Precision.HIGHEST
+    oh = jax.nn.one_hot(sel, 3, dtype=jnp.float32)
+    m_n = jnp.einsum("...k,kij->...ij", oh, perms, precision=hp)
+    shp = level.shape
+    flat = level.reshape(*shp[:-2], n).astype(jnp.float32)
+    duf = du.reshape(*shp[:-2], n).astype(jnp.float32)
+    sl = jnp.einsum("...i,...ij->...j", flat, m_n, precision=hp) \
+        .astype(jnp.int32)
+    sdu = jnp.einsum("...i,...ij->...j", duf, m_n, precision=hp) \
+        .astype(jnp.int32)
+    ident = tuple(range(n))
+    fixed = quant.sign_bit_hide(sl.reshape(shp), sdu.reshape(shp),
+                                ident, size)
+    back = jnp.einsum("...j,...ij->...i",
+                      fixed.reshape(*shp[:-2], n).astype(jnp.float32),
+                      m_n, precision=hp).astype(jnp.int32)
+    return back.reshape(shp)
 
 
 def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False,
@@ -599,8 +620,12 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                               cc16[:, None, None])    # [nb, 4, 4]
             return lc, rc, cbf_c
 
-        lv_u, rec_u_blk, cbf_u_q = chroma(rec_u, u32)
-        lv_v, rec_v_blk, cbf_v_q = chroma(rec_v, v32)
+        # Cb and Cr share every shape/table: one vmapped call halves
+        # the wavefront step's sequential chroma op count
+        lv_c2, rec_c2, cbf_c2 = jax.vmap(chroma)(
+            jnp.stack([rec_u, rec_v]), jnp.stack([u32, v32]))
+        lv_u, rec_u_blk, cbf_u_q = lv_c2[0], rec_c2[0], cbf_c2[0]
+        lv_v, rec_v_blk, cbf_v_q = lv_c2[1], rec_c2[1], cbf_c2[1]
 
         # ===== scatter (masked slots dropped via OOB row index)
         def scatter_plane(plane, blks, yy, xx, size, off):

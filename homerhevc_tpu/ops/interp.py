@@ -86,22 +86,24 @@ def fir2d(win: jnp.ndarray, fy: int, fx: int, size: int, luma: bool,
 
 
 def mc_separable_phases(win, fy_idx, fx_idx, size: int, luma: bool):
-    """MC with per-block dynamic phases via separable mask accumulation:
-    P horizontal stages + P vertical stages instead of P^2 phase pairs
-    (the horizontal stage depends only on fx, the vertical only on fy).
+    """MC with per-block dynamic phases: each block's band matrix is
+    assembled by a one-hot phase-select matmul, then the filtering is
+    two MXU batched matmuls — instead of 2P masked static stages
+    (dispatch-latency-bound on small tensors).
 
     win: [n, size+taps-1, size+taps-1] with the phase-0 support at
     (0, 0); fy_idx/fx_idx: [n] in 0..P-1."""
     phases = 4 if luma else 8
-    t = jnp.zeros(win.shape[:-1] + (size,), jnp.float32)
-    for px in range(phases):
-        m = (fx_idx == px)[:, None, None]
-        t = t + jnp.where(m, fir_h(win, px, size, luma), 0.0)
-    acc = jnp.zeros((win.shape[0], size, size), jnp.float32)
-    for py in range(phases):
-        m = (fy_idx == py)[:, None, None]
-        acc = acc + jnp.where(m, fir_v(t, py, size, luma), 0.0)
-    return finish_uni(acc)
+    wsz = win.shape[-1]
+    b_all = jnp.asarray(np.stack([_band_np(p, luma, size, wsz, 0)
+                                  for p in range(phases)]))  # [P, wsz, S]
+    oh_x = jax.nn.one_hot(fx_idx, phases, dtype=jnp.float32)
+    oh_y = jax.nn.one_hot(fy_idx, phases, dtype=jnp.float32)
+    bh_n = jnp.einsum("np,pxo->nxo", oh_x, b_all, precision=_P)
+    bv_n = jnp.einsum("np,pyz->nyz", oh_y, b_all, precision=_P)
+    t = jnp.einsum("nyx,nxo->nyo", win.astype(jnp.float32), bh_n,
+                   precision=_P)
+    return finish_uni(jnp.einsum("nyo,nyz->nzo", t, bv_n, precision=_P))
 
 
 def finish_uni(pred64: jnp.ndarray) -> jnp.ndarray:

@@ -75,30 +75,28 @@ def _slab_search(cur_s, ref_s, bs: int, ry: int, rx: int, row0):
 
 def slab_search_jnp(cur_s, slab, bs: int, ry: int, rx: int):
     """jnp reference of the Pallas slab-search kernel (CPU fallback and
-    equivalence oracle): returns [bh, bw] flat best-offset indices."""
+    equivalence oracle): returns [bh, bw] flat best-offset indices.
+
+    Latency shape: the (2ry+1)(2rx+1) offsets are STACKED into one
+    [ny, nx, h, w] window tensor ((ny + nx) static slices) so the SAD
+    pooling is ONE batched einsum + one argmin, instead of ~2*ny*nx
+    small sequential ops (which were dispatch-latency-bound)."""
     h, w = cur_s.shape
-    pr = jnp.asarray(_pool_matrix(h, bs))          # [h, bh]
-    pc = jnp.asarray(_pool_matrix(w, bs))          # [w, bw]
-    cf = cur_s.astype(jnp.float32)
-    best_sad = None
-    best_idx = None
-    k = 0
+    ny, nx = 2 * ry + 1, 2 * rx + 1
     hp = jax.lax.Precision.HIGHEST
-    for dy in range(2 * ry + 1):
-        for dx in range(2 * rx + 1):
-            d = jnp.abs(slab[dy:dy + h, dx:dx + w].astype(jnp.float32)
-                        - cf)
-            sad = jnp.einsum("yb,yx,xc->bc", pr, d, pc, precision=hp) \
-                + (abs(dy - ry) + abs(dx - rx))
-            if best_sad is None:
-                best_sad, best_idx = sad, jnp.zeros_like(sad,
-                                                         dtype=jnp.int32)
-            else:
-                take = sad < best_sad
-                best_sad = jnp.where(take, sad, best_sad)
-                best_idx = jnp.where(take, k, best_idx)
-            k += 1
-    return best_idx
+    rows = jnp.stack([jax.lax.slice_in_dim(slab, dy, dy + h, axis=0)
+                      for dy in range(ny)])          # [ny, h, w+2rx]
+    wins = jnp.stack([jax.lax.slice_in_dim(rows, dx, dx + w, axis=2)
+                      for dx in range(nx)], 1)       # [ny, nx, h, w]
+    d = jnp.abs(wins.astype(jnp.float32) - cur_s.astype(jnp.float32))
+    pr = jnp.asarray(_pool_matrix(h, bs))            # [h, bh]
+    pc = jnp.asarray(_pool_matrix(w, bs))            # [w, bw]
+    sad = jnp.einsum("yb,klyx,xc->klbc", pr, d, pc, precision=hp)
+    pen = (jnp.abs(jnp.arange(ny) - ry)[:, None]
+           + jnp.abs(jnp.arange(nx) - rx)[None, :]).astype(jnp.float32)
+    cost = sad + pen[:, :, None, None]
+    return jnp.argmin(cost.reshape(ny * nx, *cost.shape[2:]), 0) \
+        .astype(jnp.int32)
 
 
 def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0,
@@ -118,15 +116,26 @@ def _gather_refine(cur_s, ref_s, bs: int, r: int, base, row0,
         off0 + pos_x + bflat[:, 1] - r, bs + 2 * r)
     cur_b = cur_s.reshape(bh, bs, bw, bs).transpose(0, 2, 1, 3) \
         .reshape(-1, bs, bs)
-    sads = jnp.stack(
-        [jnp.sum(jnp.abs(
-            win[:, r + dy:r + dy + bs, r + dx:r + dx + bs] - cur_b),
-            (-1, -2)) + abs(dy) + abs(dx)
-         for dy in range(-r, r + 1) for dx in range(-r, r + 1)], 0)
+    sads = _stacked_window_sads(win, cur_b, bs, r)   # [(2r+1)^2, n]
     best = jnp.argmin(sads, 0)
     d = jnp.asarray([(dy, dx) for dy in range(-r, r + 1)
                      for dx in range(-r, r + 1)], jnp.int32)[best]
     return (bflat + d).reshape(bh, bw, 2)
+
+
+def _stacked_window_sads(win, cur_b, bs: int, r: int):
+    """SADs of every (dy, dx) in [-r, r]^2 between win[:, r+dy:.., r+dx:..]
+    and cur_b, as ONE stacked reduction (2*(2r+1) slices + one sum)
+    instead of (2r+1)^2 sequential slice+sum pairs.  Includes the
+    |dy|+|dx| tie-break.  win: [n, bs+2r, bs+2r]; returns [(2r+1)^2, n]."""
+    k = 2 * r + 1
+    rows = jnp.stack([win[:, dy:dy + bs, :] for dy in range(k)])
+    wins = jnp.stack([rows[..., dx:dx + bs] for dx in range(k)], 1)
+    sads = jnp.sum(jnp.abs(wins - cur_b[None, None]), (-1, -2)) \
+        .reshape(k * k, -1)
+    pen = (np.abs(np.arange(k) - r)[:, None]
+           + np.abs(np.arange(k) - r)[None, :]).reshape(-1)
+    return sads + jnp.asarray(pen, sads.dtype)[:, None]
 
 
 def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
@@ -176,11 +185,7 @@ def refine_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
         REF_PAD + pos_x + mv_int[:, 1] - r,
         block + 2 * r)                                # [n, B+2r, B+2r]
     offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
-    sads = jnp.stack(
-        [jnp.sum(jnp.abs(
-            win[:, r + dy:r + dy + block, r + dx:r + dx + block]
-            - cur_blocks), axis=(-1, -2))
-         + abs(dy) + abs(dx) for dy, dx in offs], axis=0)
+    sads = _stacked_window_sads(win, cur_blocks, block, r)
     best = jnp.argmin(sads, axis=0)                   # [n]
     d = jnp.asarray(offs, jnp.int32)[best]
     return mv_int + d
@@ -214,22 +219,31 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
     offs = [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)
             if dy % step == 0 and dx % step == 0]
 
-    def pred_at(dy, dx):
-        ky, py = (dy >> 2) + 1, dy & 3
-        kx, px = (dx >> 2) + 1, dx & 3
-        return interp.finish_uni(
-            interp.fir2d(win9, py, px, block, True, oy=ky, ox=kx))
-
-    sads = jnp.stack(
-        [jnp.sum(jnp.abs(pred_at(dy, dx) - cur_blocks), axis=(-1, -2))
-         + abs(dy) + abs(dx) for dy, dx in offs], axis=0)  # [49, n]
+    # ALL candidate predictions in one batched-phase einsum pair: the
+    # per-offset band matrices (phase taps + integer offset baked into
+    # the band position) are stacked on a leading axis, so the whole
+    # candidate set is 2 MXU batched matmuls — not 2*P small sequential
+    # ones (dispatch-latency-bound before)
+    wsz = win9.shape[-1]
+    bh_np = np.stack([interp._band_np(dx & 3, True, block, wsz,
+                                      (dx >> 2) + 1) for _, dx in offs])
+    bv_np = np.stack([interp._band_np(dy & 3, True, block, wsz,
+                                      (dy >> 2) + 1) for dy, _ in offs])
+    hp = jax.lax.Precision.HIGHEST
+    wf = win9.astype(jnp.float32)
+    t = jnp.einsum("nyx,pxo->pnyo", wf, jnp.asarray(bh_np), precision=hp)
+    preds = interp.finish_uni(
+        jnp.einsum("pnyo,pyz->pnzo", t, jnp.asarray(bv_np), precision=hp))
+    pen = np.asarray([abs(dy) + abs(dx) for dy, dx in offs], np.int32)
+    sads = jnp.sum(jnp.abs(preds - cur_blocks[None]), axis=(-1, -2)) \
+        + jnp.asarray(pen)[:, None]                    # [P, n]
     best = jnp.argmin(sads, axis=0)                    # [n]
     sad = jnp.min(sads, axis=0)
     dmv = jnp.asarray(offs, jnp.int32)[best]
-    pred = jnp.zeros_like(cur_blocks)
-    for k, (dy, dx) in enumerate(offs):
-        pred = pred + jnp.where((best == k)[:, None, None],
-                                pred_at(dy, dx), 0)
+    onehot = jax.nn.one_hot(best, len(offs), axis=0, dtype=jnp.float32)
+    pred = jnp.einsum("pn,pnij->nij", onehot,
+                      preds.astype(jnp.float32), precision=hp) \
+        .astype(jnp.int32)
     return mv_int * 4 + dmv, sad, pred
 
 

@@ -115,12 +115,18 @@ def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
     n = size * size
     flat = level.reshape(level.shape[:-2] + (n,))
     du = delta_u.reshape(flat.shape)
-    # scan reorder as a permutation matmul (values < 2^24, exact in f32
-    # at Precision.HIGHEST): gathers on tiny trailing dims are the
-    # single most expensive op on TPU otherwise
-    m = _perm_matrix(tuple(scan), n)
-    sl = _permute(flat, m)
-    sdu = _permute(du, m)
+    identity = tuple(scan) == tuple(range(n))
+    if identity:
+        # caller pre-permuted (e.g. per-block dynamic scans); skip the
+        # permutation matmuls entirely
+        sl, sdu = flat, du
+    else:
+        # scan reorder as a permutation matmul (values < 2^24, exact in
+        # f32 at Precision.HIGHEST): gathers on tiny trailing dims are
+        # the single most expensive op on TPU otherwise
+        m = _perm_matrix(tuple(scan), n)
+        sl = _permute(flat, m)
+        sdu = _permute(du, m)
     ncg = n // 16
     slg = sl.reshape(sl.shape[:-1] + (ncg, 16))
     sdug = sdu.reshape(slg.shape)
@@ -164,6 +170,8 @@ def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
     slg = slg + jnp.where(at_best, delta[..., None], 0)
 
     out_scan = slg.reshape(sl.shape)
+    if identity:
+        return out_scan.reshape(level.shape)
     return _permute(out_scan, m.T).reshape(level.shape)
 
 

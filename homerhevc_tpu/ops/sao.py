@@ -66,24 +66,35 @@ def _ctu_sum(x: jnp.ndarray, ctb: int):
 
 def sao_stats(org: jnp.ndarray, rec: jnp.ndarray, ctb: int):
     """Per-CTU statistics. Returns (eo_diff, eo_cnt [4, 5, by, bx],
-    bo_diff, bo_cnt [32, by, bx]) plus the cached class maps."""
+    bo_diff, bo_cnt [32, by, bx]) plus the cached class maps.
+
+    One-hot batched: category/band masks become a trailing one-hot axis
+    reduced in ONE pass, instead of 2*(5+32) small sequential masked
+    reductions per plane (which were dispatch-latency-bound)."""
     cls, valid = eo_class_maps(rec)
     diff = (org - rec).astype(jnp.int32)
-    eo_diff, eo_cnt = [], []
-    for k in range(5):
-        m = (cls == k) & valid                       # [4, H, W]
-        eo_diff.append(_ctu_sum(diff[None] * m, ctb))
-        eo_cnt.append(_ctu_sum(m.astype(jnp.int32), ctb))
-    eo_diff = jnp.stack(eo_diff, 1)                  # [4, 5, by, bx]
-    eo_cnt = jnp.stack(eo_cnt, 1)
-    band = rec >> 3
-    bo_diff, bo_cnt = [], []
-    for b in range(32):
-        m = band == b
-        bo_diff.append(_ctu_sum(diff * m, ctb))
-        bo_cnt.append(_ctu_sum(m.astype(jnp.int32), ctb))
-    return (eo_diff, eo_cnt, jnp.stack(bo_diff), jnp.stack(bo_cnt),
-            cls, valid)
+    cats = jnp.arange(5, dtype=jnp.int32)
+    oh = ((cls[..., None] == cats) & valid[..., None]) \
+        .astype(jnp.int32)                           # [4, H, W, 5]
+    stats = _ctu_sum_tail(jnp.stack([diff[None, ..., None] * oh, oh]),
+                          ctb)                       # [2, 4, by, bx, 5]
+    eo_diff = jnp.moveaxis(stats[0], -1, 1)          # [4, 5, by, bx]
+    eo_cnt = jnp.moveaxis(stats[1], -1, 1)
+    bands = jnp.arange(32, dtype=jnp.int32)
+    ohb = ((rec >> 3)[..., None] == bands).astype(jnp.int32)
+    bstats = _ctu_sum_tail(jnp.stack([diff[..., None] * ohb, ohb]),
+                           ctb)                      # [2, by, bx, 32]
+    bo_diff = jnp.moveaxis(bstats[0], -1, 0)         # [32, by, bx]
+    bo_cnt = jnp.moveaxis(bstats[1], -1, 0)
+    return (eo_diff, eo_cnt, bo_diff, bo_cnt, cls, valid)
+
+
+def _ctu_sum_tail(x: jnp.ndarray, ctb: int):
+    """CTU-block sums over the two dims BEFORE a trailing channel dim:
+    [..., H, W, C] -> [..., H/ctb, W/ctb, C]."""
+    h, w = x.shape[-3:-1]
+    return x.reshape(*x.shape[:-3], h // ctb, ctb, w // ctb, ctb,
+                     x.shape[-1]).sum((-4, -2))
 
 
 def _best_offset(diff, cnt, lam, sign):
@@ -111,6 +122,28 @@ def _best_offset(diff, cnt, lam, sign):
     return best_o, best_c
 
 
+def _best_offset_signed(diff, cnt, lam, sign):
+    """_best_offset with a broadcastable SIGN TENSOR (+1 clip to [0,7],
+    -1 clip to [-7,0]) so all 4 EO categories evaluate in one pass."""
+    init = jnp.where(cnt > 0,
+                     (diff + jnp.sign(diff) * (cnt // 2))
+                     // jnp.maximum(cnt, 1), 0)
+    init = jnp.clip(init, -7, 7)
+    init = jnp.where(sign > 0, jnp.clip(init, 0, 7),
+                     jnp.clip(init, -7, 0))
+    best_o = jnp.zeros_like(init)
+    best_c = jnp.zeros_like(diff, dtype=jnp.float32)
+    for mag in range(1, 8):
+        o = jnp.sign(init) * mag
+        dist = (cnt * o * o - 2 * diff * o).astype(jnp.float32)
+        rate = mag + 1.0 - (mag == 7)
+        cost = dist + lam * rate
+        take = (mag <= jnp.abs(init)) & (cost < best_c)
+        best_o = jnp.where(take, o, best_o)
+        best_c = jnp.where(take, cost, best_c)
+    return best_o, best_c
+
+
 def derive_params(stats, lam):
     """Per-CTU mode decision for one component's stats.
 
@@ -119,17 +152,19 @@ def derive_params(stats, lam):
     eo_cost [4,by,bx], bo_cost, off_cost) — costs exposed so chroma can
     be decided jointly."""
     eo_diff, eo_cnt, bo_diff, bo_cnt = stats
-    # EO: categories 1..4 (skip 0); valley/edge >= 0, peak/edge <= 0
-    offs, costs = [], []
-    for c, sgn in zip((1, 2, 3, 4), (1, 1, -1, -1)):
-        o, cst = _best_offset(eo_diff[:, c], eo_cnt[:, c], lam, sgn)
-        offs.append(o)
-        costs.append(cst)
-    eo_off = jnp.stack(offs, -1)                     # [4, by, bx, 4]
-    eo_cost = sum(costs) + lam * 5.0                 # + type/class bits
+    # EO: categories 1..4 (skip 0); valley/edge >= 0, peak/edge <= 0 —
+    # one vectorized _best_offset over the stacked category axis
+    o4, c4 = _best_offset_signed(
+        jnp.moveaxis(eo_diff[:, 1:5], 1, 0),
+        jnp.moveaxis(eo_cnt[:, 1:5], 1, 0), lam,
+        jnp.asarray([1, 1, -1, -1], jnp.int32)[:, None, None, None])
+    eo_off = jnp.moveaxis(o4, 0, -1)                 # [4, by, bx, 4]
+    eo_cost = jnp.sum(c4, 0) + lam * 5.0             # + type/class bits
     # BO: best offset per band, then best 4 consecutive bands
     bo_o, bo_c = _best_offset(bo_diff, bo_cnt, lam, 0)   # [32, by, bx]
-    win = jnp.stack([bo_c[p:p + 4].sum(0) for p in range(29)])
+    cs = jnp.cumsum(jnp.concatenate([jnp.zeros_like(bo_c[:1]), bo_c]),
+                    0)
+    win = cs[4:33] - cs[0:29]                        # [29, by, bx]
     band_pos = jnp.argmin(win, 0).astype(jnp.int32)      # [by, bx]
     bo_cost = jnp.min(win, 0) + lam * 11.0           # + type/pos bits
     bo_off = jnp.stack(

@@ -105,17 +105,18 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
 
         mv_me = mv_q.reshape(bh, bw, 2)
         mv_band = mv_me
+        carry = None
         for _ in range(2):
             mv_grid_full = jax.lax.all_gather(
                 mv_band, row_axis).reshape(h // s, bw, 2)
             cands_full = inter_frame.merge_candidate_fields(
                 mv_grid_full, me.field_median(mv_grid_full))
             cands = [(band_rows(c), m) for c, m in cands_full]
-            mv_flat, level_y, recon_y, pred_sel, cost16 = \
+            mv_flat, level_y, recon_y, pred_sel, cost16, carry = \
                 inter_frame._merge_skip_rd(
                     cur_b, ref_pad, pos_y, pos_x, mv_me, pred, qp,
                     lam, s, sbh_scan, cand_fields=cands,
-                    scaling=scaling_lists)
+                    scaling=scaling_lists, carry_in=carry)
             mv_band = mv_flat.reshape(bh, bw, 2)
         pred = pred_sel
         mv = mv_band
