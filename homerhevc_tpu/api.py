@@ -446,10 +446,13 @@ class Encoder:
         cy, cb, cr, tail = self._unpack(packed, h, w, 0)
         n8 = (2 * bh) * (2 * bw)
         modes8 = tail[:n8].reshape(2 * bh, 2 * bw).astype(np.uint8)
-        cbf8 = tail[n8:4 * n8].reshape(3, 2 * bh, 2 * bw).astype(np.uint8)
-        depth = tail[4 * n8:4 * n8 + bh * bw].reshape(bh, bw)
-        pend["dist"] = float(tail[4 * n8 + bh * bw])
-        sao_tail = tail[4 * n8 + bh * bw + 1:]
+        cmodes8 = tail[n8:2 * n8].reshape(2 * bh, 2 * bw) \
+            .astype(np.uint8)
+        cbf8 = tail[2 * n8:5 * n8].reshape(3, 2 * bh, 2 * bw) \
+            .astype(np.uint8)
+        depth = tail[5 * n8:5 * n8 + bh * bw].reshape(bh, bw)
+        pend["dist"] = float(tail[5 * n8 + bh * bw])
+        sao_tail = tail[5 * n8 + bh * bw + 1:]
         rep2 = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1)
         rep4 = lambda m: np.repeat(np.repeat(m, 4, 0), 4, 1)
         mode4 = rep2(modes8)
@@ -462,7 +465,7 @@ class Encoder:
             poc=pend["gop_poc"], is_idr=True, qp_map=qpm,
             cu_depth=rep4(np.clip(depth, 1, 3)).astype(np.uint8),
             intra_luma_mode=mode4,
-            intra_chroma_mode=mode4,           # DM
+            intra_chroma_mode=rep2(cmodes8),   # 5-candidate search
             cbf_y=rep2(cbf8[0]), cbf_cb=rep2(cbf8[1]),
             cbf_cr=rep2(cbf8[2]),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,

@@ -256,11 +256,65 @@ _CU_HDR_BITS = 6.0
 _SPLIT_BITS = 1.5
 
 
-def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True):
+def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
+                       sqrt_lam_c):
+    """Best chroma mode per luma-s_l CU (chroma block s = s_l//2) from
+    SOURCE-pixel reference samples — the dense reshape of the
+    reference's 5-candidate chroma search (create_chroma_dir_list /
+    encode_intra_chroma, hmr_motion_intra_chroma.c:88-110).
+
+    Candidates: {planar 0, ver 26, hor 10, DC 1} with a luma-mode
+    duplicate replaced by 34, plus DM (the luma mode itself).  Cost =
+    SATD(Cb) + SATD(Cr) + sqrt_lambda_c * mode bits (DM: 1 ctx bin;
+    others: 1 ctx bin + 2 bypass).  Returns [h/s_l, w/s_l] int32."""
+    s = s_l // 2
+    hc, wc = u32.shape
+    bh, bw = hc // s, wc // s
+    nb = bh * bw
+    lmf = lm_grid.reshape(nb)
+
+    def adi_of(plane):
+        buf = jnp.zeros((1 + hc + s, 1 + wc + s), jnp.int32)
+        buf = buf.at[1:1 + hc, 1:1 + wc].set(plane)
+        py = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
+        px = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
+
+        def g(yy, xx):
+            top = jax.lax.dynamic_slice(buf, (yy, xx), (1, 2 * s + 1))[0]
+            left = jax.lax.dynamic_slice(
+                buf, (yy + 1, xx), (2 * s, 1))[:, 0]
+            return jnp.concatenate([left[::-1], top])
+
+        raw = jax.vmap(g)(py, px)
+        am = jnp.asarray(_avail_np(wc, hc, s, ctu // 2).reshape(nb, 5))
+        return intra.substitute_refs(raw, _avail_mask(am, s))
+
+    adi2 = jnp.stack([adi_of(u32), adi_of(v32)])         # [2, nb, 4S+1]
+    orig2 = jnp.stack([_blocks(u32, s), _blocks(v32, s)])
+    base = jnp.asarray([0, 26, 10, 1], jnp.int32)
+    cand = jnp.where(base[None, :] == lmf[:, None], 34, base[None, :])
+    cand = jnp.concatenate([cand, lmf[:, None]], 1)      # [nb, 5]
+    costs = []
+    for k in range(5):
+        m = cand[:, k]
+        p2 = jax.vmap(lambda a: intra.predict_single_mode(a, m, s,
+                                                          False))(adi2)
+        sd = satd(p2 - orig2, s).sum(0)                  # [nb]
+        bits = 1.0 if k == 4 else 3.0
+        costs.append(sd + sqrt_lam_c.astype(jnp.float32) * bits)
+    k = jnp.argmin(jnp.stack(costs, -1), -1)
+    best = jnp.take_along_axis(cand, k[:, None], 1)[:, 0]
+    return best.reshape(bh, bw)
+
+
+def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
+                   u32=None, v32=None, sqrt_lam_c=None):
     """Dense MODE decision for the whole frame (one best mode per block
     at each tree level).  The CU-tree split decisions happen in the
     reconstruction pass with true SSD + lambda*bits RD (both paths are
-    computed there anyway, ref consolidation hmr_motion_intra.c:1440)."""
+    computed there anyway, ref consolidation hmr_motion_intra.c:1440).
+    When chroma planes are given, also decides the chroma mode per CU
+    at each level (5-candidate search)."""
     with jax.named_scope("intra.dense32"):
         mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam)
     with jax.named_scope("intra.dense16"):
@@ -270,7 +324,16 @@ def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True):
             mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam)
     else:
         mode8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
-    return dict(mode32=mode32, mode16=mode16, mode8=mode8)
+    out = dict(mode32=mode32, mode16=mode16, mode8=mode8)
+    if u32 is not None:
+        with jax.named_scope("intra.dense_chroma"):
+            out["cmode32"] = _dense_best_chroma(u32, v32, mode32, 32,
+                                                ctu, sqrt_lam_c)
+            out["cmode16"] = _dense_best_chroma(u32, v32, mode16, 16,
+                                                ctu, sqrt_lam_c)
+            out["cmode8"] = _dense_best_chroma(u32, v32, mode8, 8,
+                                               ctu, sqrt_lam_c)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -359,8 +422,10 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     u32 = jnp.asarray(u, jnp.int32)
     v32 = jnp.asarray(v, jnp.int32)
 
-    # ---- pass 1: dense decision
-    dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8)
+    # ---- pass 1: dense decision (luma modes + chroma 5-candidate)
+    dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8,
+                         u32=u32, v32=v32,
+                         sqrt_lam_c=jnp.sqrt(lam_rd_c))
 
     bh, bw = h // 16, w // 16            # 16-granule grid (record maps)
     b32h, b32w = h // 32, w // 32
@@ -418,6 +483,16 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                              for q in _SUB_OFF], 0)      # [4, nb]
         m8_all = jnp.stack(
             [jnp.stack([_gather_map(dec["mode8"],
+                                    4 * by + 2 * q[0] + r[0],
+                                    4 * bx + 2 * q[1] + r[1], 0)
+                        for r in _SUB_OFF], 0)
+             for q in _SUB_OFF], 0)                       # [4, 4, nb]
+        cm32 = _gather_map(dec["cmode32"], by, bx, 0)
+        cm16_all = jnp.stack([_gather_map(dec["cmode16"], 2 * by + q[0],
+                                          2 * bx + q[1], 0)
+                              for q in _SUB_OFF], 0)     # [4, nb]
+        cm8_all = jnp.stack(
+            [jnp.stack([_gather_map(dec["cmode8"],
                                     4 * by + 2 * q[0] + r[0],
                                     4 * bx + 2 * q[1] + r[1], 0)
                         for r in _SUB_OFF], 0)
@@ -536,7 +611,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 jax.vmap(lambda yy, xx: g_adi(rec_p, yy, xx, 16))(
                     cy0, cx0),
                 _avail_mask(av32, 16))
-            pr_c16 = intra.predict_single_mode(adi_c, m32, 16, False)
+            pr_c16 = intra.predict_single_mode(adi_c, cm32, 16, False)
             lc16, rc16, cc16 = _tq_recon(orig_c, pr_c16, 16, qp_c,
                                          lam_rd_c,
                                          sign_hiding=sign_hiding,
@@ -610,7 +685,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 csub16_body, (cpatch, lv_ch0),
                 (coffs, jnp.moveaxis(av16, 1, 0),
                  jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
-                 m16_sel, m8_all, sp16_sel))
+                 cm16_all, cm8_all, sp16_sel))
             rc_children = cpatch[:, 1:17, 1:17]
             spm32 = sp32[:, None, None]
             rc = jnp.where(spm32, rc_children, rc16)
@@ -678,6 +753,14 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     out_y = rec_y[1:1 + h, 1:1 + w]
     out_u = rec_u[1:1 + h // 2, 1:1 + w // 2]
     out_v = rec_v[1:1 + h // 2, 1:1 + w // 2]
+
+    # chroma-mode granule map (8-granule, matches modes8_map): the
+    # dense per-level decisions selected by the final CU depth
+    rep2 = lambda g, k: jnp.repeat(jnp.repeat(g, k, 0), k, 1)
+    depth8 = rep2(depth_map, 2)                    # [2bh, 2bw]
+    cmodes8_map = jnp.where(
+        depth8 == 1, rep2(dec["cmode32"], 4),
+        jnp.where(depth8 == 2, rep2(dec["cmode16"], 2), dec["cmode8"]))
     # RC distortion signal: mean per-16x16-block luma SAD (pre-filter)
     dist16 = jnp.sum(jnp.abs(out_y - y32)) // (bh * bw)
 
@@ -705,6 +788,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         coeff_cb=cf_u.astype(jnp.int16),
         coeff_cr=cf_v.astype(jnp.int16),
         modes=modes8_map,
+        cmodes=cmodes8_map,
         cbf=cbf8_map,
         depth=depth_map,
     )
@@ -712,6 +796,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         out["coeff_y"].reshape(-1), out["coeff_cb"].reshape(-1),
         out["coeff_cr"].reshape(-1),
         modes8_map.astype(jnp.int16).reshape(-1),
+        cmodes8_map.astype(jnp.int16).reshape(-1),
         cbf8_map.astype(jnp.int16).reshape(-1),
         depth_map.astype(jnp.int16).reshape(-1),
         jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None]]

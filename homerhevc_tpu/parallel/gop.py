@@ -73,7 +73,7 @@ def encode_gop(y, u, v, *, qp: int, mesh: Mesh, axis: str = "gop",
 def _out_struct():
     """Pytree skeleton matching intra_frame.encode_frame's output dict."""
     return dict(recon_y=0, recon_u=0, recon_v=0, coeff_y=0, coeff_cb=0,
-                coeff_cr=0, modes=0, cbf=0, depth=0, packed=0)
+                coeff_cr=0, modes=0, cmodes=0, cbf=0, depth=0, packed=0)
 
 
 @functools.partial(jax.jit, static_argnames=("qp", "mesh", "axis", "cu",
