@@ -60,6 +60,13 @@ class EncoderConfig:
     # per-CTU QP (cu_qp_delta syntax + activity-adaptive modulation);
     # automatically active under CBR/VBR, opt-in for fixed QP
     adaptive_qp: bool = False
+    # WPP substreams: one CABAC substream per CTU row with entry-point
+    # offsets (ref hmr_encoder_lib.c:785-804) — lets conformant
+    # decoders (and multi-core hosts) entropy-process rows in parallel.
+    # Incompatible with per-CTU QP (QpY_prev resets per row, spec
+    # 8.6.1, which the device QP chain does not model); the binding
+    # disables it when cu_qp_delta is active.
+    wpp_substreams: bool = False
     scene_change_reinit: bool = True   # restart GOP on scene change
     rd_mode: RDMode = RDMode.RD_FAST
     performance_mode: PerfMode = PerfMode.UFAST

@@ -27,7 +27,7 @@ class CHevcCfg(ctypes.Structure):
         "deblock_disabled", "num_ref_frames", "bit_depth",
         "strong_intra_smoothing", "cu_qp_delta_enabled",
         "diff_cu_qp_delta_depth", "frame_rate_num", "frame_rate_den",
-        "chroma_qp_offset", "scaling_list_enabled")]
+        "chroma_qp_offset", "scaling_list_enabled", "wpp_enabled")]
 
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -206,6 +206,8 @@ def make_cfg(cfg) -> CHevcCfg:
     c.chroma_qp_offset = cfg.chroma_qp_offset
     c.scaling_list_enabled = 1 if getattr(cfg, "scaling_lists", False) \
         else 0
+    c.wpp_enabled = 1 if (getattr(cfg, "wpp_substreams", False)
+                          and not c.cu_qp_delta_enabled) else 0
     return c
 
 

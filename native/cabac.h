@@ -34,6 +34,9 @@ class CabacEncoder {
  public:
   explicit CabacEncoder(Bitstream* bs) : bs_(bs) {}
 
+  // retarget the byte sink (WPP substreams: one Bitstream per CTU row)
+  void set_stream(Bitstream* bs) { bs_ = bs; }
+
   void start() {
     low_ = 0;
     range_ = 510;

@@ -135,7 +135,7 @@ std::vector<uint8_t> make_pps(const HevcCfg* cfg) {
   b.put(0, 1);  // weighted_bipred_flag
   b.put(0, 1);  // transquant_bypass_enabled_flag
   b.put(0, 1);  // tiles_enabled_flag
-  b.put(0, 1);  // entropy_coding_sync_enabled_flag (WPP; later rounds)
+  b.put(cfg->wpp_enabled ? 1 : 0, 1);  // entropy_coding_sync (WPP)
   b.put(1, 1);  // pps_loop_filter_across_slices_enabled_flag
   b.put(1, 1);  // deblocking_filter_control_present_flag
   b.put(0, 1);  // deblocking_filter_override_enabled_flag
@@ -156,9 +156,12 @@ std::vector<uint8_t> make_pps(const HevcCfg* cfg) {
 }  // namespace
 
 // Slice header bits (up to and including byte alignment); used by the
-// slice encoder in syntax.cpp.
+// slice encoder in syntax.cpp.  entry_offsets: WPP substream sizes in
+// NAL-unit bytes (entry_point_offset_minus1 + 1 each), empty when the
+// slice is a single substream (ref hmr_headers.c:581-610).
 void write_slice_header(Bitstream& b, const HevcCfg* cfg,
-                        const FrameRec* rec) {
+                        const FrameRec* rec,
+                        const std::vector<uint32_t>& entry_offsets) {
   b.put(1, 1);  // first_slice_segment_in_pic_flag
   if (rec->is_idr) b.put(0, 1);  // no_output_of_prior_pics_flag
   b.ue(0);                       // slice_pic_parameter_set_id
@@ -181,6 +184,17 @@ void write_slice_header(Bitstream& b, const HevcCfg* cfg,
   // (slice_sao_luma || slice_sao_chroma || !deblocking_disabled)
   if (rec->sao_luma || rec->sao_chroma || !cfg->deblock_disabled) {
     b.put(1, 1);  // slice_loop_filter_across_slices_enabled_flag
+  }
+  if (cfg->wpp_enabled) {
+    b.ue(static_cast<uint32_t>(entry_offsets.size()));
+    if (!entry_offsets.empty()) {
+      uint32_t maxv = 1;
+      for (uint32_t o : entry_offsets) maxv = std::max(maxv, o);
+      int len = 1;
+      while ((1u << len) < maxv) ++len;  // bits for (offset-1) values
+      b.ue(static_cast<uint32_t>(len - 1));
+      for (uint32_t o : entry_offsets) b.put(o - 1, len);
+    }
   }
   // byte_alignment()
   b.put_bit(1);

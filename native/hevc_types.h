@@ -41,7 +41,10 @@ typedef struct HevcCfg {
   int32_t frame_rate_num;
   int32_t frame_rate_den;
   int32_t chroma_qp_offset;
-  int32_t scaling_list_enabled;  // SPS flag; 1 = default lists  // PPS pps_cb/cr_qp_offset
+  int32_t scaling_list_enabled;  // SPS flag; 1 = default lists
+  int32_t wpp_enabled;  // PPS entropy_coding_sync: one substream per
+                        // CTU row + entry points (ref WPP syntax,
+                        // hmr_encoder_lib.c:785-804, hmr_headers.c:581)
 } HevcCfg;
 
 // Per-4x4-block dense maps, row-major [height/4][width/4].

@@ -17,7 +17,8 @@
 namespace hevc {
 
 void write_slice_header(Bitstream& b, const HevcCfg* cfg,
-                        const FrameRec* rec);
+                        const FrameRec* rec,
+                        const std::vector<uint32_t>& entry_offsets);
 
 namespace {
 
@@ -94,26 +95,30 @@ class SliceWriter {
     if (is_p_) derive_inter_fields();
   }
 
+  void encode_ctu(int cx, int cy) {
+    if (rec_.sao_luma || rec_.sao_chroma) write_sao(cx, cy);
+    // quantization group = CTU (diff_cu_qp_delta_depth 0): arm one
+    // cu_qp_delta for the CTU, emitted at its first coded TU (spec
+    // 7.3.8.10); a CTU with no coded cbf keeps the predicted QP
+    // (= previous in decoding order, since the left/above QGs lie
+    // in other CTBs and are unavailable per spec 8.6.1)
+    if (cfg_.cu_qp_delta_enabled) {
+      qp_pending_ = true;
+      pending_qp_ = m4(reinterpret_cast<const uint8_t*>(rec_.qp_map),
+                       cx << ctu_log2_, cy << ctu_log2_);
+    }
+    quadtree(cx << ctu_log2_, cy << ctu_log2_, ctu_log2_, 0);
+  }
+
   std::vector<uint8_t> encode() {
-    write_slice_header(bs_, &cfg_, &rec_);
+    if (cfg_.wpp_enabled && ctus_y_ > 1) return encode_wpp();
+    write_slice_header(bs_, &cfg_, &rec_, {});
     ctx_.init(rec_.slice_type, rec_.slice_qp);
     cabac_.start();
     prev_qp_ = rec_.slice_qp;
     for (int cy = 0; cy < ctus_y_; ++cy) {
       for (int cx = 0; cx < ctus_x_; ++cx) {
-        if (rec_.sao_luma || rec_.sao_chroma) write_sao(cx, cy);
-        // quantization group = CTU (diff_cu_qp_delta_depth 0): arm one
-        // cu_qp_delta for the CTU, emitted at its first coded TU (spec
-        // 7.3.8.10); a CTU with no coded cbf keeps the predicted QP
-        // (= previous in decoding order, since the left/above QGs lie
-        // in other CTBs and are unavailable per spec 8.6.1)
-        if (cfg_.cu_qp_delta_enabled) {
-          qp_pending_ = true;
-          pending_qp_ = m4(
-              reinterpret_cast<const uint8_t*>(rec_.qp_map),
-              cx << ctu_log2_, cy << ctu_log2_);
-        }
-        quadtree(cx << ctu_log2_, cy << ctu_log2_, ctu_log2_, 0);
+        encode_ctu(cx, cy);
         bool last = (cy == ctus_y_ - 1) && (cx == ctus_x_ - 1);
         cabac_.encode_terminate(last ? 1 : 0);
       }
@@ -121,6 +126,63 @@ class SliceWriter {
     cabac_.finish();
     bs_.put_bit(1);  // rbsp stop bit
     bs_.align_zero();
+    return bs_.bytes();
+  }
+
+  // WPP: one substream per CTU row (spec 7.3.8.1 slice_segment_data
+  // with entropy_coding_sync: end_of_subset_one_bit + byte alignment
+  // between rows; contexts of a row initialize from the snapshot taken
+  // after the 2nd CTU of the row above — spec 9.3.1; role of ref
+  // hmr_encoder_lib.c:785-804/1835-1886).  Entry point offsets count
+  // NAL-unit bytes, so emulation-prevention insertions inside each
+  // substream are added (ref count_needed_start_codes,
+  // hmr_headers.c:550).
+  std::vector<uint8_t> encode_wpp() {
+    std::vector<std::vector<uint8_t>> subs(ctus_y_);
+    ContextSet base;
+    base.init(rec_.slice_type, rec_.slice_qp);
+    ContextSet snap = base;       // after 2nd CTU of previous row
+    for (int cy = 0; cy < ctus_y_; ++cy) {
+      Bitstream row_bs;
+      ctx_ = (cy == 0 || ctus_x_ == 1) ? base : snap;
+      cabac_.set_stream(&row_bs);
+      cabac_.start();
+      prev_qp_ = rec_.slice_qp;   // QpY_prev resets per row (8.6.1)
+      for (int cx = 0; cx < ctus_x_; ++cx) {
+        encode_ctu(cx, cy);
+        if (cx == 1) snap = ctx_;
+        bool last = (cy == ctus_y_ - 1) && (cx == ctus_x_ - 1);
+        cabac_.encode_terminate(last ? 1 : 0);
+        if (cx == ctus_x_ - 1 && !last)
+          cabac_.encode_terminate(1);  // end_of_subset_one_bit
+      }
+      cabac_.finish();
+      row_bs.put_bit(1);           // byte_alignment / rbsp stop
+      row_bs.align_zero();
+      subs[cy] = row_bs.bytes();
+    }
+    cabac_.set_stream(&bs_);
+    // entry points: substream sizes in NAL-unit bytes (add the
+    // emulation-prevention bytes the EBSP pass will insert; the zero
+    // run cannot cross the header boundary — the header's alignment
+    // byte is nonzero)
+    std::vector<uint32_t> offsets(ctus_y_ - 1);
+    int run = 0;
+    for (int j = 0; j < ctus_y_; ++j) {
+      uint32_t ins = 0;
+      for (uint8_t byte : subs[j]) {
+        if (run >= 2 && byte <= 3) {
+          ++ins;
+          run = 0;
+        }
+        run = (byte == 0) ? run + 1 : 0;
+      }
+      if (j < ctus_y_ - 1)
+        offsets[j] = static_cast<uint32_t>(subs[j].size()) + ins;
+    }
+    write_slice_header(bs_, &cfg_, &rec_, offsets);
+    for (const auto& s : subs)
+      for (uint8_t byte : s) bs_.put_byte(byte);
     return bs_.bytes();
   }
 
