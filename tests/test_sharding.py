@@ -42,6 +42,52 @@ def test_gop_sharding_bit_transparent():
     assert np.isfinite(float(avg))
 
 
+def test_ippp_gop_sharding_bit_transparent():
+    """Frame-parallel engines (IPPP closed-GOP shards) must byte-match
+    the sequential per-GOP encode."""
+    _need8()
+    rng = np.random.default_rng(9)
+    n_gops, g, h, w = 4, 3, 64, 128
+    m = 16
+    grid = np.mgrid[0:h + m, 0:w + m]
+    base = np.clip(((grid[1] * 3 + grid[0] * 2) % 235)
+                   + rng.integers(0, 16, grid[0].shape), 0, 255) \
+        .astype(np.uint8)
+    ys = np.stack([np.stack([base[k:k + h, 3 * k + i:3 * k + i + w]
+                             for k in range(g)])
+                   for i in range(n_gops)])
+    us = np.stack([np.stack([base[0:h // 2, i + k:i + k + w // 2]
+                             for k in range(g)])
+                   for i in range(n_gops)])
+    vs = np.stack([np.stack([base[2:2 + h // 2, i + k:i + k + w // 2]
+                             for k in range(g)])
+                   for i in range(n_gops)])
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("gop",))
+    recs, avg = jax.jit(
+        lambda y, u, v: gop.encode_ippp_gops(
+            y, u, v, qp=30, mesh=mesh, sign_hiding=True,
+            deblocking=True, sao_enabled=True, intra_fallback=False))(
+        jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs))
+
+    for i in range(n_gops):
+        i_ref = intra_frame.encode_frame_jit(
+            ys[i, 0], us[i, 0], vs[i, 0], qp=30, ctu=64,
+            sign_hiding=True, deblocking=True, sao_enabled=True)
+        p_ref = inter_frame.encode_p_chunk_jit(
+            ys[i, 1:], us[i, 1:], vs[i, 1:], i_ref["recon_y"],
+            i_ref["recon_u"], i_ref["recon_v"], qp=30, block=16,
+            sign_hiding=True, deblocking=True, sao_enabled=True,
+            ctu=64, intra_fallback=False)
+        np.testing.assert_array_equal(np.asarray(recs["i_packed"][i]),
+                                      np.asarray(i_ref["packed"]),
+                                      err_msg=f"gop {i} intra")
+        np.testing.assert_array_equal(
+            np.asarray(recs["p_packed"][i]),
+            np.asarray(p_ref["packed"]), err_msg=f"gop {i} P")
+    assert np.isfinite(float(avg))
+
+
 def test_row_sharding_bit_transparent():
     _need8()
     rng = np.random.default_rng(3)
