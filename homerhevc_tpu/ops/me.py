@@ -143,11 +143,22 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
     """Hierarchical coarse search: eighth-res full search over
     ±COARSE_RY x ±COARSE_RX (= ±64 x ±128 full-res, the reference's
     search range hmr_private.h:76-77), then ±2 refinements at quarter
-    and half resolution.
+    and half resolution — PLUS an independent zero-anchored chain.
+
+    The pyramid is blind to sub-unit motion at eighth res (a 1-3 px
+    pan pools to near-identity) while periodic content aliases to far
+    offsets, so the slab winner can be garbage exactly when the true
+    motion is small.  The zero chain refines from mv=0 at quarter/half
+    res (reach ~±15 px full-res), covering the common small-motion
+    case; the caller picks between the two chains by FULL-RES SAD
+    (select_mv), where aliasing cannot win against an exact match.
+    (Role of the reference's AMVP/zero seeding, hmr_motion_inter.c:
+    1864/2060.)
 
     cur may be a row band of the full-plane ref starting at row `row0`
     (the row-sharded path passes its band; row0=0 single device).
-    Returns int MV [bh, bw, 2] (y, x) in full-res integer pel."""
+    Returns int MV candidates [2, bh, bw, 2] (y, x), full-res pel:
+    [0] = zero-anchored chain, [1] = slab chain."""
     row0 = jnp.asarray(row0, jnp.int32)
     cur_h = _block_sum(cur, 2)                       # 2x2 sums
     ref_h = _block_sum(ref, 2)
@@ -161,7 +172,31 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
                           row0 // 4, max_base=2 * COARSE_RX + 2)
     mv_h = _gather_refine(cur_h, ref_h, block // 2, 2, mv_q * 2,
                           row0 // 2, max_base=4 * COARSE_RX + 8)
-    return mv_h * 2
+    # zero chain anchored at HALF res (the eighth/quarter levels are
+    # blind to shifts below one pooled pixel, so anchoring any deeper
+    # loses the small-motion signal): ±3 half-res = ±6 full-res, and
+    # the caller's full-res ±REFINE_R pass recovers the exact offset
+    z_h = _gather_refine(cur_h, ref_h, block // 2, 3,
+                         jnp.zeros_like(mv_e), row0 // 2,
+                         max_base=4)
+    return jnp.stack([z_h * 2, mv_h * 2])
+
+
+def select_mv(cur_blocks, ref_pad, pos_y, pos_x, cands, block: int):
+    """Pick per block among candidate MV fields by full-res integer
+    SAD + |mv| tie-break; earlier candidates win ties.  cands: list of
+    [n, 2] int MV fields.  Returns [n, 2]."""
+    def int_sad(cand):
+        win = _gather_windows(ref_pad, REF_PAD + pos_y + cand[:, 0],
+                              REF_PAD + pos_x + cand[:, 1], block)
+        return (jnp.sum(jnp.abs(win - cur_blocks), (-1, -2))
+                + jnp.abs(cand[:, 0]) + jnp.abs(cand[:, 1]))
+
+    sads = jnp.stack([int_sad(c) for c in cands], 0)
+    best = jnp.argmin(sads, 0)
+    allc = jnp.stack(cands, 0)                       # [k, n, 2]
+    return jnp.take_along_axis(
+        allc, best[None, :, None], 0)[0]
 
 
 def _gather_windows(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
@@ -293,7 +328,7 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
     h, w = cur.shape
     bh, bw = h // block, w // block
     with jax.named_scope("me.coarse"):
-        mv0 = coarse_search(cur, ref, block)          # [bh, bw, 2] int pel
+        cands = coarse_search(cur, ref, block)    # [2, bh, bw, 2] pel
     ref_pad = jnp.pad(ref, REF_PAD, mode="edge")
     ys = (jnp.arange(bh) * block)[:, None] + jnp.zeros((bh, bw), jnp.int32)
     xs = (jnp.arange(bw) * block)[None, :] + jnp.zeros((bh, bw), jnp.int32)
@@ -301,20 +336,22 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
     pos_x = xs.reshape(-1)
     cur_blocks = cur.reshape(bh, block, bw, block).transpose(
         0, 2, 1, 3).reshape(-1, block, block)
-    # global-motion arbitration: the downsampled pyramid aliases on
-    # periodic texture, so per-block coarse MVs can land on false
-    # matches; the field MEDIAN recovers the dominant true motion —
-    # evaluate it at full resolution and take it when it beats the
-    # block's own coarse result (candidate idea per the reference's
-    # AMVP/parent seeding, hmr_motion_inter.c:2060-2074, lifted to a
-    # dense frame-level candidate)
-    with jax.named_scope("me.global_arb"):
-        mv0 = global_arbitrate(cur_blocks, ref_pad, pos_y, pos_x,
-                               mv0.reshape(-1, 2), field_median(mv0),
-                               block)
+    # refine BOTH chains at full res, then arbitrate at FULL
+    # resolution (where aliasing cannot beat an exact match); the
+    # field MEDIAN of the winners is a final global-motion candidate
+    # (ref AMVP/parent seeding, hmr_motion_inter.c:2060-2074, lifted
+    # to dense frame-level candidates)
     with jax.named_scope("me.refine"):
-        mv1 = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
-                            mv0.reshape(-1, 2), block)
+        rz = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
+                           cands[0].reshape(-1, 2), block)
+        ra = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
+                           cands[1].reshape(-1, 2), block)
+    with jax.named_scope("me.global_arb"):
+        mv0 = select_mv(cur_blocks, ref_pad, pos_y, pos_x, [rz, ra],
+                        block)
+        med = field_median(mv0.reshape(bh, bw, 2))
+        mv1 = select_mv(cur_blocks, ref_pad, pos_y, pos_x,
+                        [mv0, jnp.broadcast_to(med, mv0.shape)], block)
     with jax.named_scope("me.subpel"):
         mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y,
                                        pos_x, mv1, block, precision,

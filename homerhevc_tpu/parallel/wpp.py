@@ -77,20 +77,25 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
 
         lam = tables.rd_lambda(qp, False)
         lam_c = tables.rd_lambda(qp_c, False)
-        mv0 = me.coarse_search(cur, refy, s, row0=row0)
+        cands = me.coarse_search(cur, refy, s, row0=row0)
         ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
         pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
         pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
         cur_b = inter_frame._blocks(cur, s)
-        # global-motion arbitration uses the FULL field median (ICI
-        # all_gather) so results match the single-device path
-        mv0_full = jax.lax.all_gather(mv0, row_axis) \
-            .reshape(h // s, bw, 2)
-        mv0 = me.global_arbitrate(cur_b, ref_pad, pos_y, pos_x,
-                                  mv0.reshape(-1, 2),
-                                  me.field_median(mv0_full), s)
-        mv1 = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
-                               mv0.reshape(-1, 2), s)
+        # candidate arbitration matches the single-device path; the
+        # global-motion candidate uses the FULL field median (ICI
+        # all_gather) so results stay bit-transparent
+        rz = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
+                              cands[0].reshape(-1, 2), s)
+        ra = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
+                              cands[1].reshape(-1, 2), s)
+        mv0 = me.select_mv(cur_b, ref_pad, pos_y, pos_x, [rz, ra], s)
+        mv0_full = jax.lax.all_gather(
+            mv0.reshape(bh, bw, 2), row_axis).reshape(h // s, bw, 2)
+        mv1 = me.select_mv(
+            cur_b, ref_pad, pos_y, pos_x,
+            [mv0, jnp.broadcast_to(me.field_median(mv0_full),
+                                   mv0.shape)], s)
         mv_q, sad_me, pred = me.subpel_search(cur_b, ref_pad, pos_y,
                                               pos_x, mv1, s)
 
