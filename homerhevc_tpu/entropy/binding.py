@@ -195,7 +195,9 @@ def make_cfg(cfg) -> CHevcCfg:
     c.deblock_disabled = 0 if cfg.deblocking else 1
     c.num_ref_frames = cfg.num_ref_frames
     c.bit_depth = cfg.bit_depth
-    c.strong_intra_smoothing = 0
+    # bilinear 32x32 reference smoothing, like the reference encoder
+    # (hmr_encoder_lib.c:1289); the device path applies it (ops/intra)
+    c.strong_intra_smoothing = 1
     from homerhevc_tpu.config import BitrateMode
     c.cu_qp_delta_enabled = 1 if (
         getattr(cfg, "adaptive_qp", False)

@@ -191,7 +191,7 @@ def _blocks(plane: jnp.ndarray, b: int):
         .reshape(-1, b, b)
 
 
-def _dense_best(y32, s: int, ctu: int, sqrt_lam):
+def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
     """Best intra mode + cost for every s x s block, from source-pixel
     reference samples with exact availability.
 
@@ -205,7 +205,8 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam):
     bh, bw = h // s, w // s
     nb = bh * bw
     buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
-    buf = buf.at[1:1 + h, 1:1 + w].set(y32)
+    buf = buf.at[1:1 + h, 1:1 + w].set(
+        y32 if adi_plane is None else adi_plane)
     pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
 
@@ -220,7 +221,7 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam):
     orig = _blocks(y32, s)
 
     def ev(m_arr):
-        p = intra.predict_single_mode(adi, m_arr, s, True)
+        p = intra.predict_single_mode(adi, m_arr, s, True, strong=True)
         return satd(p - orig, s)
 
     seeds = (0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34)
@@ -308,7 +309,8 @@ def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
 
 
 def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
-                   u32=None, v32=None, sqrt_lam_c=None):
+                   u32=None, v32=None, sqrt_lam_c=None,
+                   adi_y=None):
     """Dense MODE decision for the whole frame (one best mode per block
     at each tree level).  The CU-tree split decisions happen in the
     reconstruction pass with true SSD + lambda*bits RD (both paths are
@@ -316,12 +318,12 @@ def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
     When chroma planes are given, also decides the chroma mode per CU
     at each level (5-candidate search)."""
     with jax.named_scope("intra.dense32"):
-        mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam)
+        mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam, adi_y)
     with jax.named_scope("intra.dense16"):
-        mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam)
+        mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam, adi_y)
     if search_8x8:
         with jax.named_scope("intra.dense8"):
-            mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam)
+            mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam, adi_y)
     else:
         mode8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
     out = dict(mode32=mode32, mode16=mode16, mode8=mode8)
@@ -399,12 +401,16 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  deblocking: bool = False, sao_enabled: bool = False,
                  search_8x8: bool = True, chroma_qp_offset: int = 0,
                  scaling_lists: bool = False,
-                 cu: int = None, split_8x8: bool = None):
+                 cu: int = None, split_8x8: bool = None,
+                 dec_y=None, dec_u=None, dec_v=None):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).  `cu` and
     `split_8x8` are accepted for backward compatibility (`split_8x8`
-    maps to search_8x8)."""
+    maps to search_8x8).  dec_y/u/v optionally supply DECISION
+    reference planes (e.g. a first pass's reconstruction) for the dense
+    mode pass; prediction in the wavefront always uses the true
+    reconstruction."""
     if split_8x8 is not None:
         search_8x8 = split_8x8
     h, w = y.shape
@@ -422,10 +428,13 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     u32 = jnp.asarray(u, jnp.int32)
     v32 = jnp.asarray(v, jnp.int32)
 
-    # ---- pass 1: dense decision (luma modes + chroma 5-candidate)
+    # ---- pass 1: dense decision (luma modes + chroma 5-candidate);
+    # dec_* planes (when given) replace the ADI source only — SATD is
+    # always against the true source pixels
+    ady = None if dec_y is None else jnp.asarray(dec_y, jnp.int32)
     dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8,
                          u32=u32, v32=v32,
-                         sqrt_lam_c=jnp.sqrt(lam_rd_c))
+                         sqrt_lam_c=jnp.sqrt(lam_rd_c), adi_y=ady)
 
     bh, bw = h // 16, w // 16            # 16-granule grid (record maps)
     b32h, b32w = h // 32, w // 32
@@ -463,7 +472,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         adi32 = intra.substitute_refs(
             jax.vmap(lambda yy, xx: g_adi(rec_y, yy, xx, 32))(y0, x0),
             _avail_mask(av32, 32))
-        pred32 = intra.predict_single_mode(adi32, m32, 32, True)
+        pred32 = intra.predict_single_mode(adi32, m32, 32, True,
+                                           strong=True)
         lvl32, rec32, cbf32 = _tq_recon(orig32, pred32, 32, qp, lam_rd,
                                         sign_hiding=sign_hiding,
                                         scaling=scaling_lists)

@@ -50,8 +50,13 @@ def substitute_refs(adi: jnp.ndarray, avail: jnp.ndarray,
     return jnp.where(any_avail[..., None], filled, default)
 
 
-def filter_refs(adi: jnp.ndarray, size: int) -> jnp.ndarray:
-    """[1,2,1] smoothing of reference samples (spec 8.4.4.2.3).
+def filter_refs(adi: jnp.ndarray, size: int,
+                strong: bool = False) -> jnp.ndarray:
+    """Reference-sample smoothing (spec 8.4.4.2.3): [1,2,1], with the
+    STRONG bilinear filter for 32x32 luma when `strong` and the edges
+    test near-linear (the reference signals SPS
+    strong_intra_smooth_enabled_flag=1, hmr_encoder_lib.c:1289 — a
+    large prediction win on smooth gradients).
 
     End samples adi[0] and adi[4S] are kept unfiltered.
     """
@@ -60,7 +65,30 @@ def filter_refs(adi: jnp.ndarray, size: int) -> jnp.ndarray:
     f = (left + 2 * adi + right + 2) >> 2
     n = adi.shape[-1]
     keep = jnp.zeros((n,), dtype=bool).at[0].set(True).at[n - 1].set(True)
-    return jnp.where(keep, adi, f)
+    f = jnp.where(keep, adi, f)
+    if not strong or size != 32:
+        return f
+    s = size
+    corner = adi[..., 2 * s]
+    top_end = adi[..., 4 * s]
+    bl_end = adi[..., 0]
+    thr = 1 << (8 - 5)
+    bi = ((jnp.abs(corner + top_end - 2 * adi[..., 3 * s]) < thr)
+          & (jnp.abs(corner + bl_end - 2 * adi[..., s]) < thr))
+    k = jnp.arange(n)
+    # top row x=0..2S-1 at indices 2S+1+x:
+    #   ((63-x)*corner + (x+1)*top_end + 32) >> 6
+    x = k - (2 * s + 1)
+    top_lin = ((2 * s - 1 - x) * corner[..., None]
+               + (x + 1) * top_end[..., None] + s) >> 6
+    # left col y=0..2S-1 at indices 2S-1-y:
+    y = 2 * s - 1 - k
+    left_lin = ((2 * s - 1 - y) * corner[..., None]
+                + (y + 1) * bl_end[..., None] + s) >> 6
+    lin = jnp.where(k > 2 * s, top_lin,
+                    jnp.where(k < 2 * s, left_lin, adi))
+    lin = jnp.where(keep, adi, lin)
+    return jnp.where(bi[..., None], lin, f)
 
 
 @functools.lru_cache(maxsize=None)
@@ -137,7 +165,8 @@ def _filter_flags(size: int, is_luma: bool) -> np.ndarray:
 
 
 def predict_single_mode(adi: jnp.ndarray, mode: jnp.ndarray, size: int,
-                        is_luma: bool, bit_depth: int = 8) -> jnp.ndarray:
+                        is_luma: bool, bit_depth: int = 8,
+                        strong: bool = False) -> jnp.ndarray:
     """Prediction for ONE (traced) mode per block — the cheap path for
     reconstruction once modes are already decided (the dense decision
     pass uses predict_all_modes; re-generating all 35 stacks per
@@ -150,7 +179,7 @@ def predict_single_mode(adi: jnp.ndarray, mode: jnp.ndarray, size: int,
     log2 = int(np.log2(s))
     corner = 2 * s
     n = adi.shape[0]
-    adi_f = filter_refs(adi, s)
+    adi_f = filter_refs(adi, s, strong and is_luma)
 
     top = adi[..., corner + 1: corner + 1 + s]
     left_idx = np.arange(2 * s - 1, s - 1, -1)
@@ -218,7 +247,8 @@ def predict_single_mode(adi: jnp.ndarray, mode: jnp.ndarray, size: int,
 
 
 def predict_all_modes(adi: jnp.ndarray, size: int, is_luma: bool,
-                      bit_depth: int = 8) -> jnp.ndarray:
+                      bit_depth: int = 8,
+                      strong: bool = False) -> jnp.ndarray:
     """All 35 intra predictions from a substituted adi vector.
 
     adi: int32 [..., 4S+1] (unfiltered; smoothing applied internally
@@ -227,7 +257,7 @@ def predict_all_modes(adi: jnp.ndarray, size: int, is_luma: bool,
     s = size
     log2 = int(np.log2(s))
     corner = 2 * s
-    adi_f = filter_refs(adi, s)
+    adi_f = filter_refs(adi, s, strong and is_luma)
 
     top = adi[..., corner + 1: corner + 1 + s]          # p(-1, 0..S-1)
     left_idx = np.arange(2 * s - 1, s - 1, -1)           # p(0..S-1, -1)

@@ -146,16 +146,20 @@ def sign_bit_hide(level: jnp.ndarray, delta_u: jnp.ndarray,
     parity = (abs_sum & 1).astype(jnp.int32)
     need_fix = hide_ok & (parity != sign_first)
 
-    # Candidate selection: minimum |delta_u| among positions in
-    # [first, last], excluding magnitude-decrements that would zero the
-    # first or last nonzero (they would move the hiding window and could
-    # desync the decoder's hide condition).
+    # Candidate selection: MAXIMUM |delta_u| among positions in
+    # [first, last] — the most under/over-quantized coefficient, where
+    # the +/-1 magnitude change moves the value TOWARD the true
+    # coefficient (minimum added distortion; HM xSignBitHidingHDQ
+    # picks by the same residue criterion).  Magnitude-decrements that
+    # would zero the first or last nonzero are excluded (they would
+    # move the hiding window and could desync the decoder's hide
+    # condition).
     in_range = (pos[None] >= first[..., None]) & (pos[None] <= last[..., None])
     is_edge = (pos[None] == first[..., None]) | (pos[None] == last[..., None])
     abs_lv = jnp.abs(slg)
     would_decrement = sdug <= 0
     illegal = is_edge & (abs_lv == 1) & would_decrement
-    cost = jnp.where(in_range & ~illegal, -jnp.abs(sdug), -big * 1000)
+    cost = jnp.where(in_range & ~illegal, jnp.abs(sdug), -big * 1000)
     best_pos = jnp.argmax(cost, axis=-1).astype(jnp.int32)
 
     # Apply a +/-1 magnitude change at best_pos: grow magnitude when the

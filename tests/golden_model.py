@@ -93,11 +93,13 @@ def dequant(lv: np.ndarray, qp: int, bd: int = 8):
 # --- intra prediction -------------------------------------------------------
 
 def predict_intra(mode: int, adi: np.ndarray, size: int, is_luma: bool,
-                  bd: int = 8) -> np.ndarray:
+                  bd: int = 8, strong: bool = False) -> np.ndarray:
     """Spec-style scalar intra prediction from a substituted adi vector.
 
     adi layout as in homerhevc_tpu.ops.intra (left bottom->top, corner,
-    top left->right).
+    top left->right).  strong: SPS strong_intra_smoothing (bilinear
+    filter for 32x32 luma when the edges test near-linear, spec
+    8.4.4.2.3).
     """
     s = size
     log2 = int(np.log2(s))
@@ -120,6 +122,22 @@ def predict_intra(mode: int, adi: np.ndarray, size: int, is_luma: bool,
     adi_f = adi.copy()
     for k in range(1, 4 * s):
         adi_f[k] = (int(adi[k - 1]) + 2 * int(adi[k]) + int(adi[k + 1]) + 2) >> 2
+    if strong and is_luma and s == 32:
+        corner = int(adi[2 * s])
+        top_end = int(adi[4 * s])
+        bl_end = int(adi[0])
+        thr = 1 << (bd - 5)
+        if (abs(corner + top_end - 2 * int(adi[3 * s])) < thr
+                and abs(corner + bl_end - 2 * int(adi[s])) < thr):
+            adi_f = adi.copy()
+            for x in range(2 * s - 1):        # top row, x = 0..2S-2
+                adi_f[2 * s + 1 + x] = (
+                    (2 * s - 1 - x) * corner + (x + 1) * top_end
+                    + s) >> 6
+            for y in range(2 * s - 1):        # left col, y = 0..2S-2
+                adi_f[2 * s - 1 - y] = (
+                    (2 * s - 1 - y) * corner + (y + 1) * bl_end
+                    + s) >> 6
 
     pred = np.zeros((s, s), dtype=np.int32)
     if mode == 0:  # planar

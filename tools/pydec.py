@@ -113,7 +113,9 @@ def parse_sps(rbsp):
     s['max_tr_inter'] = r.ue()
     s['max_tr_intra'] = r.ue()
     s['scaling'] = r.bit()
-    assert not s['scaling'], "scaling lists unsupported"
+    if s['scaling']:
+        # default lists only (no explicit scaling_list_data)
+        assert not r.bit(), "explicit scaling list data unsupported"
     s['amp'] = r.bit()
     s['sao'] = r.bit()
     s['pcm'] = r.bit()

@@ -115,13 +115,13 @@ def encode_frame_intra(y, u, v, qp, cu_size=16, mode_fixed=None,
         if mode_fixed is None:
             best, best_sad = 0, None
             for m in range(35):
-                p = gm.predict_intra(m, adi, s, True)
+                p = gm.predict_intra(m, adi, s, True, strong=True)
                 sad = int(np.abs(orig.astype(np.int32) - p).sum())
                 if best_sad is None or sad < best_sad:
                     best, best_sad = m, sad
         else:
             best = mode_fixed
-        pred = gm.predict_intra(best, adi, s, True)
+        pred = gm.predict_intra(best, adi, s, True, strong=True)
         lv, recon, cb = tq_recon(orig, pred, s, qp, is_dst)
         rec_y[y0:y0 + s, x0:x0 + s] = recon
         coeff_y[y0:y0 + s, x0:x0 + s] = lv
