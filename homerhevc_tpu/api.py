@@ -56,6 +56,11 @@ class Encoder:
         self._inbuf: list = []
         self._rc = RateControl(cfg)
         self._per_ctu_qp = bool(self.ccfg.cu_qp_delta_enabled)
+        # intra NxN (4x4 PUs + DST) at rd=full: the 4x4 z-order pass
+        # deepens the wavefront ~2x, so it is a quality-mode feature
+        # (role of the reference's NxN at max depth)
+        self._search_nxn = (cfg.rd_mode == RDMode.RD_FULL
+                            and cfg.max_pred_depth >= 4)
         self._force_idr = False
         self._last_intra_cand_frac = 0.0
         # single host worker: transfer + entropy of chunk N-1 overlap
@@ -194,6 +199,7 @@ class Encoder:
             sao_enabled=cfg.sao,
             search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
             and cfg.max_pred_depth >= 3,
+            search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
@@ -237,6 +243,7 @@ class Encoder:
             # and RD-positive; only rd=ultrafast skips it
             search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
             and cfg.max_pred_depth >= 3,
+            search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -453,6 +460,13 @@ class Encoder:
         depth = tail[5 * n8:5 * n8 + bh * bw].reshape(bh, bw)
         pend["dist"] = float(tail[5 * n8 + bh * bw])
         sao_tail = tail[5 * n8 + bh * bw + 1:]
+        nxn8 = pu4 = None
+        if self._search_nxn:
+            nxn8 = sao_tail[:n8].reshape(2 * bh, 2 * bw) \
+                .astype(np.uint8)
+            pu4 = sao_tail[n8:5 * n8].reshape(4 * bh, 4 * bw) \
+                .astype(np.int32)
+            sao_tail = sao_tail[5 * n8:]
         rep2 = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1)
         rep4 = lambda m: np.repeat(np.repeat(m, 4, 0), 4, 1)
         mode4 = rep2(modes8)
@@ -460,13 +474,26 @@ class Encoder:
         qpm = None
         if self._per_ctu_qp:
             qpm = np.full((h // 4, w // 4), pend["qp"], np.int8)
+        luma4 = mode4
+        cbf_y4 = rep2(cbf8[0])
+        part4 = None
+        if nxn8 is not None and nxn8.any():
+            # NxN CUs: per-4x4 PU modes and TB cbfs from the packed PU
+            # map (mode | cbf << 8); part_size=1 at those 8x8 CUs
+            nxn4 = rep2(nxn8).astype(bool)
+            luma4 = np.where(nxn4, (pu4 & 0xff).astype(np.uint8),
+                             mode4)
+            cbf_y4 = np.where(nxn4, ((pu4 >> 8) & 1).astype(np.uint8),
+                              cbf_y4)
+            part4 = rep2(nxn8).astype(np.uint8)
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=2, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=True, qp_map=qpm,
             cu_depth=rep4(np.clip(depth, 1, 3)).astype(np.uint8),
-            intra_luma_mode=mode4,
+            intra_luma_mode=luma4,
             intra_chroma_mode=rep2(cmodes8),   # 5-candidate search
-            cbf_y=rep2(cbf8[0]), cbf_cb=rep2(cbf8[1]),
+            part_size=part4,
+            cbf_y=cbf_y4, cbf_cb=rep2(cbf8[1]),
             cbf_cr=rep2(cbf8[2]),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
             pred_mode=np.ones((h4, w4), np.uint8),

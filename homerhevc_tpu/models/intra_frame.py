@@ -146,14 +146,15 @@ def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
 
 
 def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False,
-              scaling=False):
+              scaling=False, is_dst=False):
     """residual -> T -> Q(-SBH) -> IQ -> IT -> recon + zero-RD.
 
     mode-dependent-scan SBH applies when `mode` is given (sizes 4/8);
-    otherwise the diagonal scan is used.
+    otherwise the diagonal scan is used.  is_dst: DST-VII (intra luma
+    4x4 TBs, spec 8.6.4.2).
     Returns (level, recon, cbf)."""
     resid = orig.astype(jnp.int32) - pred
-    coeff = transform.forward_transform(resid, size)
+    coeff = transform.forward_transform(resid, size, is_dst=is_dst)
     level, du = quant.quantize(coeff, qp, size, is_intra=True,
                                scaling=scaling)
     if sign_hiding:
@@ -165,7 +166,7 @@ def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False,
                     size, tables.SCAN_DIAG)), size)
     deq = quant.dequantize(level, qp, size, is_intra=True,
                            scaling=scaling)
-    r = transform.inverse_transform(deq, size)
+    r = transform.inverse_transform(deq, size, is_dst=is_dst)
     recon = jnp.clip(pred + r, 0, 255)
     level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
     cbf = jnp.any(level != 0, axis=(-1, -2))
@@ -310,7 +311,7 @@ def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
 
 def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
                    u32=None, v32=None, sqrt_lam_c=None,
-                   adi_y=None):
+                   adi_y=None, search_nxn: bool = False):
     """Dense MODE decision for the whole frame (one best mode per block
     at each tree level).  The CU-tree split decisions happen in the
     reconstruction pass with true SSD + lambda*bits RD (both paths are
@@ -327,6 +328,10 @@ def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
     else:
         mode8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
     out = dict(mode32=mode32, mode16=mode16, mode8=mode8)
+    if search_nxn:
+        with jax.named_scope("intra.dense4"):
+            mode4, _ = _dense_best(y32, 4, ctu, sqrt_lam, adi_y)
+        out["mode4"] = mode4
     if u32 is not None:
         with jax.named_scope("intra.dense_chroma"):
             out["cmode32"] = _dense_best_chroma(u32, v32, mode32, 32,
@@ -362,19 +367,25 @@ def build_plan(width: int, height: int, ctu: int = 64):
     av32 = _avail_np(width, height, 32, ctu)[by_c, bx_c]
     av16_g = _avail_np(width, height, 16, ctu)
     av8_g = _avail_np(width, height, 8, ctu)
+    av4_g = _avail_np(width, height, 4, ctu)
     # z-ordered sub-block availability per slot
     av16 = np.zeros((n_steps, nb, 4, 5), dtype=bool)
     av8 = np.zeros((n_steps, nb, 4, 4, 5), dtype=bool)
+    av4 = np.zeros((n_steps, nb, 4, 4, 4, 5), dtype=bool)
     for k16, (qy, qx) in enumerate(_SUB_OFF):
         av16[:, :, k16] = av16_g[2 * by_c + qy, 2 * bx_c + qx]
         for k8, (ry, rx) in enumerate(_SUB_OFF):
             av8[:, :, k16, k8] = av8_g[4 * by_c + 2 * qy + ry,
                                        4 * bx_c + 2 * qx + rx]
+            for k4, (ty, tx) in enumerate(_SUB_OFF):
+                av4[:, :, k16, k8, k4] = av4_g[
+                    8 * by_c + 4 * qy + 2 * ry + ty,
+                    8 * bx_c + 4 * qx + 2 * rx + tx]
     return dict(
         n_steps=n_steps, nb=nb,
         by=np.asarray(by_c, np.int32), bx=np.asarray(bx_c, np.int32),
         valid=np.asarray(valid), av32=np.asarray(av32),
-        av16=av16, av8=av8,
+        av16=av16, av8=av8, av4=av4,
     )
 
 
@@ -402,7 +413,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  search_8x8: bool = True, chroma_qp_offset: int = 0,
                  scaling_lists: bool = False,
                  cu: int = None, split_8x8: bool = None,
-                 dec_y=None, dec_u=None, dec_v=None):
+                 dec_y=None, dec_u=None, dec_v=None,
+                 search_nxn: bool = False):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).  `cu` and
@@ -434,7 +446,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     ady = None if dec_y is None else jnp.asarray(dec_y, jnp.int32)
     dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8,
                          u32=u32, v32=v32,
-                         sqrt_lam_c=jnp.sqrt(lam_rd_c), adi_y=ady)
+                         sqrt_lam_c=jnp.sqrt(lam_rd_c), adi_y=ady,
+                         search_nxn=search_nxn)
 
     bh, bw = h // 16, w // 16            # 16-granule grid (record maps)
     b32h, b32w = h // 32, w // 32
@@ -448,12 +461,14 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     modes8_0 = jnp.full((2 * bh, 2 * bw), 1, jnp.int32)
     cbf8_0 = jnp.zeros((3, 2 * bh, 2 * bw), jnp.int32)
     depth0 = jnp.full((bh, bw), 2, jnp.int32)
+    nxn8_0 = jnp.zeros((2 * bh, 2 * bw), jnp.int32)
+    pu4_0 = jnp.zeros((4 * bh, 4 * bw), jnp.int32)  # mode | cbf<<8
 
     # ---- pass 2: wavefront reconstruction over 32x32 slots
     def step(carry, inp):
         (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cbf8_map,
-         depth_map) = carry
-        by, bx, valid, av32, av16, av8 = inp
+         depth_map, nxn8_map, pu4_map) = carry
+        by, bx, valid, av32, av16, av8, av4 = inp
         nb = by.shape[0]
         y0 = by * 32
         x0 = bx * 32
@@ -507,10 +522,22 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                                     4 * bx + 2 * q[1] + r[1], 0)
                         for r in _SUB_OFF], 0)
              for q in _SUB_OFF], 0)                       # [4, 4, nb]
+        if search_nxn:
+            m4_all = jnp.stack(
+                [jnp.stack(
+                    [jnp.stack([_gather_map(
+                        dec["mode4"],
+                        8 * by + 4 * q[0] + 2 * r[0] + t[0],
+                        8 * bx + 4 * q[1] + 2 * r[1] + t[1], 0)
+                        for t in _SUB_OFF], 0)
+                     for r in _SUB_OFF], 0)
+                 for q in _SUB_OFF], 0)             # [4, 4, 4, nb]
+        else:
+            m4_all = jnp.zeros((4, 4, 4, nb), jnp.int32)
 
         def sub16_body(carry, xk):
             patch, lvl_ch, cost_children = carry
-            off, av16_k, av8_k, m16, m8_k = xk
+            off, av16_k, av8_k, av4_k, m16, m8_k, m4_k = xk
             oy, ox = off[0], off[1]
             adi16 = intra.substitute_refs(
                 _patch_adi(patch, oy, ox, 16), _avail_mask(av16_k, 16))
@@ -529,7 +556,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
                 def sub8_body(c8carry, x8):
                     patch8, l8s, cost8 = c8carry
-                    off8, av8_kk, m8 = x8
+                    off8, av8_kk, av4_kk, m8, m4s = x8
                     o8y, o8x = oy + off8[0], ox + off8[1]
                     adi8 = intra.substitute_refs(
                         _patch_adi(patch8, o8y, o8x, 8),
@@ -541,20 +568,76 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                                            mode=m8,
                                            sign_hiding=sign_hiding,
                                            scaling=scaling_lists)
-                    cost8 = cost8 + jnp.sum((r8 - o8) ** 2, (-1, -2)) \
+                    cost_2n = jnp.sum((r8 - o8) ** 2, (-1, -2)) \
                         .astype(jnp.float32) + lamf * (
                             rdbits.residual_bits(l8, 8) + _CU_HDR_BITS)
+                    if search_nxn:
+                        # NxN: four 4x4 PUs in z-order with own modes,
+                        # DST TBs and intra-CU recon feedback (ref NxN
+                        # at max depth, part-size syntax 7.3.8.5)
+                        p4 = patch8
+                        l4s = jnp.zeros((nb, 8, 8), jnp.int32)
+                        cost_n = jnp.broadcast_to(
+                            lamf * (_CU_HDR_BITS + 10.0), (nb,))
+                        pu_m, pu_c = [], []
+                        for k4, (ty, tx) in enumerate(_SUB_OFF):
+                            o4y = o8y + 4 * ty
+                            o4x = o8x + 4 * tx
+                            adi4 = intra.substitute_refs(
+                                _patch_adi(p4, o4y, o4x, 4),
+                                _avail_mask(av4_kk[:, k4], 4))
+                            m4v = m4s[k4]
+                            pr4 = intra.predict_single_mode(
+                                adi4, m4v, 4, True)
+                            o4 = jax.lax.dynamic_slice(
+                                orig32, (0, o4y, o4x), (nb, 4, 4))
+                            l4, r4, c4 = _tq_recon(
+                                o4, pr4, 4, qp, lam_rd, mode=m4v,
+                                sign_hiding=sign_hiding,
+                                scaling=scaling_lists, is_dst=True)
+                            cost_n = cost_n + jnp.sum(
+                                (r4 - o4) ** 2, (-1, -2)) \
+                                .astype(jnp.float32) + lamf * \
+                                rdbits.residual_bits(l4, 4)
+                            p4 = jax.lax.dynamic_update_slice(
+                                p4, r4, (0, o4y + 1, o4x + 1))
+                            l4s = jax.lax.dynamic_update_slice(
+                                l4s, l4, (0, 4 * ty, 4 * tx))
+                            pu_m.append(m4v)
+                            pu_c.append(c4)
+                        rec_n = jax.lax.dynamic_slice(
+                            p4, (0, o8y + 1, o8x + 1), (nb, 8, 8))
+                        take_n = cost_n < cost_2n
+                        tn = take_n[:, None, None]
+                        l8 = jnp.where(tn, l4s, l8)
+                        r8 = jnp.where(tn, rec_n, r8)
+                        leaf_cost = jnp.minimum(cost_n, cost_2n)
+                        eff_lm = jnp.where(take_n, pu_m[0], m8)
+                        nxn_o = take_n
+                        pu4_o = jnp.stack(pu_m, 0)        # [4, nb]
+                        cbf4_o = jnp.stack(pu_c, 0)
+                    else:
+                        leaf_cost = cost_2n
+                        eff_lm = m8
+                        nxn_o = jnp.zeros((nb,), bool)
+                        pu4_o = jnp.broadcast_to(m8[None], (4, nb))
+                        cbf4_o = jnp.broadcast_to(c8[None], (4, nb))
+                    cost8 = cost8 + leaf_cost
                     patch8 = jax.lax.dynamic_update_slice(
                         patch8, r8, (0, o8y + 1, o8x + 1))
                     l8s = jax.lax.dynamic_update_slice(
                         l8s, l8, (0, off8[0], off8[1]))
-                    return (patch8, l8s, cost8), (m8, c8)
+                    return (patch8, l8s, cost8), \
+                        (eff_lm, jnp.any(l8 != 0, (-1, -2)), nxn_o,
+                         pu4_o, cbf4_o)
 
-                (patch8, l8s, cost8), (m8_y, cbf8_y) = jax.lax.scan(
-                    sub8_body,
-                    (patch, jnp.zeros((nb, 16, 16), jnp.int32),
-                     jnp.broadcast_to(lamf * _SPLIT_BITS, (nb,))),
-                    (offs8, av8_k, m8_k))
+                (patch8, l8s, cost8), \
+                    (m8_y, cbf8_y, nxn_y, pu4_y, cbf4_y) = jax.lax.scan(
+                        sub8_body,
+                        (patch, jnp.zeros((nb, 16, 16), jnp.int32),
+                         jnp.broadcast_to(lamf * _SPLIT_BITS, (nb,))),
+                        (offs8, av8_k, jnp.moveaxis(av4_k, 1, 0),
+                         m8_k, m4_k))
                 rec8 = jax.lax.dynamic_slice(patch8, (0, oy + 1, ox + 1),
                                              (nb, 16, 16))
                 sp16 = cost8 < cost16
@@ -565,32 +648,48 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 lsel16 = jnp.where(spm, l8s, l16)
                 m8_out = jnp.where(sp16[None, :], m8_y, m16[None, :])
                 cbf_out = jnp.where(sp16[None, :], cbf8_y, c16[None, :])
+                nxn_out = nxn_y & sp16[None, :]           # [4, nb]
+                pu4_out = jnp.where(sp16[None, None, :], pu4_y,
+                                    m16[None, None, :])   # [4, 4, nb]
+                cbf4_out = jnp.where(sp16[None, None, :], cbf4_y,
+                                     c16[None, None, :])
             else:
                 sel16, lsel16 = r16, l16
                 sp16 = jnp.zeros((nb,), bool)
                 cost_children = cost_children + cost16
                 m8_out = jnp.broadcast_to(m16[None, :], (4, nb))
                 cbf_out = jnp.broadcast_to(c16[None, :], (4, nb))
+                nxn_out = jnp.zeros((4, nb), bool)
+                pu4_out = jnp.broadcast_to(m16[None, None, :],
+                                           (4, 4, nb))
+                cbf4_out = jnp.broadcast_to(c16[None, None, :],
+                                            (4, 4, nb))
             patch = jax.lax.dynamic_update_slice(
                 patch, sel16, (0, oy + 1, ox + 1))
             lvl_ch = jax.lax.dynamic_update_slice(
                 lvl_ch, lsel16, (0, oy, ox))
             return (patch, lvl_ch, cost_children), \
-                (m16, sp16, m8_out, cbf_out)
+                (m16, sp16, m8_out, cbf_out, nxn_out, pu4_out,
+                 cbf4_out)
 
         (patch, lvl_ch, cost_children), \
-            (m16_y, sp16_y, m8_y2, cbf_y2) = jax.lax.scan(
+            (m16_y, sp16_y, m8_y2, cbf_y2, nxn_y2, pu4_y2, cbf4_y2) = \
+            jax.lax.scan(
                 sub16_body,
                 (patch, lvl_ch,
                  jnp.broadcast_to(lamf * _SPLIT_BITS, (nb,))),
                 (offs, jnp.moveaxis(av16, 1, 0),
                  jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
-                 m16_all, m8_all))
+                 jnp.moveaxis(av4, 1, 0),
+                 m16_all, m8_all, m4_all))
         rec_children = patch[:, 1:33, 1:33]
         m16_sel = m16_y                            # [4, nb]
         sp16_sel = sp16_y                          # [4, nb]
         modes_q8 = jnp.moveaxis(m8_y2, 2, 0)       # [nb, 4, 4]
         cbf_q8 = jnp.moveaxis(cbf_y2, 2, 0)
+        nxn_q8 = jnp.moveaxis(nxn_y2, 2, 0)        # [nb, 4, 4]
+        pu4_q = jnp.moveaxis(pu4_y2, 3, 0)         # [nb, 4, 4, 4]
+        cbf4_q = jnp.moveaxis(cbf4_y2, 3, 0)
 
         # in-loop RD decision: one 32x32 CU vs the four children
         cost32 = jnp.sum((rec32 - orig32) ** 2, (-1, -2)) \
@@ -611,6 +710,9 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                             jnp.where(sp16_q, 3, 2), 1)   # [nb, 4]
 
         # ===== chroma (DM): 16 TB for CU32, 8 TB for CU16, 4x4 for CU8
+        # NxN CUs force chroma DM = PU0's luma mode (the signalled list
+        # derives from PU0, spec 7.4.9.5; m8_y2 already carries it)
+        cm8_eff = jnp.where(nxn_y2, m8_y2, cm8_all)
         cy0 = y0 // 2
         cx0 = x0 // 2
 
@@ -695,7 +797,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 csub16_body, (cpatch, lv_ch0),
                 (coffs, jnp.moveaxis(av16, 1, 0),
                  jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
-                 cm16_all, cm8_all, sp16_sel))
+                 cm16_all, cm8_eff, sp16_sel))
             rc_children = cpatch[:, 1:17, 1:17]
             spm32 = sp32[:, None, None]
             rc = jnp.where(spm32, rc_children, rc16)
@@ -748,17 +850,32 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             cbf_u_q.astype(jnp.int32), mode="drop")
         cbf8_map = cbf8_map.at[2, r8y, r8x].set(
             cbf_v_q.astype(jnp.int32), mode="drop")
+        if search_nxn:
+            nxn_fin = (nxn_q8 & sp32[:, None, None]).astype(jnp.int32)
+            nxn8_map = nxn8_map.at[r8y, r8x].set(nxn_fin, mode="drop")
+            # 4-granule PU map: mode | cbf << 8
+            r4y = (8 * bsafe[:, None, None, None]
+                   + 4 * qy[None, :, None, None]
+                   + 2 * qy[None, None, :, None]
+                   + qy[None, None, None, :])
+            r4x = (8 * bx[:, None, None, None]
+                   + 4 * qx[None, :, None, None]
+                   + 2 * qx[None, None, :, None]
+                   + qx[None, None, None, :])
+            pu4_map = pu4_map.at[r4y, r4x].set(
+                pu4_q + (cbf4_q.astype(jnp.int32) << 8), mode="drop")
         return (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map,
-                cbf8_map, depth_map), None
+                cbf8_map, depth_map, nxn8_map, pu4_map), None
 
     xs = (jnp.asarray(plan["by"]), jnp.asarray(plan["bx"]),
           jnp.asarray(plan["valid"]), jnp.asarray(plan["av32"]),
-          jnp.asarray(plan["av16"]), jnp.asarray(plan["av8"]))
+          jnp.asarray(plan["av16"]), jnp.asarray(plan["av8"]),
+          jnp.asarray(plan["av4"]))
     carry0 = (recon_y0, recon_u0, recon_v0, coeff_y0, coeff_u0,
-              coeff_v0, modes8_0, cbf8_0, depth0)
+              coeff_v0, modes8_0, cbf8_0, depth0, nxn8_0, pu4_0)
     carry, _ = jax.lax.scan(step, carry0, xs)
     (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cbf8_map,
-     depth_map) = carry
+     depth_map, nxn8_map, pu4_map) = carry
 
     out_y = rec_y[1:1 + h, 1:1 + w]
     out_u = rec_u[1:1 + h // 2, 1:1 + w // 2]
@@ -771,6 +888,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     cmodes8_map = jnp.where(
         depth8 == 1, rep2(dec["cmode32"], 4),
         jnp.where(depth8 == 2, rep2(dec["cmode16"], 2), dec["cmode8"]))
+    # NxN CUs signal chroma DM of PU0 (modes8_map carries PU0's mode)
+    cmodes8_map = jnp.where(nxn8_map > 0, modes8_map, cmodes8_map)
     # RC distortion signal: mean per-16x16-block luma SAD (pre-filter)
     dist16 = jnp.sum(jnp.abs(out_y - y32)) // (bh * bw)
 
@@ -810,6 +929,11 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         cbf8_map.astype(jnp.int16).reshape(-1),
         depth_map.astype(jnp.int16).reshape(-1),
         jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None]]
+    if search_nxn:
+        parts.append(nxn8_map.astype(jnp.int16).reshape(-1))
+        parts.append(pu4_map.astype(jnp.int16).reshape(-1))
+        out["nxn"] = nxn8_map
+        out["pu4"] = pu4_map
     if sao_fields is not None:
         parts.append(sao.pack_sao_fields(sao_fields))
     out["packed"] = jnp.concatenate(parts)
@@ -896,7 +1020,7 @@ encode_frame_jit = jax.jit(
                                    "rd_lambda_scale", "deblocking",
                                    "sao_enabled", "search_8x8",
                                    "chroma_qp_offset", "scaling_lists",
-                                   "cu", "split_8x8"))
+                                   "cu", "split_8x8", "search_nxn"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -912,5 +1036,6 @@ encode_i_chunk_jit = jax.jit(
     encode_i_chunk, static_argnames=("ctu", "sign_hiding",
                                      "rd_lambda_scale", "deblocking",
                                      "sao_enabled", "search_8x8",
-                                     "chroma_qp_offset", "scaling_lists",
-                                     "cu", "split_8x8"))
+                                     "chroma_qp_offset",
+                                     "scaling_lists", "cu", "split_8x8",
+                                     "search_nxn"))

@@ -113,3 +113,26 @@ def test_cu_qp_delta_decode_loop():
             np.testing.assert_array_equal(
                 dec[i][c][:recs[i][c].shape[0], :recs[i][c].shape[1]],
                 recs[i][c], err_msg=f"frame {i} comp {c}")
+
+
+def test_intra_nxn_decode_loop():
+    """rd=full enables NxN (4x4 PUs + DST): the stream must carry
+    part_size=NxN CUs and decode bit-exactly (libde265), with the
+    decode-loop invariant recon == decoder output."""
+    from homerhevc_tpu.config import RDMode
+    h, w = 128, 192
+    rng = np.random.default_rng(17)
+    y = np.clip((np.mgrid[0:h, 0:w][1] * 3
+                 + np.mgrid[0:h, 0:w][0] * 2) % 235
+                + rng.integers(0, 20, (h, w)), 0, 255).astype(np.uint8)
+    u = (128 + 40 * np.sin(np.mgrid[0:h // 2, 0:w // 2][1] / 17.0)) \
+        .astype(np.uint8)
+    v = np.full((h // 2, w // 2), 90, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=32, intra_period=1,
+                        rd_mode=RDMode.RD_FULL)
+    enc = Encoder(cfg)
+    fr = enc.encode(y, u, v)
+    dy, du, dv = _decode(fr.nalus)[0]
+    np.testing.assert_array_equal(dy[:h, :w], fr.recon[0])
+    np.testing.assert_array_equal(du[:h // 2, :w // 2], fr.recon[1])
+    np.testing.assert_array_equal(dv[:h // 2, :w // 2], fr.recon[2])
