@@ -196,12 +196,12 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
     """Best intra mode + cost for every s x s block, from source-pixel
     reference samples with exact availability.
 
-    Staged search (the dense reshape of Homer's 4-stage refinement,
-    ref search_points hmr_motion_intra.c:1072-1177): 11 seed modes
-    (planar, DC, every 4th angle) then ±2/±1 refinement around the
-    winner — ~15 single-mode predictions instead of the full 35-mode
-    stack, with an MPM-aware re-argmin over everything evaluated.
-    Returns (mode [bh, bw] int32, cost [bh, bw] f32)."""
+    Evaluates the full 35-mode stack with STATIC per-mode gathers
+    (predict_all_modes) — on TPU this beats the staged seed+refine
+    search (ref search_points hmr_motion_intra.c:1072-1177), whose
+    per-block mode-dependent gathers have tiny trailing dims and
+    dominate the dense pass (~13x measured) — then re-argmins with
+    MPM-aware mode bits.  Returns (mode [bh,bw] int32, cost f32)."""
     h, w = y32.shape
     bh, bw = h // s, w // s
     nb = bh * bw
@@ -221,26 +221,13 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
     adi = intra.substitute_refs(adi_raw, _avail_mask(amask, s))
     orig = _blocks(y32, s)
 
-    def ev(m_arr):
-        p = intra.predict_single_mode(adi, m_arr, s, True, strong=True)
-        return satd(p - orig, s)
-
-    seeds = (0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34)
-    modes = [jnp.full((nb,), m, jnp.int32) for m in seeds]
-    satds = [ev(m) for m in modes]
-    st = jnp.stack(satds, -1)
-    seed_best = jnp.asarray(seeds, jnp.int32)[jnp.argmin(st, -1)]
-    for d in (-2, -1, 1, 2):
-        m_arr = jnp.where(seed_best >= 2,
-                          jnp.clip(seed_best + d, 2, 34), seed_best)
-        modes.append(m_arr)
-        satds.append(ev(m_arr))
-    all_m = jnp.stack(modes, -1)                    # [nb, 15]
-    all_s = jnp.stack(satds, -1)
+    preds = intra.predict_all_modes(adi, s, True, strong=True)
+    all_s = satd(preds - orig[:, None], s)          # [nb, 35]
+    all_m = jnp.broadcast_to(
+        jnp.arange(35, dtype=jnp.int32), (nb, 35))
 
     # MPM-aware mode bits from a first-round argmin of the neighbours
-    best0 = jnp.take_along_axis(
-        all_m, jnp.argmin(all_s, -1)[:, None], -1)[:, 0].reshape(bh, bw)
+    best0 = jnp.argmin(all_s, -1).astype(jnp.int32).reshape(bh, bw)
     left_m = jnp.concatenate([jnp.ones((bh, 1), jnp.int32),
                               best0[:, :-1]], 1)
     top_m = jnp.concatenate([jnp.ones((1, bw), jnp.int32),
@@ -249,8 +236,7 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
     in_mpm = (all_m[..., None] == cands[:, None, :]).any(-1)
     cost = all_s + sqrt_lam.astype(jnp.float32) \
         * rdbits.intra_mode_bits(in_mpm)
-    k = jnp.argmin(cost, -1)
-    best = jnp.take_along_axis(all_m, k[:, None], -1)[:, 0]
+    best = jnp.argmin(cost, -1).astype(jnp.int32)
     return best.reshape(bh, bw), jnp.min(cost, -1).reshape(bh, bw)
 
 

@@ -84,14 +84,22 @@ def slab_search_jnp(cur_s, slab, bs: int, ry: int, rx: int):
     h, w = cur_s.shape
     ny, nx = 2 * ry + 1, 2 * rx + 1
     hp = jax.lax.Precision.HIGHEST
-    rows = jnp.stack([jax.lax.slice_in_dim(slab, dy, dy + h, axis=0)
-                      for dy in range(ny)])          # [ny, h, w+2rx]
-    wins = jnp.stack([jax.lax.slice_in_dim(rows, dx, dx + w, axis=2)
-                      for dx in range(nx)], 1)       # [ny, nx, h, w]
-    d = jnp.abs(wins.astype(jnp.float32) - cur_s.astype(jnp.float32))
     pr = jnp.asarray(_pool_matrix(h, bs))            # [h, bh]
     pc = jnp.asarray(_pool_matrix(w, bs))            # [w, bw]
-    sad = jnp.einsum("yb,klyx,xc->klbc", pr, d, pc, precision=hp)
+    cf = cur_s.astype(jnp.float32)
+    # one batched einsum PER ROW OFFSET (nx-way column stack inside):
+    # the fully-stacked [ny, nx, h, w] einsum stalls the TPU compiler
+    # for tens of minutes, while ny medium batched matmuls compile and
+    # run fine — still ~60x fewer sequential ops than per-offset
+    sads = []
+    for dy in range(ny):
+        row = jax.lax.slice_in_dim(slab, dy, dy + h, axis=0)
+        wins = jnp.stack([jax.lax.slice_in_dim(row, dx, dx + w, axis=1)
+                          for dx in range(nx)])      # [nx, h, w]
+        d = jnp.abs(wins.astype(jnp.float32) - cf)
+        sads.append(jnp.einsum("yb,kyx,xc->kbc", pr, d, pc,
+                               precision=hp))        # [nx, bh, bw]
+    sad = jnp.stack(sads)                            # [ny, nx, bh, bw]
     pen = (jnp.abs(jnp.arange(ny) - ry)[:, None]
            + jnp.abs(jnp.arange(nx) - rx)[None, :]).astype(jnp.float32)
     cost = sad + pen[:, :, None, None]
