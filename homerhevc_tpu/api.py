@@ -201,7 +201,8 @@ class Encoder:
             and cfg.max_pred_depth >= 3,
             search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
-            chroma_qp_offset=cfg.chroma_qp_offset)
+            chroma_qp_offset=cfg.chroma_qp_offset,
+            tiles=cfg.tiles)
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
                      out["recon_v"][-1])
         pend = dict(kind="i_chunk", out=out, qp=qp, poc=self._poc,
@@ -245,7 +246,8 @@ class Encoder:
             and cfg.max_pred_depth >= 3,
             search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
-            chroma_qp_offset=cfg.chroma_qp_offset)
+            chroma_qp_offset=cfg.chroma_qp_offset,
+            tiles=cfg.tiles)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yp.shape,

@@ -52,6 +52,8 @@ options:
 -n_frames                       default 1000
 -skipped_frames                 default 0
 -stats                          per-frame stats JSONL file
+-tiles                          CxR tile grid (all-intra), e.g. 4x2;
+                                "auto" picks one from the resolution
 """
 
 
@@ -125,6 +127,13 @@ def parse_args(argv):
         elif a == "-stats":
             i += 1
             opts["stats"] = argv[i]
+        elif a == "-tiles":
+            i += 1
+            if argv[i] == "auto":
+                cfg.tile_auto = True
+            else:
+                c, r = argv[i].split("x")
+                cfg.tile_cols, cfg.tile_rows = int(c), int(r)
         else:
             print(f"unknown option {a} (use -h)")
             sys.exit(1)

@@ -67,6 +67,16 @@ class EncoderConfig:
     # 8.6.1, which the device QP chain does not model); the binding
     # disables it when cu_qp_delta is active.
     wpp_substreams: bool = False
+    # Tiles (uniform spacing, spec 6.5.1): break intra prediction
+    # dependencies at tile boundaries, shortening the device wavefront
+    # ~(cols+rows)/2-fold — the structural all-intra throughput lever
+    # (no reference equivalent; PPS tiles_enabled, one CABAC substream
+    # per tile with entry points).  0 = off.  Applied to all-intra
+    # streams only (intra_period == 1): P slices keep the tile-free
+    # path.  "auto" via tile_auto: pick a grid from the resolution.
+    tile_cols: int = 0
+    tile_rows: int = 0
+    tile_auto: bool = False
     scene_change_reinit: bool = True   # restart GOP on scene change
     rd_mode: RDMode = RDMode.RD_FAST
     performance_mode: PerfMode = PerfMode.UFAST
@@ -112,6 +122,24 @@ class EncoderConfig:
     @property
     def conf_win_bottom(self) -> int:
         return (self.padded_height - self.height) // 2
+
+    @property
+    def tiles(self):
+        """Effective (cols, rows) tile grid or None.
+
+        Tiles are only applied to all-intra streams (the wavefront they
+        shorten exists only there); clamped so every tile keeps >= 1
+        CTU per axis."""
+        if self.intra_period != 1:
+            return None
+        tc, tr = self.tile_cols, self.tile_rows
+        if self.tile_auto and not (tc or tr):
+            # ~2 CTU columns x ~2 CTU rows per tile axis target, capped
+            tc = max(1, min(4, self.ctus_x // 2))
+            tr = max(1, min(3, self.ctus_y // 2))
+        tc = max(1, min(tc or 1, self.ctus_x))
+        tr = max(1, min(tr or 1, self.ctus_y))
+        return (tc, tr) if (tc > 1 or tr > 1) else None
 
     def validate(self) -> "EncoderConfig":
         # the device pipeline (quadtree tiers, SAO maps, per-CTU QP

@@ -27,7 +27,8 @@ class CHevcCfg(ctypes.Structure):
         "deblock_disabled", "num_ref_frames", "bit_depth",
         "strong_intra_smoothing", "cu_qp_delta_enabled",
         "diff_cu_qp_delta_depth", "frame_rate_num", "frame_rate_den",
-        "chroma_qp_offset", "scaling_list_enabled", "wpp_enabled")]
+        "chroma_qp_offset", "scaling_list_enabled", "wpp_enabled",
+        "tile_cols", "tile_rows")]
 
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -210,6 +211,10 @@ def make_cfg(cfg) -> CHevcCfg:
         else 0
     c.wpp_enabled = 1 if (getattr(cfg, "wpp_substreams", False)
                           and not c.cu_qp_delta_enabled) else 0
+    tiles = getattr(cfg, "tiles", None)
+    c.tile_cols, c.tile_rows = tiles if tiles else (1, 1)
+    if tiles:
+        c.wpp_enabled = 0    # Main profile: one of tiles/WPP
     return c
 
 

@@ -178,10 +178,12 @@ def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False,
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _avail_np(w: int, h: int, s: int, ctu: int) -> np.ndarray:
+def _avail_np(w: int, h: int, s: int, ctu: int,
+              tiles=None) -> np.ndarray:
     """[h//s, w//s, 5] neighbour-segment availability at block size s
-    (exact per z-scan coding order; spec 6.4.1)."""
-    av = schedule.availability(w // s, h // s, ctu // s)
+    (exact per z-scan coding order incl. tile constraints; spec
+    6.4.1)."""
+    av = schedule.availability(w // s, h // s, ctu // s, tiles)
     return np.stack([av["bottomleft"], av["left"], av["corner"],
                      av["top"], av["topright"]], axis=-1)
 
@@ -192,7 +194,8 @@ def _blocks(plane: jnp.ndarray, b: int):
         .reshape(-1, b, b)
 
 
-def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
+def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None,
+                tiles=None):
     """Best intra mode + cost for every s x s block, from source-pixel
     reference samples with exact availability.
 
@@ -217,7 +220,7 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
         return jnp.concatenate([left[::-1], top])
 
     adi_raw = jax.vmap(gather)(pos_y, pos_x)
-    amask = jnp.asarray(_avail_np(w, h, s, ctu).reshape(nb, 5))
+    amask = jnp.asarray(_avail_np(w, h, s, ctu, tiles).reshape(nb, 5))
     adi = intra.substitute_refs(adi_raw, _avail_mask(amask, s))
     orig = _blocks(y32, s)
 
@@ -227,11 +230,15 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None):
         jnp.arange(35, dtype=jnp.int32), (nb, 35))
 
     # MPM-aware mode bits from a first-round argmin of the neighbours
+    # (unavailable neighbours — frame/tile boundary — count as DC,
+    # spec 8.4.2)
     best0 = jnp.argmin(all_s, -1).astype(jnp.int32).reshape(bh, bw)
     left_m = jnp.concatenate([jnp.ones((bh, 1), jnp.int32),
                               best0[:, :-1]], 1)
     top_m = jnp.concatenate([jnp.ones((1, bw), jnp.int32),
                              best0[:-1]], 0)
+    left_m = jnp.where(amask[:, 1].reshape(bh, bw), left_m, 1)
+    top_m = jnp.where(amask[:, 3].reshape(bh, bw), top_m, 1)
     cands = _mpm_candidates(left_m.reshape(-1), top_m.reshape(-1))
     in_mpm = (all_m[..., None] == cands[:, None, :]).any(-1)
     cost = all_s + sqrt_lam.astype(jnp.float32) \
@@ -245,7 +252,7 @@ _SPLIT_BITS = 1.5
 
 
 def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
-                       sqrt_lam_c):
+                       sqrt_lam_c, tiles=None):
     """Best chroma mode per luma-s_l CU (chroma block s = s_l//2) from
     SOURCE-pixel reference samples — the dense reshape of the
     reference's 5-candidate chroma search (create_chroma_dir_list /
@@ -274,7 +281,8 @@ def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
             return jnp.concatenate([left[::-1], top])
 
         raw = jax.vmap(g)(py, px)
-        am = jnp.asarray(_avail_np(wc, hc, s, ctu // 2).reshape(nb, 5))
+        am = jnp.asarray(
+            _avail_np(wc, hc, s, ctu // 2, tiles).reshape(nb, 5))
         return intra.substitute_refs(raw, _avail_mask(am, s))
 
     adi2 = jnp.stack([adi_of(u32), adi_of(v32)])         # [2, nb, 4S+1]
@@ -297,7 +305,7 @@ def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
 
 def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
                    u32=None, v32=None, sqrt_lam_c=None,
-                   adi_y=None, search_nxn: bool = False):
+                   adi_y=None, search_nxn: bool = False, tiles=None):
     """Dense MODE decision for the whole frame (one best mode per block
     at each tree level).  The CU-tree split decisions happen in the
     reconstruction pass with true SSD + lambda*bits RD (both paths are
@@ -305,27 +313,27 @@ def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
     When chroma planes are given, also decides the chroma mode per CU
     at each level (5-candidate search)."""
     with jax.named_scope("intra.dense32"):
-        mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam, adi_y)
+        mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam, adi_y, tiles)
     with jax.named_scope("intra.dense16"):
-        mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam, adi_y)
+        mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam, adi_y, tiles)
     if search_8x8:
         with jax.named_scope("intra.dense8"):
-            mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam, adi_y)
+            mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam, adi_y, tiles)
     else:
         mode8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
     out = dict(mode32=mode32, mode16=mode16, mode8=mode8)
     if search_nxn:
         with jax.named_scope("intra.dense4"):
-            mode4, _ = _dense_best(y32, 4, ctu, sqrt_lam, adi_y)
+            mode4, _ = _dense_best(y32, 4, ctu, sqrt_lam, adi_y, tiles)
         out["mode4"] = mode4
     if u32 is not None:
         with jax.named_scope("intra.dense_chroma"):
             out["cmode32"] = _dense_best_chroma(u32, v32, mode32, 32,
-                                                ctu, sqrt_lam_c)
+                                                ctu, sqrt_lam_c, tiles)
             out["cmode16"] = _dense_best_chroma(u32, v32, mode16, 16,
-                                                ctu, sqrt_lam_c)
+                                                ctu, sqrt_lam_c, tiles)
             out["cmode8"] = _dense_best_chroma(u32, v32, mode8, 8,
-                                               ctu, sqrt_lam_c)
+                                               ctu, sqrt_lam_c, tiles)
     return out
 
 
@@ -337,23 +345,28 @@ _SUB_OFF = ((0, 0), (0, 1), (1, 0), (1, 1))     # z-order (qy, qx)
 
 
 @functools.lru_cache(maxsize=None)
-def build_plan(width: int, height: int, ctu: int = 64):
+def build_plan(width: int, height: int, ctu: int = 64, tiles=None):
     """Static wavefront plan over 32x32 slots, with per-slot
-    sub-16 / sub-8 availability baked in (numpy; jit constants)."""
+    sub-16 / sub-8 availability baked in (numpy; jit constants).
+    With a (cols, rows) tile grid the dependency chains break at tile
+    boundaries, so the wavefront shortens ~(cols+rows)/2-fold and the
+    per-step batches widen — the structural throughput lever for
+    all-intra."""
     s = 32
     bw, bh = width // s, height // s
     bpc = ctu // s
-    steps, n_steps, batches = schedule.wavefront_schedule(bw, bh, bpc)
+    steps, n_steps, batches = schedule.wavefront_schedule(bw, bh, bpc,
+                                                          tiles)
     nb = batches.shape[1]
     by = batches[..., 0]
     bx = batches[..., 1]
     valid = by >= 0
     by_c = np.where(valid, by, 0)
     bx_c = np.where(valid, bx, 0)
-    av32 = _avail_np(width, height, 32, ctu)[by_c, bx_c]
-    av16_g = _avail_np(width, height, 16, ctu)
-    av8_g = _avail_np(width, height, 8, ctu)
-    av4_g = _avail_np(width, height, 4, ctu)
+    av32 = _avail_np(width, height, 32, ctu, tiles)[by_c, bx_c]
+    av16_g = _avail_np(width, height, 16, ctu, tiles)
+    av8_g = _avail_np(width, height, 8, ctu, tiles)
+    av4_g = _avail_np(width, height, 4, ctu, tiles)
     # z-ordered sub-block availability per slot
     av16 = np.zeros((n_steps, nb, 4, 5), dtype=bool)
     av8 = np.zeros((n_steps, nb, 4, 4, 5), dtype=bool)
@@ -400,7 +413,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  scaling_lists: bool = False,
                  cu: int = None, split_8x8: bool = None,
                  dec_y=None, dec_u=None, dec_v=None,
-                 search_nxn: bool = False):
+                 search_nxn: bool = False, tiles=None):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).  `cu` and
@@ -412,7 +425,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     if split_8x8 is not None:
         search_8x8 = split_8x8
     h, w = y.shape
-    plan = build_plan(w, h, ctu)
+    plan = build_plan(w, h, ctu, tiles)
     qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp + chroma_qp_offset, 0, 57)]
@@ -433,7 +446,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8,
                          u32=u32, v32=v32,
                          sqrt_lam_c=jnp.sqrt(lam_rd_c), adi_y=ady,
-                         search_nxn=search_nxn)
+                         search_nxn=search_nxn, tiles=tiles)
 
     bh, bw = h // 16, w // 16            # 16-granule grid (record maps)
     b32h, b32w = h // 32, w // 32
@@ -1006,7 +1019,8 @@ encode_frame_jit = jax.jit(
                                    "rd_lambda_scale", "deblocking",
                                    "sao_enabled", "search_8x8",
                                    "chroma_qp_offset", "scaling_lists",
-                                   "cu", "split_8x8", "search_nxn"))
+                                   "cu", "split_8x8", "search_nxn",
+                                   "tiles"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -1024,4 +1038,4 @@ encode_i_chunk_jit = jax.jit(
                                      "sao_enabled", "search_8x8",
                                      "chroma_qp_offset",
                                      "scaling_lists", "cu", "split_8x8",
-                                     "search_nxn"))
+                                     "search_nxn", "tiles"))

@@ -134,8 +134,15 @@ std::vector<uint8_t> make_pps(const HevcCfg* cfg) {
   b.put(0, 1);  // weighted_pred_flag
   b.put(0, 1);  // weighted_bipred_flag
   b.put(0, 1);  // transquant_bypass_enabled_flag
-  b.put(0, 1);  // tiles_enabled_flag
+  bool tiles = cfg->tile_cols > 1 || cfg->tile_rows > 1;
+  b.put(tiles ? 1 : 0, 1);  // tiles_enabled_flag
   b.put(cfg->wpp_enabled ? 1 : 0, 1);  // entropy_coding_sync (WPP)
+  if (tiles) {
+    b.ue(cfg->tile_cols - 1);  // num_tile_columns_minus1
+    b.ue(cfg->tile_rows - 1);  // num_tile_rows_minus1
+    b.put(1, 1);               // uniform_spacing_flag (spec 6.5.1)
+    b.put(1, 1);               // loop_filter_across_tiles_enabled_flag
+  }
   b.put(1, 1);  // pps_loop_filter_across_slices_enabled_flag
   b.put(1, 1);  // deblocking_filter_control_present_flag
   b.put(0, 1);  // deblocking_filter_override_enabled_flag
@@ -185,7 +192,7 @@ void write_slice_header(Bitstream& b, const HevcCfg* cfg,
   if (rec->sao_luma || rec->sao_chroma || !cfg->deblock_disabled) {
     b.put(1, 1);  // slice_loop_filter_across_slices_enabled_flag
   }
-  if (cfg->wpp_enabled) {
+  if (cfg->wpp_enabled || cfg->tile_cols > 1 || cfg->tile_rows > 1) {
     b.ue(static_cast<uint32_t>(entry_offsets.size()));
     if (!entry_offsets.empty()) {
       uint32_t maxv = 1;

@@ -45,6 +45,9 @@ typedef struct HevcCfg {
   int32_t wpp_enabled;  // PPS entropy_coding_sync: one substream per
                         // CTU row + entry points (ref WPP syntax,
                         // hmr_encoder_lib.c:785-804, hmr_headers.c:581)
+  int32_t tile_cols;    // PPS tiles (uniform spacing, spec 6.5.1);
+  int32_t tile_rows;    // <=1 each = no tiles; mutually exclusive with
+                        // wpp_enabled (Main profile allows either)
 } HevcCfg;
 
 // Per-4x4-block dense maps, row-major [height/4][width/4].

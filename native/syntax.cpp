@@ -92,6 +92,25 @@ class SliceWriter {
     ctus_y_ = h_ >> ctu_log2_;
     h4_ = h_ >> 2;
     is_p_ = rec_.slice_type != 2;
+    // tile grid (uniform spacing, spec 6.5.1): per-CTU tile id and
+    // tile-scan coding rank; single tile -> rank == raster index
+    tcols_ = std::max(1, cfg_.tile_cols);
+    trows_ = std::max(1, cfg_.tile_rows);
+    tiled_ = tcols_ > 1 || trows_ > 1;
+    tile_of_ctu_.resize(ctus_x_ * ctus_y_);
+    ctu_rank_.resize(ctus_x_ * ctus_y_);
+    col_bd_.resize(tcols_ + 1);
+    row_bd_.resize(trows_ + 1);
+    for (int i = 0; i <= tcols_; ++i) col_bd_[i] = i * ctus_x_ / tcols_;
+    for (int i = 0; i <= trows_; ++i) row_bd_[i] = i * ctus_y_ / trows_;
+    int rank = 0;
+    for (int tr = 0; tr < trows_; ++tr)
+      for (int tc = 0; tc < tcols_; ++tc)
+        for (int cy = row_bd_[tr]; cy < row_bd_[tr + 1]; ++cy)
+          for (int cx = col_bd_[tc]; cx < col_bd_[tc + 1]; ++cx) {
+            tile_of_ctu_[cy * ctus_x_ + cx] = tr * tcols_ + tc;
+            ctu_rank_[cy * ctus_x_ + cx] = rank++;
+          }
     if (is_p_) derive_inter_fields();
   }
 
@@ -111,6 +130,7 @@ class SliceWriter {
   }
 
   std::vector<uint8_t> encode() {
+    if (tiled_) return encode_tiles();
     if (cfg_.wpp_enabled && ctus_y_ > 1) return encode_wpp();
     write_slice_header(bs_, &cfg_, &rec_, {});
     ctx_.init(rec_.slice_type, rec_.slice_qp);
@@ -162,13 +182,53 @@ class SliceWriter {
       subs[cy] = row_bs.bytes();
     }
     cabac_.set_stream(&bs_);
-    // entry points: substream sizes in NAL-unit bytes (add the
-    // emulation-prevention bytes the EBSP pass will insert; the zero
-    // run cannot cross the header boundary — the header's alignment
-    // byte is nonzero)
-    std::vector<uint32_t> offsets(ctus_y_ - 1);
+    return assemble_substreams(subs);
+  }
+
+  // Tiles: one substream per tile, CTUs in tile-scan order, CABAC
+  // contexts re-initialized at each tile start (spec 9.3.1; no WPP
+  // inheritance across tiles), QpY_prev reset to slice QP (spec
+  // 8.6.1), end_of_subset_one_bit + byte alignment between tiles.
+  std::vector<uint8_t> encode_tiles() {
+    int n_tiles = tcols_ * trows_;
+    std::vector<std::vector<uint8_t>> subs(n_tiles);
+    for (int t = 0; t < n_tiles; ++t) {
+      int tc = t % tcols_;
+      int tr = t / tcols_;
+      Bitstream tile_bs;
+      ctx_.init(rec_.slice_type, rec_.slice_qp);
+      cabac_.set_stream(&tile_bs);
+      cabac_.start();
+      prev_qp_ = rec_.slice_qp;
+      for (int cy = row_bd_[tr]; cy < row_bd_[tr + 1]; ++cy)
+        for (int cx = col_bd_[tc]; cx < col_bd_[tc + 1]; ++cx) {
+          encode_ctu(cx, cy);
+          bool last_in_tile = (cy == row_bd_[tr + 1] - 1)
+              && (cx == col_bd_[tc + 1] - 1);
+          bool last = last_in_tile && t == n_tiles - 1;
+          cabac_.encode_terminate(last ? 1 : 0);
+          if (last_in_tile && !last)
+            cabac_.encode_terminate(1);  // end_of_subset_one_bit
+        }
+      cabac_.finish();
+      tile_bs.put_bit(1);  // byte_alignment / rbsp stop
+      tile_bs.align_zero();
+      subs[t] = tile_bs.bytes();
+    }
+    cabac_.set_stream(&bs_);
+    return assemble_substreams(subs);
+  }
+
+  // entry points: substream sizes in NAL-unit bytes (add the
+  // emulation-prevention bytes the EBSP pass will insert; the zero
+  // run cannot cross the header boundary — the header's alignment
+  // byte is nonzero)
+  std::vector<uint8_t> assemble_substreams(
+      const std::vector<std::vector<uint8_t>>& subs) {
+    int n = static_cast<int>(subs.size());
+    std::vector<uint32_t> offsets(n - 1);
     int run = 0;
-    for (int j = 0; j < ctus_y_; ++j) {
+    for (int j = 0; j < n; ++j) {
       uint32_t ins = 0;
       for (uint8_t byte : subs[j]) {
         if (run >= 2 && byte <= 3) {
@@ -177,7 +237,7 @@ class SliceWriter {
         }
         run = (byte == 0) ? run + 1 : 0;
       }
-      if (j < ctus_y_ - 1)
+      if (j < n - 1)
         offsets[j] = static_cast<uint32_t>(subs[j].size()) + ins;
     }
     write_slice_header(bs_, &cfg_, &rec_, offsets);
@@ -225,11 +285,19 @@ class SliceWriter {
       z |= ((x4 >> b) & 1u) << (2 * b) | ((y4 >> b) & 1u) << (2 * b + 1);
     return z;
   }
-  // z-scan-order availability (spec 6.4.1), single slice / no tiles
+  // z-scan-order availability (spec 6.4.1), single slice; a neighbour
+  // in a different tile is unavailable and coding order is tile-scan
+  bool same_tile(int xn, int yn, int xc, int yc) const {
+    if (!tiled_) return true;
+    return tile_of_ctu_[(yn >> ctu_log2_) * ctus_x_ + (xn >> ctu_log2_)]
+        == tile_of_ctu_[(yc >> ctu_log2_) * ctus_x_
+                        + (xc >> ctu_log2_)];
+  }
   bool zavail(int xn, int yn, int xc, int yc) const {
     if (xn < 0 || yn < 0 || xn >= w_ || yn >= h_) return false;
-    int cn = (yn >> ctu_log2_) * ctus_x_ + (xn >> ctu_log2_);
-    int cc = (yc >> ctu_log2_) * ctus_x_ + (xc >> ctu_log2_);
+    if (!same_tile(xn, yn, xc, yc)) return false;
+    int cn = ctu_rank_[(yn >> ctu_log2_) * ctus_x_ + (xn >> ctu_log2_)];
+    int cc = ctu_rank_[(yc >> ctu_log2_) * ctus_x_ + (xc >> ctu_log2_)];
     if (cn != cc) return cn < cc;
     return zaddr(xn, yn) < zaddr(xc, yc);
   }
@@ -350,8 +418,15 @@ class SliceWriter {
   void write_sao(int cx, int cy) {
     int ci = cy * ctus_x_ + cx;
     int merge = rec_.sao_merge ? rec_.sao_merge[ci] : 0;
-    if (cx > 0) cabac_.encode_bin(&ctx_.ctx[CTX_SAO_MERGE], merge == 1);
-    if (merge != 1 && cy > 0)
+    // merge flags present only when the neighbour CTU is in the same
+    // tile (spec 7.3.8.3 leftCtbInTile / upCtbInTile)
+    bool left_ok = cx > 0 && (!tiled_ || tile_of_ctu_[ci - 1]
+                              == tile_of_ctu_[ci]);
+    bool up_ok = cy > 0 && (!tiled_ || tile_of_ctu_[ci - ctus_x_]
+                            == tile_of_ctu_[ci]);
+    if (left_ok)
+      cabac_.encode_bin(&ctx_.ctx[CTX_SAO_MERGE], merge == 1);
+    if (merge != 1 && up_ok)
       cabac_.encode_bin(&ctx_.ctx[CTX_SAO_MERGE], merge == 2);
     if (merge != 0) return;
     for (int c = 0; c < 3; ++c) {
@@ -385,8 +460,10 @@ class SliceWriter {
     bool split = depth_at(x0, y0) > depth;
     if (log2 > min_cu_log2_) {
       int ctx = 0;
-      if (x0 > 0 && depth_at(x0 - 1, y0) > depth) ++ctx;
-      if (y0 > 0 && depth_at(x0, y0 - 1) > depth) ++ctx;
+      if (zavail(x0 - 1, y0, x0, y0) && depth_at(x0 - 1, y0) > depth)
+        ++ctx;
+      if (zavail(x0, y0 - 1, x0, y0) && depth_at(x0, y0 - 1) > depth)
+        ++ctx;
       cabac_.encode_bin(&ctx_.ctx[CTX_SPLIT_CU + ctx], split);
     }
     if (split) {
@@ -405,8 +482,8 @@ class SliceWriter {
     if (is_p_) {
       // cu_skip_flag, ctx from neighbours
       int ctx = 0;
-      if (x0 > 0 && skip_at(x0 - 1, y0)) ++ctx;
-      if (y0 > 0 && skip_at(x0, y0 - 1)) ++ctx;
+      if (zavail(x0 - 1, y0, x0, y0) && skip_at(x0 - 1, y0)) ++ctx;
+      if (zavail(x0, y0 - 1, x0, y0) && skip_at(x0, y0 - 1)) ++ctx;
       bool skip = skip_at(x0, y0);
       cabac_.encode_bin(&ctx_.ctx[CTX_SKIP + ctx], skip);
       if (skip) {
@@ -524,8 +601,10 @@ class SliceWriter {
 
   // ---- intra modes (spec 8.4.2 MPM derivation) ----
   int luma_mode_or_dc(int x, int y, int x0, int y0) const {
-    // neighbour candidate: DC if unavailable, inter, or above outside CTU
+    // neighbour candidate: DC if unavailable (frame/tile boundary),
+    // inter, or above outside CTU
     if (x < 0 || y < 0) return 1;
+    if (!zavail(x, y, x0, y0)) return 1;
     if (!is_intra(x, y)) return 1;
     if (y < y0 && (y >> ctu_log2_) != (y0 >> ctu_log2_)) return 1;
     return m4(rec_.intra_luma_mode, x, y);
@@ -982,6 +1061,10 @@ class SliceWriter {
   ContextSet ctx_;
   int w_, h_, w4_, h4_, ctu_log2_, min_cu_log2_, ctus_x_, ctus_y_;
   bool is_p_ = false;
+  // tiles (uniform spacing, spec 6.5.1)
+  int tcols_ = 1, trows_ = 1;
+  bool tiled_ = false;
+  std::vector<int> tile_of_ctu_, ctu_rank_, col_bd_, row_bd_;
   std::vector<uint8_t> d_merge_, d_mergeidx_, d_skip_, d_mvp_;
   std::vector<int16_t> d_mvdx_, d_mvdy_;
   int x_parent_ = 0, y_parent_ = 0;

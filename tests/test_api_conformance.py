@@ -74,3 +74,50 @@ def test_encoder_ippp_decode_loop_invariant():
             np.testing.assert_array_equal(d, r)
     # P frames must actually exploit the reference
     assert max(bits[1:]) < bits[0]
+
+
+@pytest.mark.parametrize("tc,tr", [
+    (2, 2),   # uneven grid on 3x3 CTUs (1- and 2-CTU tiles)
+    (3, 1),   # column-only tiles
+])
+def test_encoder_tiles_decode_loop_invariant(tc, tr):
+    """All-intra tiles: tile-scan CTU order, per-tile CABAC substreams
+    with entry points, availability broken at tile boundaries on both
+    the device wavefront and the writer (spec 6.5.1 / 6.4.1)."""
+    from tools import de265
+    rng = np.random.default_rng(11)
+    w, h = 176, 144
+    cfg = EncoderConfig(width=w, height=h, qp=30, intra_period=1,
+                        deblocking=True, sao=True,
+                        tile_cols=tc, tile_rows=tr)
+    assert cfg.tiles == (tc, tr)
+    enc = Encoder(cfg)
+    stream = b""
+    recons = []
+    for i in range(2):
+        f = enc.encode(*_content(i, h, w, rng))
+        stream += f.nalus
+        recons.append(f.recon)
+    decoded = de265.decode(stream)
+    assert len(decoded) == 2
+    for i, planes in enumerate(decoded):
+        for d, r in zip(planes, recons[i]):
+            np.testing.assert_array_equal(d, r)
+
+
+def test_tiles_shorten_wavefront():
+    """The point of tiles: the device wavefront gets structurally
+    shorter (more CTU-independent work per step)."""
+    from homerhevc_tpu.models import schedule
+    _, n_plain, _ = schedule.wavefront_schedule(14, 8, 2, None)
+    _, n_tiled, b = schedule.wavefront_schedule(14, 8, 2, (4, 2))
+    assert n_tiled < n_plain / 2
+    assert b.shape[1] > 8          # wider per-step batches
+
+
+def test_tiles_ignored_for_ippp():
+    """Tiles apply only to all-intra streams; IPPP keeps the tile-free
+    path (cfg.tiles is None)."""
+    cfg = EncoderConfig(width=176, height=144, intra_period=100,
+                        tile_cols=2, tile_rows=2)
+    assert cfg.tiles is None
