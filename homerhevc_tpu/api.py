@@ -51,6 +51,7 @@ class Encoder:
         self._poc = 0          # frame counter (display = coding order)
         self._gop_poc = 0      # POC since last IDR (slice header POC lsb)
         self._ref = None       # previous frame's (deblocked) recon planes
+        self._ref2 = None      # the one before (list0 idx 1, multi-ref)
         self._out: list[CodedFrame] = []
         self._pending: list = []
         self._inbuf: list = []
@@ -205,6 +206,7 @@ class Encoder:
             tiles=cfg.tiles)
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
                      out["recon_v"][-1])
+        self._ref2 = None
         pend = dict(kind="i_chunk", out=out, qp=qp, poc=self._poc,
                     gop_poc=0, padded=yps.shape[1:], n=n_real,
                     orig=None)
@@ -249,6 +251,7 @@ class Encoder:
             chroma_qp_offset=cfg.chroma_qp_offset,
             tiles=cfg.tiles)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        self._ref2 = None
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yp.shape,
                     orig=(y, u, v) if compute_recon else None)
@@ -288,8 +291,19 @@ class Encoder:
             from homerhevc_tpu.rc import ctu_qp_map
             qp_maps = np.stack([ctu_qp_map(qp, yy, ctu) for yy in yps])
         ultra = cfg.rd_mode == RDMode.RD_ULTRAFAST
+        ref2_kw = {}
+        if cfg.num_ref_frames >= 2:
+            # list0 index 1 = the picture before self._ref; the first P
+            # after an IDR has no second reference yet -> has_ref2
+            # masks the pick (gop_poc counts pictures since the IDR)
+            r2 = self._ref2 if self._ref2 is not None else self._ref
+            ref2_kw = dict(
+                ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2],
+                has_ref2=np.asarray(
+                    [self._gop_poc + j >= 2 for j in range(k)], bool))
         out = inter_frame.encode_p_chunk_jit(
             yps, ups, vps, *self._ref, qp=qp, qp_maps=qp_maps, block=16,
+            **ref2_kw,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao, ctu=ctu,
             intra_fallback=cfg.intra_in_p and not ultra,
@@ -302,6 +316,9 @@ class Encoder:
             me_subpel_r=3 if cfg.performance_mode == PerfMode.FULL_COMPUTATION
             else 2)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        if cfg.num_ref_frames >= 2:
+            self._ref2 = (out["recon2_y"], out["recon2_u"],
+                          out["recon2_v"])
         pend = dict(kind="p", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yps.shape[1:],
                     n=n_real, qp_maps=qp_maps,
@@ -401,6 +418,15 @@ class Encoder:
         eq_l[:, 1:] = (allp[:, 1:] == allp[:, :-1]).all(-1)
         eq_u = np.zeros((ctus_y, ctus_x), bool)
         eq_u[1:, :] = (allp[1:] == allp[:-1]).all(-1)
+        # a neighbour in another tile is unavailable (the writer emits
+        # no merge flag there — spec 7.3.8.3 leftCtbInTile/upCtbInTile)
+        tiles = self.cfg.tiles
+        if tiles is not None:
+            from homerhevc_tpu.models.schedule import tile_bounds
+            for b in tile_bounds(ctus_x, tiles[0])[1:-1]:
+                eq_l[:, b] = False
+            for b in tile_bounds(ctus_y, tiles[1])[1:-1]:
+                eq_u[b, :] = False
         merge = np.where(eq_l, 1, np.where(eq_u, 2, 0)).astype(np.uint8)
         sao_merge = np.zeros(nctu, np.uint8)
         sao_merge[:n_real] = merge.reshape(-1)
@@ -421,6 +447,10 @@ class Encoder:
             state["ref_y"] = np.asarray(self._ref[0], np.int32)
             state["ref_u"] = np.asarray(self._ref[1], np.int32)
             state["ref_v"] = np.asarray(self._ref[2], np.int32)
+        if self._ref2 is not None:
+            state["ref2_y"] = np.asarray(self._ref2[0], np.int32)
+            state["ref2_u"] = np.asarray(self._ref2[1], np.int32)
+            state["ref2_v"] = np.asarray(self._ref2[2], np.int32)
         np.savez(path, **_flatten_ckpt(state))
 
     def load_checkpoint(self, path: str):
@@ -434,6 +464,8 @@ class Encoder:
             self._ref = (z["ref_y"], z["ref_u"], z["ref_v"])
         else:
             self._ref = None
+        self._ref2 = (z["ref2_y"], z["ref2_u"], z["ref2_v"]) \
+            if "ref2_y" in z.files else None
         self._pending.clear()
         self._out.clear()
 
@@ -512,15 +544,16 @@ class Encoder:
         bh, bw = h // 16, w // 16
         nb = bh * bw
         mv = packed[:nb * 2].reshape(bh, bw, 2)
-        cbf = packed[nb * 2:nb * 5].reshape(3, bh, bw).astype(np.uint8)
-        is_intra = packed[nb * 5:nb * 6].reshape(bh, bw).astype(np.uint8)
-        imodes = packed[nb * 6:nb * 7].reshape(bh, bw).astype(np.uint8)
-        cu_depth = packed[nb * 7:nb * 8].reshape(bh, bw).astype(np.uint8)
-        tr_depth = packed[nb * 8:nb * 9].reshape(bh, bw).astype(np.uint8)
-        pend["intra_frac"] = float(packed[nb * 9]) / nb
-        pend["dist"] = float(packed[nb * 9 + 1])
+        ref_idx = packed[nb * 2:nb * 3].reshape(bh, bw).astype(np.uint8)
+        cbf = packed[nb * 3:nb * 6].reshape(3, bh, bw).astype(np.uint8)
+        is_intra = packed[nb * 6:nb * 7].reshape(bh, bw).astype(np.uint8)
+        imodes = packed[nb * 7:nb * 8].reshape(bh, bw).astype(np.uint8)
+        cu_depth = packed[nb * 8:nb * 9].reshape(bh, bw).astype(np.uint8)
+        tr_depth = packed[nb * 9:nb * 10].reshape(bh, bw).astype(np.uint8)
+        pend["intra_frac"] = float(packed[nb * 10]) / nb
+        pend["dist"] = float(packed[nb * 10 + 1])
         cap_y, cap_c, esc_y, esc_c = p_caps(nb)
-        off = nb * 9 + 2
+        off = nb * 10 + 2
         sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
         sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
         cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_y],
@@ -573,6 +606,12 @@ class Encoder:
             cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
             qp_map=qpm,
+            ref_idx=rep(ref_idx),
+            # active list0 refs for THIS frame: pictures since the IDR
+            # (pend["gop_poc"] is already per-frame here), capped by the
+            # configured DPB depth (the first P after an IDR has one)
+            num_ref_l0=max(1, min(cfg.num_ref_frames,
+                                  pend["gop_poc"])),
         )
         if cfg.sao:
             rec = self._apply_sao_fields(rec, sao_tail, h, w)

@@ -151,4 +151,6 @@ class EncoderConfig:
         assert 0 <= self.qp <= 51
         assert self.bit_depth == 8, "only 8-bit in round 1"
         assert self.width % 2 == 0 and self.height % 2 == 0
+        assert self.num_ref_frames in (1, 2), \
+            "list0 supports 1 or 2 reference frames"
         return self

@@ -52,6 +52,7 @@ class CFrameRec(ctypes.Structure):
         ("slice_qp", ctypes.c_int32), ("is_idr", ctypes.c_int32),
         ("num_merge_cands", ctypes.c_int32), ("sao_luma", ctypes.c_int32),
         ("sao_chroma", ctypes.c_int32), ("last_idr_poc", ctypes.c_int32),
+        ("num_ref_l0", ctypes.c_int32),
     ]
 
 
@@ -93,6 +94,7 @@ class FrameRecord:
     poc: int = 0
     is_idr: bool = True
     num_merge_cands: int = 2
+    num_ref_l0: int = 1
     sao_luma: bool = False
     sao_chroma: bool = False
     cu_depth: np.ndarray = None
@@ -174,6 +176,7 @@ class FrameRecord:
         rec.sao_luma = 1 if self.sao_luma else 0
         rec.sao_chroma = 1 if self.sao_chroma else 0
         rec.last_idr_poc = 0
+        rec.num_ref_l0 = self.num_ref_l0
         return rec
 
 

@@ -130,7 +130,8 @@ def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
 
 def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
                    qp, lam, s, sbh_scan, cand_fields=None,
-                   scaling=False, carry_in=None):
+                   scaling=False, carry_in=None, ref_grid=None,
+                   ref_pads=None):
     """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
     reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
     evaluated densely for every block at once).
@@ -154,6 +155,12 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     cur_b: [n, S, S]; mv_own/pred_own from ME. Returns
     (mv [n,2], level [n,S,S], recon [n,S,S], pred [n,S,S],
     best_cost [n], carry_out).
+
+    Multi-reference (spec ref_idx_l0, ref hmr_encoder_lib.c:1546):
+    with `ref_grid` [bh, bw] (the per-block ME reference pick) and
+    `ref_pads` [R, Hp, Wp], every candidate carries its (mv, ref)
+    pair — left/top propagate the neighbour's ref, global/zero use
+    ref 0 — and the winner's ref is in carry_out["ref"].
     """
     if cand_fields is None:
         cand_fields = merge_candidate_fields(mv_own)
@@ -162,12 +169,27 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     bh, bw = mv_own.shape[:2]
     h, w = bh * s, bw * s
     y0 = pos_y[0]                     # band row offset (0 single-dev)
+    multi = ref_grid is not None
+    if multi:
+        own_ref = ref_grid.reshape(-1)
+        left_ref = jnp.concatenate([ref_grid[:, :1],
+                                    ref_grid[:, :-1]], 1).reshape(-1)
+        top_ref = jnp.concatenate([ref_grid[:1],
+                                   ref_grid[:-1]], 0).reshape(-1)
+    else:
+        own_ref = left_ref = top_ref = jnp.zeros((n,), jnp.int32)
 
     # left/top predictions need per-block gathers (ONE batched call)
     lt_mv = jnp.concatenate([cand_fields[0][0].reshape(-1, 2),
                              cand_fields[1][0].reshape(-1, 2)], 0)
-    lt_pred = me.mc_luma_at(ref_pad, jnp.tile(pos_y, 2),
-                            jnp.tile(pos_x, 2), lt_mv, s)
+    lt_ref = jnp.concatenate([left_ref, top_ref], 0)
+    if multi:
+        lt_pred = me.mc_luma_at(ref_pads, jnp.tile(pos_y, 2),
+                                jnp.tile(pos_x, 2), lt_mv, s,
+                                ref=lt_ref)
+    else:
+        lt_pred = me.mc_luma_at(ref_pad, jnp.tile(pos_y, 2),
+                                jnp.tile(pos_x, 2), lt_mv, s)
     bits_lt = jnp.full((2, n), 3.0)
     lvl_lt, rec_lt, cost_lt = _cand_rd(
         jnp.tile(cur_b, (2, 1, 1)), lt_pred, qp, lam, s, sbh_scan,
@@ -184,15 +206,21 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
             [mv_own.reshape(-1, 2), cand_fields[2][0].reshape(-1, 2),
              jnp.zeros((n, 2), jnp.int32)], 0)
         ogz_pred = jnp.concatenate([pred_own, glob_pred, zero_pred], 0)
+        # the AMVP-priced own candidate pays its ref_idx bin (TR with
+        # 2 active refs: 1 ctx bin)
         bits_ogz = jnp.stack(
-            [rdbits.mvd_bits(mv_own.reshape(-1, 2) - left_f) + 5.0,
+            [rdbits.mvd_bits(mv_own.reshape(-1, 2) - left_f) + 5.0
+             + own_ref.astype(jnp.float32),
              jnp.full((n,), 3.0),
              rdbits.mvd_bits(-left_f) + 5.0], 0)
         lvl_ogz, rec_ogz, cost_ogz = _cand_rd(
             jnp.tile(cur_b, (3, 1, 1)), ogz_pred, qp, lam, s, sbh_scan,
             scaling, bits_ogz, 3, n)
-        fixed = (ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz)
+        ogz_ref = jnp.concatenate(
+            [own_ref, jnp.zeros((2 * n,), jnp.int32)], 0)
+        fixed = (ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz, ogz_ref)
         all_mv = jnp.concatenate([lt_mv, ogz_mv], 0)
+        all_ref = jnp.concatenate([lt_ref, ogz_ref], 0)
         preds = jnp.concatenate([lt_pred, ogz_pred], 0)
         level = jnp.concatenate([lvl_lt, lvl_ogz], 0)
         recon = jnp.concatenate([rec_lt, rec_ogz], 0)
@@ -200,9 +228,10 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     else:
         # cached own/glob/zero + previous round's winner
         fixed = carry_in["fixed"]
-        ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz = fixed
+        ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz, ogz_ref = fixed
         all_mv = jnp.concatenate(
             [lt_mv, ogz_mv, carry_in["mv"]], 0)
+        all_ref = jnp.concatenate([lt_ref, ogz_ref, carry_in["ref"]], 0)
         preds = jnp.concatenate([lt_pred, ogz_pred, carry_in["pred"]], 0)
         level = jnp.concatenate([lvl_lt, lvl_ogz, carry_in["level"]], 0)
         recon = jnp.concatenate([rec_lt, rec_ogz, carry_in["recon"]], 0)
@@ -214,7 +243,7 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     pick = best * n + jnp.arange(n)
     carry_out = dict(fixed=fixed, mv=all_mv[pick], pred=preds[pick],
                      level=level[pick], recon=recon[pick],
-                     cost=best_cost)
+                     cost=best_cost, ref=all_ref[pick])
     return (all_mv[pick], level[pick], recon[pick], preds[pick],
             best_cost, carry_out)
 
@@ -235,7 +264,8 @@ def _split_tiles(p, n: int):
 
 def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
                     recon_y, cost_child, elig_tile, qp, lam, bh, bw,
-                    n: int, sbh_scan16, sbh_scan_big, scaling=False):
+                    n: int, sbh_scan16, sbh_scan_big, scaling=False,
+                    ref_flat=None):
     """One consolidation level: fold n x n groups of 16x16 tiles into a
     (16n)x(16n) CU when the parent RD (with TU-size RDO) beats the sum
     of the children (TPU redesign of consolidate_prediction_info +
@@ -269,6 +299,11 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
     # win), so the children's already-computed predictions ARE the
     # parent prediction — no MC, no gathers
     uniform = (mv_tiles == mv_tiles[:, :1]).all((-1, -2))
+    if ref_flat is not None:
+        # a merged CU carries ONE (mv, ref_idx) pair: mixed-reference
+        # groups cannot consolidate (spec: ref_idx is per-PU)
+        ref_tiles = ref_flat[flat].reshape(g, n * n)
+        uniform = uniform & (ref_tiles == ref_tiles[:, :1]).all(-1)
     pmv = mv_tiles[:, 0]
     pred_t = pred_sel[flat].reshape(g, n * n, 16, 16)
 
@@ -396,7 +431,7 @@ def _join_quads64(q):
 def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
                          recon_y, cost16, is_intra_blk, qp, lam,
                          bh: int, bw: int, sign_hiding: bool,
-                         scaling: bool = False):
+                         scaling: bool = False, ref_flat=None):
     """Full bottom-up CU consolidation 16 -> 32 -> 64 with TU RDO.
 
     Returns (mv [bh,bw,2], level_y, recon_y, cbf_y [bh,bw],
@@ -413,7 +448,8 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
     (mv_flat, level_y, recon_y, cost32, take32, cbf32_t, trd32,
      tidx32) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
-        cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32, scaling)
+        cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32, scaling,
+        ref_flat)
 
     # level 64: only groups whose four 32-children all merged are
     # eligible (they then carry one MV each)
@@ -425,7 +461,7 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
      tidx64) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost32_tile, intra_t | not32, qp, lam, bh, bw, 4, sbh16,
-        sbh32, scaling)
+        sbh32, scaling, ref_flat)
 
     # granule maps
     cu_depth = jnp.full((bh * bw,), 2, jnp.int32)
@@ -471,7 +507,7 @@ def p_caps(nb: int):
 
 def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
                             block: int, h: int, w: int,
-                            is_intra=None, tb2=None):
+                            is_intra=None, tb2=None, ref=None):
     """BS maps for a P frame (spec 8.7.2.4; ref
     get_boundary_strength_single hmr_deblocking_filter.c:138): BS=2 at a
     PU/TU boundary when either side is intra, else 1 when either side
@@ -484,6 +520,11 @@ def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
     cond_v = (cbf[:, :-1] | cbf[:, 1:]).astype(bool) | mvdiff_v  # [bh,bw-1]
     mvdiff_h = (jnp.abs(mv[:-1] - mv[1:]) >= 4).any(-1)
     cond_h = (cbf[:-1] | cbf[1:]).astype(bool) | mvdiff_h        # [bh-1,bw]
+    if ref is not None:
+        # spec 8.7.2.4: different reference pictures across the edge
+        # -> BS 1 (multi-ref)
+        cond_v = cond_v | (ref[:, :-1] != ref[:, 1:])
+        cond_h = cond_h | (ref[:-1] != ref[1:])
     if tb2 is not None:
         # interior edges of a 32-wide TB are not TU/PU boundaries:
         # boundary j (between granules j and j+1) is interior iff j is
@@ -712,12 +753,23 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    me_precision: int = 2,
                    scaling_lists: bool = False,
                    me_subpel_r: int = 2,
-                   qp_map=None):
-    """Encode one P frame against one reference.
+                   qp_map=None,
+                   ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None):
+    """Encode one P frame against one or two references.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
     deblocked) reference planes of the same shapes.
     Returns FrameRecord fields incl. quarter-pel MVs [bh, bw, 2] (y, x).
+
+    Multi-reference (spec ref_idx_l0; ref ref_pic_list machinery,
+    hmr_encoder_lib.c:1546-1576): ref2_* is the second-most-recent
+    reconstruction (list0 index 1).  ME runs on both and every block
+    picks its reference by cost; the per-block pick flows through
+    merge/skip RD (candidates carry (mv, ref) pairs), quadtree
+    consolidation (mixed-ref groups don't merge) and chroma MC.
+    `has_ref2` (traced bool) masks the pick to 0 for frames that only
+    have one reference available (the first P after an IDR) — they are
+    coded with num_ref_idx_active = 1 and no ref_idx syntax.
     """
     h, w = y.shape
     s = block
@@ -752,6 +804,26 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     mv, sad_me, pred = me.motion_estimate(cur, refy, block=s,
                                           precision=me_precision,
                                           subpel_r=me_subpel_r)
+    multi_ref = ref2_y is not None
+    ref_sel = None
+    if multi_ref:
+        ref2y = jnp.asarray(ref2_y, jnp.int32)
+        mv1, sad1, pred1 = me.motion_estimate(cur, ref2y, block=s,
+                                              precision=me_precision,
+                                              subpel_r=me_subpel_r)
+        # per-block reference pick: SAD + a sqrt-lambda-priced ref_idx
+        # bin (HM-style ME bit weighting), masked off when the second
+        # reference is not actually available this frame
+        if has_ref2 is None:
+            has_ref2 = jnp.bool_(True)
+        ref1_pen = jnp.sqrt(lam_t.reshape(bh, bw).astype(jnp.float32)) \
+            * 1.5
+        sel = (sad1.reshape(bh, bw) + ref1_pen
+               < sad_me.reshape(bh, bw)) & has_ref2
+        ref_sel = sel.astype(jnp.int32)
+        mv = jnp.where(sel[..., None], mv1, mv)
+        pred = jnp.where(sel.reshape(-1)[:, None, None],
+                         pred1, pred)
     pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
     pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
     pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
@@ -764,19 +836,29 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # 1's winners, propagating coherence the reference gets for free
     # from its sequential raster scan.
     ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
+    ref_pads = None
+    if multi_ref:
+        ref_pads = jnp.stack(
+            [ref_pad, jnp.pad(ref2y, me.REF_PAD, mode="edge")])
     mv_me = mv
     with jax.named_scope("merge_rd"):
         # round 2 re-evaluates only the left/top propagation candidates;
         # own/global/zero (and round 1's winner) are carried cached
         carry = None
+        rgrid = ref_sel
         for _ in range(2):
             cands = merge_candidate_fields(mv)
             mv_flat, level_y, recon_y, pred_sel, cost16, carry = \
                 _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_me,
                                pred, qp_t, lam_t, s, sbh_scan,
                                cand_fields=cands,
-                               scaling=scaling_lists, carry_in=carry)
+                               scaling=scaling_lists, carry_in=carry,
+                               ref_grid=rgrid, ref_pads=ref_pads)
             mv = mv_flat.reshape(bh, bw, 2)
+            if multi_ref:
+                rgrid = carry["ref"].reshape(bh, bw)
+    if multi_ref:
+        ref_sel = carry["ref"].reshape(bh, bw)
     pred = pred_sel
     mv_f = mv_flat
     cbf_y = jnp.any(level_y != 0, axis=(-1, -2)).reshape(bh, bw)
@@ -814,7 +896,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             quadtree_consolidate(
                 cur_b, pred_sel, mv, level_y, recon_y,
                 cost16, dil.reshape(-1), qp_t, lam_t, bh, bw,
-                sign_hiding, scaling_lists)
+                sign_hiding, scaling_lists,
+                ref_flat=None if not multi_ref else ref_sel.reshape(-1))
         mv_f = mv.reshape(-1, 2)
 
         # chroma coding (single pass, post-quadtree): prediction at
@@ -825,13 +908,19 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         lam_ct_g = lam_ct.reshape(bh // 2, 2, bw // 2, 2)[:, 0, :, 0] \
             .reshape(-1)
 
-        def rechroma(plane, refp, scan):
+        def rechroma(plane, refp, scan, refp2=None):
             refc = jnp.asarray(refp, jnp.int32)
             rp = jnp.pad(refc, cpad, mode="edge")
-            cw = me._gather_windows(
-                rp,
-                cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1,
-                cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1, cs + 3)
+            cby = cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1
+            cbx = cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1
+            if refp2 is None:
+                cw = me._gather_windows(rp, cby, cbx, cs + 3)
+            else:
+                rp2 = jnp.pad(jnp.asarray(refp2, jnp.int32), cpad,
+                              mode="edge")
+                cw = me._gather_windows_ref(
+                    jnp.stack([rp, rp2]), ref_sel.reshape(-1),
+                    cby, cbx, cs + 3)
             cpred = interp.mc_chroma_phases(cw, mv_f[:, 0] & 7,
                                             mv_f[:, 1] & 7, cs)
             cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
@@ -877,12 +966,22 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 
         # Cb and Cr share every shape and table: run them as ONE
         # vmapped call (halves the sequential op count of the stage)
-        lvl_c2, rec_c2, cbf_c2 = jax.vmap(
-            lambda p, r: rechroma(p, r, sbh_scan_c))(
-                jnp.stack([jnp.asarray(u, jnp.int32),
-                           jnp.asarray(v, jnp.int32)]),
-                jnp.stack([jnp.asarray(ref_u, jnp.int32),
-                           jnp.asarray(ref_v, jnp.int32)]))
+        if multi_ref:
+            lvl_c2, rec_c2, cbf_c2 = jax.vmap(
+                lambda p, r, r2: rechroma(p, r, sbh_scan_c, r2))(
+                    jnp.stack([jnp.asarray(u, jnp.int32),
+                               jnp.asarray(v, jnp.int32)]),
+                    jnp.stack([jnp.asarray(ref_u, jnp.int32),
+                               jnp.asarray(ref_v, jnp.int32)]),
+                    jnp.stack([jnp.asarray(ref2_u, jnp.int32),
+                               jnp.asarray(ref2_v, jnp.int32)]))
+        else:
+            lvl_c2, rec_c2, cbf_c2 = jax.vmap(
+                lambda p, r: rechroma(p, r, sbh_scan_c))(
+                    jnp.stack([jnp.asarray(u, jnp.int32),
+                               jnp.asarray(v, jnp.int32)]),
+                    jnp.stack([jnp.asarray(ref_u, jnp.int32),
+                               jnp.asarray(ref_v, jnp.int32)]))
         level_u, level_v = lvl_c2[0], lvl_c2[1]
         recon_u, recon_v = rec_c2[0], rec_c2[1]
         cbf_u, cbf_v = cbf_c2[0], cbf_c2[1]
@@ -948,7 +1047,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         tb2 = (tr_depth == 0) & (cu_depth == 1) | (cu_depth == 0)
         bs_v, bs_h = inter_boundary_strength(cbf_y.astype(jnp.int32),
                                              mv, s, h, w, is_intra=ii,
-                                             tb2=tb2)
+                                             tb2=tb2, ref=ref_sel)
         qp_v, qp_h = _edge_qp_maps(qp_g16, h, w, 16)
         out_y = deblock._luma_pass(out_y, bs_v, qp_v)
         out_y = deblock._luma_pass(out_y.T, bs_h.T, qp_h.T).T
@@ -982,8 +1081,13 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # single-transfer marshaling with nonzero-block compaction (the
     # device->host link is a high-latency, low-bandwidth tunnel)
     cap_y, cap_c, esc_y, esc_c = p_caps(nb)
+    if multi_ref:
+        out["ref_idx"] = ref_sel
     parts = [
         mv.astype(jnp.int16).reshape(-1),
+        (ref_sel if multi_ref
+         else jnp.zeros((bh, bw), jnp.int32)).astype(jnp.int16)
+        .reshape(-1),
         out["cbf"].astype(jnp.int16).reshape(-1),
         is_intra_blk.astype(jnp.int16),
         intra_modes.astype(jnp.int16),
@@ -1009,6 +1113,7 @@ encode_p_frame_jit = jax.jit(
 
 
 def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
+                   ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
                    **flags):
     """Encode K consecutive P frames in ONE device program (lax.scan
     over the inter-frame reference dependency).
@@ -1018,27 +1123,58 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
     chunk granularity).  ys: uint8 [K, H, W]; qp scalar (rate control
     moves to chunk granularity under batching).
 
+    Multi-reference: ref2_* seeds list0 index 1 for the chunk's first
+    frame (the frame BEFORE ref_*); the scan then carries the previous
+    two reconstructions.  has_ref2 [K] bool masks frames whose second
+    reference does not exist yet (first P after an IDR).
+
     Returns dict(recon_* = last frame's reconstruction, packed [K, L]).
     """
+    multi = ref2_y is not None
+
     def step(carry, xs):
-        ry, ru, rv = carry
-        if qp_maps is None:
-            y, u, v = xs
-            qmap = None
+        if multi:
+            (ry, ru, rv), prev = carry
         else:
-            y, u, v, qmap = xs
+            ry, ru, rv = carry
+            prev = None
+        if qp_maps is None:
+            y, u, v = xs[:3]
+            qmap = None
+            rest = xs[3:]
+        else:
+            y, u, v, qmap = xs[:4]
+            rest = xs[4:]
+        kw = {}
+        if multi:
+            kw = dict(ref2_y=prev[0], ref2_u=prev[1], ref2_v=prev[2],
+                      has_ref2=rest[0])
         out = encode_p_frame(y, u, v, ry, ru, rv, qp=qp, qp_map=qmap,
-                             **flags)
+                             **kw, **flags)
         per_frame = dict(packed=out["packed"], coeff_y=out["coeff_y"],
                          coeff_cb=out["coeff_cb"],
                          coeff_cr=out["coeff_cr"])
-        return ((out["recon_y"], out["recon_u"], out["recon_v"]),
-                per_frame)
+        rec = (out["recon_y"], out["recon_u"], out["recon_v"])
+        return ((rec, (ry, ru, rv)) if multi else rec, per_frame)
 
     xs = (ys, us, vs) if qp_maps is None else (ys, us, vs, qp_maps)
-    (ry, ru, rv), outs = jax.lax.scan(
-        step, (jnp.asarray(ref_y, jnp.int32), jnp.asarray(ref_u, jnp.int32),
-               jnp.asarray(ref_v, jnp.int32)), xs)
+    r0 = (jnp.asarray(ref_y, jnp.int32), jnp.asarray(ref_u, jnp.int32),
+          jnp.asarray(ref_v, jnp.int32))
+    if multi:
+        if has_ref2 is None:
+            has_ref2 = jnp.ones((ys.shape[0],), bool)
+        xs = xs + (has_ref2,)
+        prev0 = (jnp.asarray(ref2_y, jnp.int32),
+                 jnp.asarray(ref2_u, jnp.int32),
+                 jnp.asarray(ref2_v, jnp.int32))
+        ((ry, ru, rv), (p2y, p2u, p2v)), outs = jax.lax.scan(
+            step, (r0, prev0), xs)
+        return dict(recon_y=ry, recon_u=ru, recon_v=rv,
+                    recon2_y=p2y, recon2_u=p2u, recon2_v=p2v,
+                    packed=outs["packed"], coeff_y=outs["coeff_y"],
+                    coeff_cb=outs["coeff_cb"],
+                    coeff_cr=outs["coeff_cr"])
+    (ry, ru, rv), outs = jax.lax.scan(step, r0, xs)
     return dict(recon_y=ry, recon_u=ru, recon_v=rv,
                 packed=outs["packed"], coeff_y=outs["coeff_y"],
                 coeff_cb=outs["coeff_cb"], coeff_cr=outs["coeff_cr"])

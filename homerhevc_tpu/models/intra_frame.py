@@ -906,7 +906,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     sao_fields = None
     if sao_enabled:
         out_y, out_u, out_v, sao_fields = sao.sao_frame(
-            y32, u32, v32, out_y, out_u, out_v, lamf, lamcf, ctu)
+            y32, u32, v32, out_y, out_u, out_v, lamf, lamcf, ctu,
+            tiles=tiles)
 
     out = dict(
         recon_y=out_y,

@@ -290,13 +290,26 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
     return mv_int * 4 + dmv, sad, pred
 
 
-def mc_luma_at(ref_pad, pos_y, pos_x, mv, block: int):
+def _gather_windows_ref(ref_pads, ref, base_y, base_x, size: int):
+    """ref_pads [R, Hp, Wp]; ref [n] picks the reference plane per
+    block (multi-ref: spec ref_idx_l0).  Windows never cross plane
+    boundaries, so indexing the stacked leading axis is exact."""
+    def one(r, by, bx):
+        return jax.lax.dynamic_slice(ref_pads, (r, by, bx),
+                                     (1, size, size))[0]
+    return jax.vmap(one)(ref, base_y, base_x)
+
+
+def mc_luma_at(ref_pad, pos_y, pos_x, mv, block: int, ref=None):
     """MC prediction at arbitrary per-block quarter-pel MVs (separable
-    4+4 mask-accumulated static phases, one window gather)."""
-    win = _gather_windows(
-        ref_pad,
-        REF_PAD + pos_y + (mv[:, 0] >> 2) - 3,
-        REF_PAD + pos_x + (mv[:, 1] >> 2) - 3, block + 7)
+    4+4 mask-accumulated static phases, one window gather).  With
+    `ref` [n], ref_pad is a stacked [R, Hp, Wp] multi-reference pad."""
+    by = REF_PAD + pos_y + (mv[:, 0] >> 2) - 3
+    bx = REF_PAD + pos_x + (mv[:, 1] >> 2) - 3
+    if ref is None:
+        win = _gather_windows(ref_pad, by, bx, block + 7)
+    else:
+        win = _gather_windows_ref(ref_pad, ref, by, bx, block + 7)
     return interp.mc_separable_phases(win, mv[:, 0] & 3, mv[:, 1] & 3,
                                       block, True)
 

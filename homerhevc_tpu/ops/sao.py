@@ -21,6 +21,9 @@ picture, so apply is a pure function — no CTU sequencing anywhere.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,7 +103,8 @@ def _ctu_sum_tail(x: jnp.ndarray, ctb: int):
 def _best_offset(diff, cnt, lam, sign):
     """Iterate-toward-zero offset choice (ref est_iter_offset
     hmr_sao.c:445). diff/cnt: [...]; sign: +1 (cats 1,2), -1 (3,4),
-    0 (BO: free sign). Returns (offset, cost)."""
+    0 (BO: free sign — prices the extra sign bypass bin for nonzero
+    offsets, spec 7.3.8.3 sao_offset_sign). Returns (offset, cost)."""
     init = jnp.where(cnt > 0,
                      (diff + jnp.sign(diff) * (cnt // 2))
                      // jnp.maximum(cnt, 1), 0)
@@ -114,7 +118,7 @@ def _best_offset(diff, cnt, lam, sign):
     for mag in range(1, 8):
         o = jnp.sign(init) * mag
         dist = (cnt * o * o - 2 * diff * o).astype(jnp.float32)
-        rate = mag + 1.0 - (mag == 7)
+        rate = mag + 1.0 - (mag == 7) + (1.0 if sign == 0 else 0.0)
         cost = dist + lam * rate
         take = (mag <= jnp.abs(init)) & (cost < best_c)
         best_o = jnp.where(take, o, best_o)
@@ -144,13 +148,19 @@ def _best_offset_signed(diff, cnt, lam, sign):
     return best_o, best_c
 
 
-def derive_params(stats, lam):
+def derive_params(stats, lam, secondary: bool = False):
     """Per-CTU mode decision for one component's stats.
 
     Returns dict(type [by,bx] int32 (0 off, 1 BO, 2+cls EO),
     offsets [by,bx,4] int32 signed, band_pos [by,bx] int32,
     eo_cost [4,by,bx], bo_cost, off_cost) — costs exposed so chroma can
-    be decided jointly."""
+    be decided jointly.
+
+    Rates follow the binarization (spec 7.3.8.3): type = 1 ctx bin +
+    1 bypass, eo_class = 2 bits, band_pos = 5 bits, offsets TU(7) (+
+    sign for BO, priced in _best_offset).  `secondary` = Cr: the type/
+    eo_class are signaled once for the chroma pair (on Cb), so Cr
+    carries only its own offsets + band_pos."""
     eo_diff, eo_cnt, bo_diff, bo_cnt = stats
     # EO: categories 1..4 (skip 0); valley/edge >= 0, peak/edge <= 0 —
     # one vectorized _best_offset over the stacked category axis
@@ -159,24 +169,28 @@ def derive_params(stats, lam):
         jnp.moveaxis(eo_cnt[:, 1:5], 1, 0), lam,
         jnp.asarray([1, 1, -1, -1], jnp.int32)[:, None, None, None])
     eo_off = jnp.moveaxis(o4, 0, -1)                 # [4, by, bx, 4]
-    eo_cost = jnp.sum(c4, 0) + lam * 5.0             # + type/class bits
+    eo_rate = 0.0 if secondary else 4.0              # type + eo_class
+    eo_cost = jnp.sum(c4, 0) + lam * eo_rate
     # BO: best offset per band, then best 4 consecutive bands
     bo_o, bo_c = _best_offset(bo_diff, bo_cnt, lam, 0)   # [32, by, bx]
     cs = jnp.cumsum(jnp.concatenate([jnp.zeros_like(bo_c[:1]), bo_c]),
                     0)
     win = cs[4:33] - cs[0:29]                        # [29, by, bx]
     band_pos = jnp.argmin(win, 0).astype(jnp.int32)      # [by, bx]
-    bo_cost = jnp.min(win, 0) + lam * 11.0           # + type/pos bits
+    bo_rate = 5.0 if secondary else 7.0              # [type +] band_pos
+    bo_cost = jnp.min(win, 0) + lam * bo_rate
     bo_off = jnp.stack(
         [jnp.take_along_axis(bo_o, (band_pos + k)[None], 0)[0]
          for k in range(4)], -1)                     # [by, bx, 4]
+    off_rate = 0.0 if secondary else 1.0             # type ctx bin
     return dict(eo_off=eo_off, eo_cost=eo_cost, bo_off=bo_off,
                 bo_cost=bo_cost, band_pos=band_pos,
-                off_cost=jnp.full(band_pos.shape, lam * 1.0))
+                off_cost=jnp.full(band_pos.shape, lam * off_rate))
 
 
 def select_luma(p):
-    """Pick min-cost mode for luma. Returns (type, offsets, band_pos)."""
+    """Pick min-cost mode for luma.
+    Returns (type, offsets, band_pos, cost)."""
     all_costs = jnp.concatenate([
         p["off_cost"][None], p["bo_cost"][None], p["eo_cost"]])  # [6,..]
     best = jnp.argmin(all_costs, 0)                  # 0 off, 1 bo, 2+t
@@ -185,7 +199,8 @@ def select_luma(p):
     for t in range(4):
         offsets = jnp.where((best == t + 2)[..., None],
                             p["eo_off"][t], offsets)
-    return best.astype(jnp.int32), offsets, p["band_pos"]
+    return (best.astype(jnp.int32), offsets, p["band_pos"],
+            jnp.min(all_costs, 0))
 
 
 def select_chroma(pcb, pcr):
@@ -202,31 +217,145 @@ def select_chroma(pcb, pcr):
         for t in range(4):
             o = jnp.where((best == t + 2)[..., None], p["eo_off"][t], o)
         return o
-    return best, offs(pcb), offs(pcr), pcb["band_pos"], pcr["band_pos"]
+    return (best, offs(pcb), offs(pcr), pcb["band_pos"],
+            pcr["band_pos"], jnp.min(all_costs, 0))
 
 
-def sao_component(org, rec, ctb: int, lam):
-    """Stats -> params for one plane; returns (params, cls, valid)."""
+# ---------------------------------------------------------------------------
+# Merge-left RDO (ref sao_derive_mode_merge_rdo, hmr_sao.c:854).
+#
+# TPU redesign: the reference walks CTUs serially and lets a CTU adopt
+# its LEFT (or above) neighbour's final params when RD-cheaper.  Here
+# every row runs the left-adoption chain as one batched `lax.scan` over
+# columns (rows are independent — vectorized); merge-UP is then caught
+# by the host coincidence pass for the exact-equality case.  The
+# distortion of adopting foreign params is exact, from the per-CTU
+# class statistics (the same cnt*o^2 - 2*diff*o identity the explicit
+# search uses).  Flags themselves are emitted by the host pass on
+# param equality, so adoption needs no new transfer fields.
+# ---------------------------------------------------------------------------
+
+_MERGE_FLAG_BITS = 0.9     # ctx-coded sao_merge_*_flag, either value
+
+
+def _adopt_dist(stats_x, typ, off, bp):
+    """Exact SSD change of applying params (typ, off[...,4], bp) to the
+    CTUs of one column.  stats_x = (eo_diff [4,5,by], eo_cnt,
+    bo_diff [32,by], bo_cnt); typ/bp [by], off [by,4]."""
+    eo_d, eo_c, bo_d, bo_c = stats_x
+    of = off.astype(jnp.int32)
+    # EO dist for each of the 4 types -> select by typ-2
+    d_eo = jnp.sum(eo_c[:, 1:5] * (of.T ** 2)[None]
+                   - 2 * eo_d[:, 1:5] * of.T[None], axis=1)   # [4, by]
+    sel_eo = jnp.take_along_axis(
+        d_eo, jnp.clip(typ - 2, 0, 3)[None], 0)[0]
+    # BO dist over the 4 bands at band_pos
+    bands = (bp[None, :] + jnp.arange(4, dtype=jnp.int32)[:, None]) & 31
+    bd = jnp.take_along_axis(bo_d, bands, 0)                  # [4, by]
+    bc = jnp.take_along_axis(bo_c, bands, 0)
+    d_bo = jnp.sum(bc * (of.T ** 2) - 2 * bd * of.T, axis=0)
+    return jnp.where(typ == 0, 0.0,
+                     jnp.where(typ == 1, d_bo, sel_eo)
+                     .astype(jnp.float32))
+
+
+def merge_left_rdo(stats_y, stats_cb, stats_cr, expl, expl_cost,
+                   lam_y, avail_l):
+    """Propagate left-adoption along rows.
+
+    expl: dict of explicit per-CTU params (t_y, off_y, bp_y, t_c,
+    off_cb, bp_cb, off_cr, bp_cr), each [by, bx, ...];
+    expl_cost [by, bx] = explicit D + lam*R (all comps);
+    avail_l [bx] bool = left neighbour exists and is in the same tile.
+    Returns final adopted params (same structure)."""
+    bx = expl_cost.shape[1]
+
+    def tx(s):
+        return tuple(jnp.moveaxis(a, -1, 0) for a in s)
+
+    sy, scb, scr = tx(stats_y), tx(stats_cb), tx(stats_cr)
+    keys = ("t_y", "off_y", "bp_y", "t_c", "off_cb", "bp_cb",
+            "off_cr", "bp_cr")
+    cols = {k: jnp.moveaxis(expl[k], 1, 0) for k in keys}  # [bx, by,...]
+
+    def step(carry, x):
+        sx_y = tuple(a[x] for a in sy)
+        sx_cb = tuple(a[x] for a in scb)
+        sx_cr = tuple(a[x] for a in scr)
+        d = (_adopt_dist(sx_y, carry["t_y"], carry["off_y"],
+                         carry["bp_y"])
+             + _adopt_dist(sx_cb, carry["t_c"], carry["off_cb"],
+                           carry["bp_cb"])
+             + _adopt_dist(sx_cr, carry["t_c"], carry["off_cr"],
+                           carry["bp_cr"]))
+        c_merge = d + lam_y * _MERGE_FLAG_BITS
+        c_expl = jnp.moveaxis(expl_cost, 1, 0)[x] \
+            + lam_y * _MERGE_FLAG_BITS
+        take = avail_l[x] & (c_merge < c_expl)            # [by]
+        new = {}
+        for k in keys:
+            e = cols[k][x]
+            t = take.reshape(take.shape + (1,) * (e.ndim - 1))
+            new[k] = jnp.where(t, carry[k], e)
+        return new, new
+
+    init = {k: cols[k][0] for k in keys}
+    _, outs = jax.lax.scan(step, init, jnp.arange(bx))
+    return {k: jnp.moveaxis(outs[k], 0, 1) for k in keys}
+
+
+def sao_component(org, rec, ctb: int, lam, secondary: bool = False):
+    """Stats -> params for one plane;
+    returns (params, stats, cls, valid)."""
     eo_d, eo_c, bo_d, bo_c, cls, valid = sao_stats(org, rec, ctb)
-    return derive_params((eo_d, eo_c, bo_d, bo_c), lam), cls, valid
+    st = (eo_d, eo_c, bo_d, bo_c)
+    return derive_params(st, lam, secondary), st, cls, valid
+
+
+@functools.lru_cache(maxsize=None)
+def _avail_left_np(bx: int, tiles) -> np.ndarray:
+    """[bx] bool: left CTU exists and is in the same tile column."""
+    av = np.ones(bx, bool)
+    av[0] = False
+    if tiles is not None:
+        tc = tiles[0]
+        for i in range(1, tc):
+            b = (i * bx) // tc
+            if b < bx:
+                av[b] = False
+    return av
 
 
 def sao_frame(org_y, org_u, org_v, rec_y, rec_u, rec_v,
-              lam_y: float, lam_c: float, ctu: int = 64):
+              lam_y: float, lam_c: float, ctu: int = 64,
+              tiles=None, merge_rdo: bool = True):
     """Full-frame SAO encode: decide + apply for Y/Cb/Cr.
 
     Returns (new_y, new_u, new_v, sao_fields) where sao_fields is a
     dict(type [3, by, bx], offsets [3, by, bx, 4], band_pos [3, by, bx])
     in the native writer's conventions (type: 0 off, 1 BO, 2+cls EO;
-    chroma shares its type idx between Cb and Cr)."""
-    py, cy, vy = sao_component(org_y.astype(jnp.int32), rec_y, ctu,
-                               jnp.float32(lam_y))
-    pcb, ccb, vcb = sao_component(org_u.astype(jnp.int32), rec_u,
-                                  ctu // 2, jnp.float32(lam_c))
-    pcr, ccr, vcr = sao_component(org_v.astype(jnp.int32), rec_v,
-                                  ctu // 2, jnp.float32(lam_c))
-    t_y, off_y, bp_y = select_luma(py)
-    t_c, off_cb, off_cr, bp_cb, bp_cr = select_chroma(pcb, pcr)
+    chroma shares its type idx between Cb and Cr).  With merge_rdo a
+    CTU may adopt its left neighbour's params when RD-cheaper (merge
+    flags are then emitted by the host coincidence pass)."""
+    py, sy, cy, vy = sao_component(org_y.astype(jnp.int32), rec_y, ctu,
+                                   jnp.float32(lam_y))
+    pcb, scb, ccb, vcb = sao_component(org_u.astype(jnp.int32), rec_u,
+                                       ctu // 2, jnp.float32(lam_c))
+    pcr, scr, ccr, vcr = sao_component(org_v.astype(jnp.int32), rec_v,
+                                       ctu // 2, jnp.float32(lam_c),
+                                       secondary=True)
+    t_y, off_y, bp_y, cost_y = select_luma(py)
+    t_c, off_cb, off_cr, bp_cb, bp_cr, cost_c = select_chroma(pcb, pcr)
+    if merge_rdo and t_y.shape[1] > 1:
+        expl = dict(t_y=t_y, off_y=off_y, bp_y=bp_y, t_c=t_c,
+                    off_cb=off_cb, bp_cb=bp_cb, off_cr=off_cr,
+                    bp_cr=bp_cr)
+        avail_l = jnp.asarray(_avail_left_np(t_y.shape[1], tiles))
+        fin = merge_left_rdo(sy, scb, scr, expl, cost_y + cost_c,
+                             jnp.float32(lam_y), avail_l)
+        t_y, off_y, bp_y = fin["t_y"], fin["off_y"], fin["bp_y"]
+        t_c, off_cb, bp_cb = fin["t_c"], fin["off_cb"], fin["bp_cb"]
+        off_cr, bp_cr = fin["off_cr"], fin["bp_cr"]
     new_y = apply_sao(rec_y, cy, vy, t_y, off_y, bp_y, ctu)
     new_u = apply_sao(rec_u, ccb, vcb, t_c, off_cb, bp_cb, ctu // 2)
     new_v = apply_sao(rec_v, ccr, vcr, t_c, off_cr, bp_cr, ctu // 2)

@@ -239,6 +239,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         cap_y, cap_c, esc_y, esc_c = inter_frame.p_caps(nb)
         parts = [
             mv_f.astype(jnp.int16).reshape(-1),
+            jnp.zeros((nb,), jnp.int16),           # ref_idx (1-ref path)
             jnp.stack([cbf_y_f, cbf_u_f, cbf_v_f])
             .astype(jnp.int16).reshape(-1),
             jnp.zeros((nb,), jnp.int16),           # is_intra (fallback off)

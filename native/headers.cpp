@@ -175,15 +175,33 @@ void write_slice_header(Bitstream& b, const HevcCfg* cfg,
   b.ue(rec->slice_type);         // 2 = I, 1 = P
   if (!rec->is_idr) {
     b.put(rec->poc & 0xff, 8);   // slice_pic_order_cnt_lsb
-    b.put(1, 1);                 // short_term_ref_pic_set_sps_flag
-    // single RPS in SPS -> no index
+    int nref = rec->num_ref_l0 > 0 ? rec->num_ref_l0 : 1;
+    if (nref < cfg->num_ref_frames) {
+      // fewer pictures in the DPB than the SPS RPS claims (first P
+      // frames after an IDR): write a slice-local RPS.  stRpsIdx =
+      // num_short_term_ref_pic_sets (1) != 0, so the
+      // inter_ref_pic_set_prediction_flag is present (spec 7.3.7).
+      b.put(0, 1);               // short_term_ref_pic_set_sps_flag
+      b.put(0, 1);               // inter_ref_pic_set_prediction_flag
+      short_term_rps(b, nref);
+    } else {
+      b.put(1, 1);               // short_term_ref_pic_set_sps_flag
+      // single RPS in SPS -> no index
+    }
   }
   if (cfg->sao_enabled) {
     b.put(rec->sao_luma ? 1 : 0, 1);
     b.put(rec->sao_chroma ? 1 : 0, 1);
   }
   if (rec->slice_type != 2) {
-    b.put(0, 1);  // num_ref_idx_active_override_flag
+    int nref = rec->num_ref_l0 > 0 ? rec->num_ref_l0 : 1;
+    if (nref != 1) {
+      // PPS default is 1 active ref; multi-ref slices override
+      b.put(1, 1);  // num_ref_idx_active_override_flag
+      b.ue(nref - 1);  // num_ref_idx_l0_active_minus1
+    } else {
+      b.put(0, 1);  // num_ref_idx_active_override_flag
+    }
     b.ue(5 - rec->num_merge_cands);  // five_minus_max_num_merge_cand
   }
   b.se(rec->slice_qp - cfg->init_qp);

@@ -91,6 +91,8 @@ typedef struct FrameRec {
   int32_t sao_luma;                 // slice_sao_luma_flag
   int32_t sao_chroma;
   int32_t last_idr_poc;             // for POC LSB computation
+  int32_t num_ref_l0;               // active list0 refs (1 when
+                                    // only one prior pic exists)
 } FrameRec;
 
 // Writes VPS+SPS+PPS as Annex-B (with start codes) into out; returns

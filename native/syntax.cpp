@@ -272,10 +272,25 @@ class SliceWriter {
   // device needs no candidate-list logic).  P slice, 1 reference,
   // temporal MVP disabled in SPS.
   struct MV {
-    int x = 0, y = 0;
+    int x = 0, y = 0, ref = 0;
   };
   static bool mv_eq(const MV& a, const MV& b) {
-    return a.x == b.x && a.y == b.y;
+    // merge candidates compare motion vectors AND reference indices
+    // (spec 8.5.3.2.3)
+    return a.x == b.x && a.y == b.y && a.ref == b.ref;
+  }
+  // POC distance of list0 reference r: the r+1-th previous picture
+  // (IPPP FIFO; RPS delta_poc 1 each — hevc headers.cpp short_term_rps)
+  static int ref_poc_delta(int r) { return r + 1; }
+  // spec 8.5.3.2.8 temporal/spatial mv scaling by POC distances
+  static int scale_mv_comp(int v, int tb, int td) {
+    if (tb == td) return v;
+    int tx = (16384 + std::abs(td) / 2) / td;
+    int dsf = std::min(4095, std::max(-4096, (tb * tx + 32) >> 6));
+    long long p = static_cast<long long>(dsf) * v;
+    int mag = static_cast<int>((std::llabs(p) + 127) >> 8);
+    int s = p < 0 ? -mag : mag;
+    return std::min(32767, std::max(-32768, s));
   }
   uint32_t zaddr(int x, int y) const {  // 4x4 z-scan address within CTU
     uint32_t x4 = (x & (cfg_.ctu_size - 1)) >> 2;
@@ -306,7 +321,8 @@ class SliceWriter {
   }
   MV mv_at(int x, int y) const {
     int i = (y >> 2) * w4_ + (x >> 2);
-    return {rec_.mv_x[i], rec_.mv_y[i]};
+    int r = (rec_.num_ref_l0 > 1 && rec_.ref_idx) ? rec_.ref_idx[i] : 0;
+    return {rec_.mv_x[i], rec_.mv_y[i], r};
   }
 
   void derive_inter_fields() {
@@ -363,7 +379,14 @@ class SliceWriter {
     if (n < 4 && ab2 && !(aa1 && mv_eq(mB2, mA1)) &&
         !(ab1 && mv_eq(mB2, mB1)))
       list[n++] = mB2;
-    while (n < rec_.num_merge_cands) list[n++] = MV{};
+    int zero_idx = 0;
+    int nref = std::max(1, rec_.num_ref_l0);
+    while (n < rec_.num_merge_cands) {
+      // spec 8.5.3.2.4: zero candidates cycle refIdxL0 over the
+      // active references
+      list[n++] = MV{0, 0, zero_idx < nref ? zero_idx : 0};
+      ++zero_idx;
+    }
 
     int merge_idx = -1;
     for (int k = 0; k < rec_.num_merge_cands; ++k)
@@ -376,17 +399,44 @@ class SliceWriter {
     bool merge = merge_idx >= 0;
     bool skip = merge && !any_cbf_cu(x0, y0, s);
     if (!merge) {
-      // ---- AMVP (8.5.3.2.5-8): with one reference picture the scaled
-      // branches are identity, so A = first of {A0,A1}, B = first of
-      // {B0,B1,B2}, dedup, zero-pad to 2.
+      // ---- AMVP (8.5.3.2.5-8): two-pass per side — same-ref first,
+      // then POC-scaled (multi-ref); with one reference the scaled
+      // branches are identity.  Mirrors HM fillMvpCand ordering:
+      // A: A0,A1 same-ref, else A0,A1 scaled; B: B0,B1,B2 same-ref,
+      // and only when NO left neighbour exists at all (isScaledFlag
+      // == 0) B re-derives with scaling.
+      const int tb = ref_poc_delta(cur.ref);
+      auto scaled = [&](const MV& m) {
+        int td = ref_poc_delta(m.ref);
+        return MV{scale_mv_comp(m.x, tb, td),
+                  scale_mv_comp(m.y, tb, td), cur.ref};
+      };
       MV amvp[2];
       int m = 0;
-      bool has_a = aa0 || aa1;
-      MV a = aa0 ? mA0 : mA1;
-      bool has_b = ab0 || ab1 || ab2;
-      MV b = ab0 ? mB0 : (ab1 ? mB1 : mB2);
+      bool is_scaled_flag = aa0 || aa1;   // any left neighbour
+      // A (left) candidate
+      bool has_a = false;
+      MV a{};
+      if (aa0 && mA0.ref == cur.ref) { a = mA0; has_a = true; }
+      else if (aa1 && mA1.ref == cur.ref) { a = mA1; has_a = true; }
+      else if (aa0) { a = scaled(mA0); has_a = true; }
+      else if (aa1) { a = scaled(mA1); has_a = true; }
+      // B (above) candidate: same-ref pass
+      bool has_b = false;
+      MV b{};
+      if (ab0 && mB0.ref == cur.ref) { b = mB0; has_b = true; }
+      else if (ab1 && mB1.ref == cur.ref) { b = mB1; has_b = true; }
+      else if (ab2 && mB2.ref == cur.ref) { b = mB2; has_b = true; }
+      if (!is_scaled_flag && !has_b) {
+        // scaling pass for B only when the left side had no
+        // neighbours at all (spec isScaledFlagLX)
+        if (ab0) { b = scaled(mB0); has_b = true; }
+        else if (ab1) { b = scaled(mB1); has_b = true; }
+        else if (ab2) { b = scaled(mB2); has_b = true; }
+      }
       if (has_a) amvp[m++] = a;
-      if (has_b && (!has_a || !mv_eq(a, b))) amvp[m++] = b;
+      if (has_b && (!has_a || !(a.x == b.x && a.y == b.y)))
+        amvp[m++] = b;
       while (m < 2) amvp[m++] = MV{};
       int c0 = std::abs(cur.x - amvp[0].x) + std::abs(cur.y - amvp[0].y);
       int c1 = std::abs(cur.x - amvp[1].x) + std::abs(cur.y - amvp[1].y);
@@ -567,7 +617,12 @@ class SliceWriter {
       write_merge_idx(d_mergeidx_[i4]);
       return;
     }
-    // P slice, 1 reference: no inter_pred_idc, no ref_idx
+    // P slice: no inter_pred_idc; ref_idx_l0 only with >1 active
+    // reference (TR cMax = active-1; 2 active -> one ctx bin)
+    if (rec_.num_ref_l0 > 1) {
+      int r = rec_.ref_idx ? rec_.ref_idx[i4] : 0;
+      cabac_.encode_bin(&ctx_.ctx[CTX_REF_PIC], r != 0);
+    }
     write_mvd(d_mvdx_[i4], d_mvdy_[i4]);
     cabac_.encode_bin(&ctx_.ctx[CTX_MVP_IDX], d_mvp_[i4]);
   }

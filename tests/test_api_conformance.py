@@ -121,3 +121,24 @@ def test_tiles_ignored_for_ippp():
     cfg = EncoderConfig(width=176, height=144, intra_period=100,
                         tile_cols=2, tile_rows=2)
     assert cfg.tiles is None
+
+
+def test_tiles_sao_coincident_params_no_cross_tile_merge():
+    """Flat content derives identical SAO params in every CTU; the
+    merge-coincidence pass must still not mark merges across a tile
+    boundary (the writer emits no merge flag there)."""
+    from tools import de265
+    w, h = 128, 128
+    y = np.full((h, w), 100, np.uint8)
+    y[::7, ::5] = 110                    # mild texture so SAO engages
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=34, intra_period=1,
+                        deblocking=True, sao=True,
+                        tile_cols=2, tile_rows=2)
+    enc = Encoder(cfg)
+    f = enc.encode(y, u, v)
+    (dy, du, dv), = de265.decode(f.nalus)
+    np.testing.assert_array_equal(dy, f.recon[0])
+    np.testing.assert_array_equal(du, f.recon[1])
+    np.testing.assert_array_equal(dv, f.recon[2])

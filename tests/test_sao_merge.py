@@ -1,0 +1,87 @@
+"""SAO merge-left RDO (ops/sao.merge_left_rdo): a CTU adopts its left
+neighbour's params when RD-cheaper; adopted params are exactly equal so
+the host coincidence pass emits merge flags (ref sao_derive_mode_merge
+_rdo, hmr_sao.c:854)."""
+import numpy as np
+import jax.numpy as jnp
+
+from homerhevc_tpu.ops import sao
+
+
+def _planes(bias_left=-4, bias_right=-3, seed=3):
+    """Two-CTU-wide frame where both CTUs have a systematic negative
+    reconstruction bias on bands 8..11 (values 64..95) — slightly
+    different magnitude per CTU, so the explicit BO offsets differ but
+    adopting the left CTU's params is RD-cheaper than signaling."""
+    rng = np.random.default_rng(seed)
+    h, w = 64, 128
+    org = rng.integers(40, 200, (h, w)).astype(np.int32)
+    band = (org >= 64) & (org < 96)
+    rec = org.copy()
+    rec[:, :64][band[:, :64]] += bias_left
+    rec[:, 64:][band[:, 64:]] += bias_right
+    rec = np.clip(rec, 0, 255)
+    return jnp.asarray(org), jnp.asarray(rec)
+
+
+def test_merge_left_adopts_params():
+    org, rec = _planes()
+    orgc = org[::2, ::2]
+    lam = 60.0
+    _, _, _, fields = sao.sao_frame(
+        org, orgc, orgc, rec, orgc, orgc, lam, lam, ctu=64,
+        merge_rdo=True)
+    t = np.asarray(fields["type"])
+    off = np.asarray(fields["offsets"])
+    bp = np.asarray(fields["band_pos"])
+    # the left CTU derived live params
+    assert t[0, 0, 0] != 0
+    # and the right CTU adopted them exactly (despite a different
+    # explicit optimum: bias -3 vs -4)
+    assert (t[:, :, 1] == t[:, :, 0]).all()
+    assert (off[:, :, 1] == off[:, :, 0]).all()
+    assert (bp[:, :, 1] == bp[:, :, 0]).all()
+
+
+def test_explicit_params_differ_without_merge():
+    """Sanity: without merge RDO the two CTUs pick different offsets
+    (otherwise the adoption test proves nothing)."""
+    org, rec = _planes()
+    orgc = org[::2, ::2]
+    lam = 60.0
+    _, _, _, fields = sao.sao_frame(
+        org, orgc, orgc, rec, orgc, orgc, lam, lam, ctu=64,
+        merge_rdo=False)
+    off = np.asarray(fields["offsets"])
+    assert (off[0, :, 1] != off[0, :, 0]).any()
+
+
+def test_merge_rdo_bounded_distortion_cost():
+    """Adoption was priced against the explicit cost, so the applied
+    luma SSD may exceed the explicit path's only by the priced-in
+    rate saving."""
+    org, rec = _planes(seed=11)
+    orgc = org[::2, ::2]
+    lam = 60.0
+    y_m, _, _, _ = sao.sao_frame(org, orgc, orgc, rec, orgc, orgc,
+                                 lam, lam, 64, merge_rdo=True)
+    y_e, _, _, _ = sao.sao_frame(org, orgc, orgc, rec, orgc, orgc,
+                                 lam, lam, 64, merge_rdo=False)
+    ssd_m = float(jnp.sum((y_m - org) ** 2))
+    ssd_e = float(jnp.sum((y_e - org) ** 2))
+    assert ssd_m <= ssd_e + lam * 64
+
+
+def test_tile_boundary_blocks_adoption():
+    org, rec = _planes(seed=5)
+    orgc = org[::2, ::2]
+    lam = 60.0
+    _, _, _, fields = sao.sao_frame(
+        org, orgc, orgc, rec, orgc, orgc, lam, lam, 64,
+        tiles=(2, 1), merge_rdo=True)
+    off = np.asarray(fields["offsets"])
+    # the tile boundary between the two CTUs forbids adoption: each
+    # CTU keeps its own explicit optimum (-4 vs -3 bias -> different)
+    assert (off[0, :, 1] != off[0, :, 0]).any()
+    av = sao._avail_left_np(2, (2, 1))
+    assert not av[1] and not av[0]
