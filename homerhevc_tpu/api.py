@@ -57,10 +57,12 @@ class Encoder:
         self._inbuf: list = []
         self._rc = RateControl(cfg)
         self._per_ctu_qp = bool(self.ccfg.cu_qp_delta_enabled)
-        # intra NxN (4x4 PUs + DST) at rd=full: the 4x4 z-order pass
-        # deepens the wavefront ~2x, so it is a quality-mode feature
-        # (role of the reference's NxN at max depth)
-        self._search_nxn = (cfg.rd_mode == RDMode.RD_FULL
+        # intra NxN (4x4 PUs + DST) on by default: the reference's
+        # default operating point includes 4x4 TBs (max_intra_tr_depth
+        # 2, homer_app.c:99) and they are decisive at high QP
+        # (measured: -8% bits AND +1.1 dB Y at QP38 all-intra).  The
+        # 4x4 z-order pass deepens the wavefront, so ULTRAFAST drops it.
+        self._search_nxn = (cfg.rd_mode != RDMode.RD_ULTRAFAST
                             and cfg.max_pred_depth >= 4)
         self._force_idr = False
         self._last_intra_cand_frac = 0.0

@@ -265,7 +265,8 @@ def _split_tiles(p, n: int):
 def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
                     recon_y, cost_child, elig_tile, qp, lam, bh, bw,
                     n: int, sbh_scan16, sbh_scan_big, scaling=False,
-                    ref_flat=None):
+                    ref_flat=None, ref_pad=None, ref_pads=None,
+                    y0=0):
     """One consolidation level: fold n x n groups of 16x16 tiles into a
     (16n)x(16n) CU when the parent RD (with TU-size RDO) beats the sum
     of the children (TPU redesign of consolidate_prediction_info +
@@ -294,18 +295,44 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
 
     o_tiles = cur_b[flat].reshape(g, n * n, 16, 16)
     mv_tiles = mv_flat[flat].reshape(g, n * n, 2)
-    # parents are only evaluated on MV-uniform groups (the coherence
-    # rounds of the merge RD drive fields uniform where merging could
-    # win), so the children's already-computed predictions ARE the
-    # parent prediction — no MC, no gathers
+    # MV-uniform groups reuse the children's predictions as the parent
+    # prediction (no MC).  NON-uniform groups are evaluated too, at the
+    # group's MAJORITY (mv, ref): a noisy-but-coherent field (texture
+    # aliasing scatters a few blocks off the true motion) still
+    # consolidates into one 32/64 CU when the RD favors it — the role
+    # of the reference's large-CU search the uniform-only rule missed.
     uniform = (mv_tiles == mv_tiles[:, :1]).all((-1, -2))
+    ref_uni = jnp.ones((g,), bool)
+    ref_grp = None
     if ref_flat is not None:
         # a merged CU carries ONE (mv, ref_idx) pair: mixed-reference
         # groups cannot consolidate (spec: ref_idx is per-PU)
         ref_tiles = ref_flat[flat].reshape(g, n * n)
-        uniform = uniform & (ref_tiles == ref_tiles[:, :1]).all(-1)
-    pmv = mv_tiles[:, 0]
+        ref_uni = (ref_tiles == ref_tiles[:, :1]).all(-1)
+        uniform = uniform & ref_uni
+        ref_grp = ref_tiles[:, 0]
+    # majority (mode) MV over the group's tiles
+    eq = (mv_tiles[:, :, None] == mv_tiles[:, None, :]).all(-1)
+    maj_i = jnp.argmax(jnp.sum(eq, -1), -1)              # [g]
+    maj_mv = jnp.take_along_axis(
+        mv_tiles, maj_i[:, None, None], 1)[:, 0]         # [g, 2]
+    pmv = jnp.where(uniform[:, None], mv_tiles[:, 0], maj_mv)
     pred_t = pred_sel[flat].reshape(g, n * n, 16, 16)
+    if ref_pad is not None:
+        # one MC gather per group at the majority MV (only consumed by
+        # non-uniform groups; SPMD computes it everywhere)
+        s_big = 16 * n
+        gyy = (y0 + jnp.arange(gh, dtype=jnp.int32) * s_big)[:, None]
+        gxx = (jnp.arange(gw, dtype=jnp.int32) * s_big)[None, :]
+        gpy = jnp.broadcast_to(gyy, (gh, gw)).reshape(-1)
+        gpx = jnp.broadcast_to(gxx, (gh, gw)).reshape(-1)
+        if ref_pads is not None and ref_grp is not None:
+            pred_maj = me.mc_luma_at(ref_pads, gpy, gpx, maj_mv,
+                                     s_big, ref=ref_grp)
+        else:
+            pred_maj = me.mc_luma_at(ref_pad, gpy, gpx, maj_mv, s_big)
+        pred_t = jnp.where(uniform[:, None, None, None], pred_t,
+                           _split_tiles(pred_maj, n))
 
     # per-group qp/lambda (groups never cross a CTU, so the per-tile
     # maps are uniform within a group)
@@ -321,7 +348,10 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
     # zero-residual variant
     ssd_zero = jnp.sum((pred_t - o_tiles) ** 2, (-1, -2, -3)) \
         .astype(jnp.float32)
-    bits_mv = 3.0                      # merge-priced parent MV
+    # merge-priced parent MV for uniform groups; majority-MV parents
+    # usually land next to same-MV neighbours (the host finds a merge)
+    # but may end up mvd-coded — price between the two
+    bits_mv = jnp.where(uniform, 3.0, 6.0)
     cost_zero = ssd_zero + lam_g * (bits_mv + 1.0)
 
     if n == 2:
@@ -366,7 +396,8 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
 
     parent_cost = jnp.minimum(jnp.minimum(cost_big, cost_tr1),
                               cost_zero)
-    elig = uniform & ~(elig_tile[flat].reshape(g, n * n).any(-1))
+    maj_ok = ref_uni if ref_pad is not None else uniform
+    elig = maj_ok & ~(elig_tile[flat].reshape(g, n * n).any(-1))
     children = jnp.sum(cost_child[flat].reshape(g, n * n), -1) \
         + lam_g * 1.0
     take = elig & (parent_cost < children)
@@ -405,13 +436,19 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
     recon_y = recon_y.at[flat].set(
         jnp.where(tk, rec_par, recon_y[flat].reshape(g, n * n, 16, 16))
         .reshape(-1, 16, 16))
+    # taken majority-MV parents changed the prediction under their
+    # tiles: keep pred_sel exact for the next consolidation level
+    pred_sel = pred_sel.at[flat].set(
+        jnp.where(tk, pred_t,
+                  pred_sel[flat].reshape(g, n * n, 16, 16))
+        .reshape(-1, 16, 16))
     mv_flat = mv_flat.at[flat].set(
         jnp.where(take[:, None, None],
                   jnp.broadcast_to(pmv[:, None], (g, n * n, 2)),
                   mv_tiles).reshape(-1, 2))
     cost_out = jnp.where(take, parent_cost, children)
-    return (mv_flat, level_y, recon_y, cost_out, take, cbf_par, trd,
-            tidx)
+    return (mv_flat, level_y, recon_y, pred_sel, cost_out, take,
+            cbf_par, trd, tidx)
 
 
 def _split_quads64(p):
@@ -431,7 +468,8 @@ def _join_quads64(q):
 def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
                          recon_y, cost16, is_intra_blk, qp, lam,
                          bh: int, bw: int, sign_hiding: bool,
-                         scaling: bool = False, ref_flat=None):
+                         scaling: bool = False, ref_flat=None,
+                         ref_pad=None, ref_pads=None, y0=0):
     """Full bottom-up CU consolidation 16 -> 32 -> 64 with TU RDO.
 
     Returns (mv [bh,bw,2], level_y, recon_y, cbf_y [bh,bw],
@@ -445,23 +483,22 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
     intra_t = is_intra_blk.astype(bool)
 
     # level 32
-    (mv_flat, level_y, recon_y, cost32, take32, cbf32_t, trd32,
-     tidx32) = _quadtree_level(
+    (mv_flat, level_y, recon_y, pred_sel, cost32, take32, cbf32_t,
+     trd32, tidx32) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32, scaling,
-        ref_flat)
+        ref_flat, ref_pad, ref_pads, y0)
 
-    # level 64: only groups whose four 32-children all merged are
-    # eligible (they then carry one MV each)
-    not32 = jnp.zeros((bh * bw,), bool).at[tidx32.reshape(-1)].set(
-        jnp.repeat(~take32, 4))
+    # level 64: with the majority-MV path any ref-uniform, intra-free
+    # group is eligible — the parent is evaluated at the 16 tiles'
+    # majority (mv, ref) even when the 32-children did not consolidate
     cost32_tile = jnp.zeros((bh * bw,), jnp.float32) \
         .at[tidx32.reshape(-1)].set(jnp.repeat(cost32 / 4.0, 4))
-    (mv_flat, level_y, recon_y, cost64, take64, cbf64_t, trd64,
-     tidx64) = _quadtree_level(
+    (mv_flat, level_y, recon_y, pred_sel, cost64, take64, cbf64_t,
+     trd64, tidx64) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
-        cost32_tile, intra_t | not32, qp, lam, bh, bw, 4, sbh16,
-        sbh32, scaling, ref_flat)
+        cost32_tile, intra_t, qp, lam, bh, bw, 4, sbh16,
+        sbh32, scaling, ref_flat, ref_pad, ref_pads, y0)
 
     # granule maps
     cu_depth = jnp.full((bh * bw,), 2, jnp.int32)
@@ -897,7 +934,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 cur_b, pred_sel, mv, level_y, recon_y,
                 cost16, dil.reshape(-1), qp_t, lam_t, bh, bw,
                 sign_hiding, scaling_lists,
-                ref_flat=None if not multi_ref else ref_sel.reshape(-1))
+                ref_flat=None if not multi_ref else ref_sel.reshape(-1),
+                ref_pad=ref_pad, ref_pads=ref_pads)
         mv_f = mv.reshape(-1, 2)
 
         # chroma coding (single pass, post-quadtree): prediction at

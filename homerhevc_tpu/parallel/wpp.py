@@ -133,7 +133,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             inter_frame.quadtree_consolidate(
                 cur_b, pred_sel, mv, level_y, recon_y,
                 cost16, jnp.zeros((bh * bw,), bool), qp, lam, bh, bw,
-                sign_hiding, scaling_lists)
+                sign_hiding, scaling_lists,
+                ref_pad=ref_pad, y0=pos_y[0])
         mv_fl = mv.reshape(-1, 2)
 
         cpad = me.REF_PAD // 2

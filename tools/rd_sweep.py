@@ -46,7 +46,9 @@ def run_ref(yuv, w, h, n, qp, intra_period):
     subprocess.run(
         [REF_BIN, "-i", yuv, "-o", out, "-widthxheight", f"{w}x{h}",
          "-intra_period", str(intra_period), "-qp", str(qp),
-         "-n_frames", str(n), "-performance_mode", "2", "-rd", "1"],
+         "-n_frames", str(n), "-performance_mode", "2", "-rd", "2",
+         # the app DEFAULTS to VBR@1250kbps and ignores -qp otherwise
+         "-bitrate_mode", "0"],
         check=True, capture_output=True)
     from tools import de265
     dec = de265.decode(open(out, "rb").read())
