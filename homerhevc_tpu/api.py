@@ -512,6 +512,45 @@ class Encoder:
             qpm = np.full((h // 4, w // 4), pend["qp"], np.int8)
         luma4 = mode4
         cbf_y4 = rep2(cbf8[0])
+        # ---- TU-tree relabel (intra TU splits, ref loop 3
+        # hmr_motion_intra.c:1226): a quartet of same-mode CUs and one
+        # CU with split_transform_flag reconstruct IDENTICALLY (intra
+        # prediction is per TB), so fold shared-mode quartets into the
+        # parent CU with tr_depth 1 — strictly fewer bits, recon
+        # untouched.  Device decisions are unchanged; this is a pure
+        # syntax-level optimization at the record stage.
+        tr16 = np.zeros((bh, bw), np.uint8)
+        nxn_any8 = nxn8.astype(bool) if nxn8 is not None \
+            else np.zeros_like(modes8, bool)
+
+        def quartets(a, s):
+            return a[:a.shape[0] // s * s, :a.shape[1] // s * s] \
+                .reshape(a.shape[0] // s, s, a.shape[1] // s, s)
+
+        # 8x8 quartets (depth 3, 2Nx2N) with one (luma, chroma) mode
+        # -> 16x16 CU with four 8x8 TBs
+        m8q = quartets(modes8, 2)
+        c8q = quartets(cmodes8, 2)
+        same8 = ((m8q == m8q[:, :1, :, :1]).all((1, 3))
+                 & (c8q == c8q[:, :1, :, :1]).all((1, 3))
+                 & ~quartets(nxn_any8, 2).any((1, 3))
+                 & (depth == 3))
+        depth = np.where(same8, 2, depth)
+        tr16 = np.where(same8, 1, tr16).astype(np.uint8)
+        # 16x16 quartets (depth 2, tr 0) with one mode -> 32x32 CU
+        # with four 16x16 TBs
+        d16q = quartets(depth, 2)
+        t16q = quartets(tr16, 2)
+        m16q = quartets(modes8, 4)
+        c16q = quartets(cmodes8, 4)
+        same16 = ((d16q == 2).all((1, 3)) & (t16q == 0).all((1, 3))
+                  & (m16q == m16q[:, :1, :, :1]).all((1, 3))
+                  & (c16q == c16q[:, :1, :, :1]).all((1, 3)))
+        m32 = np.zeros((bh, bw), bool)          # odd grid tails stay
+        m32[:bh // 2 * 2, :bw // 2 * 2] = \
+            np.repeat(np.repeat(same16, 2, 0), 2, 1)
+        depth = np.where(m32, 1, depth)
+        tr16 = np.where(m32, 1, tr16).astype(np.uint8)
         part4 = None
         if nxn8 is not None and nxn8.any():
             # NxN CUs: per-4x4 PU modes and TB cbfs from the packed PU
@@ -526,6 +565,7 @@ class Encoder:
             width=w, height=h, slice_type=2, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=True, qp_map=qpm,
             cu_depth=rep4(np.clip(depth, 1, 3)).astype(np.uint8),
+            tr_depth=rep4(tr16),
             intra_luma_mode=luma4,
             intra_chroma_mode=rep2(cmodes8),   # 5-candidate search
             part_size=part4,
