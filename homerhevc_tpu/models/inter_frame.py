@@ -837,17 +837,23 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     refy = jnp.asarray(ref_y, jnp.int32)
     lam = tables.rd_lambda(qp, False)
     lam_c = tables.rd_lambda(qp_c, False)
-    # ME returns the final MC prediction (the winning subpel candidate)
+    # ME returns the final MC prediction (the winning subpel candidate);
+    # candidates pay sqrt(lambda)-scaled mv bits vs the field median
+    # (the reference's mvcost-vs-AMVP, hmr_motion_inter.c:1300)
+    sqlam_me = jnp.sqrt(lam.astype(jnp.float32)) \
+        if hasattr(lam, "astype") else jnp.sqrt(jnp.float32(lam))
     mv, sad_me, pred = me.motion_estimate(cur, refy, block=s,
                                           precision=me_precision,
-                                          subpel_r=me_subpel_r)
+                                          subpel_r=me_subpel_r,
+                                          sqrt_lam=sqlam_me)
     multi_ref = ref2_y is not None
     ref_sel = None
     if multi_ref:
         ref2y = jnp.asarray(ref2_y, jnp.int32)
         mv1, sad1, pred1 = me.motion_estimate(cur, ref2y, block=s,
                                               precision=me_precision,
-                                              subpel_r=me_subpel_r)
+                                              subpel_r=me_subpel_r,
+                                              sqrt_lam=sqlam_me)
         # per-block reference pick: SAD + a sqrt-lambda-priced ref_idx
         # bin (HM-style ME bit weighting), masked off when the second
         # reference is not actually available this frame
@@ -915,6 +921,22 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
                 h, w, sbh_scan, scaling_lists)
+        # frame-level intra-preference signal for the scene-change
+        # restart (ref intra-ratio check, hmr_motion_inter.c:2836):
+        # the fallback's DC proxy is blind to angular-predictable
+        # content (rotating edges / wipes), so ALSO count blocks whose
+        # dense 35-mode SATD beats the ME result — when most of the
+        # frame would rather be intra, the next frame restarts as IDR
+        from homerhevc_tpu.models import intra_frame as _intra_model
+        with jax.named_scope("intra_pref"):
+            _, ip_cost = _intra_model._dense_best(
+                cur, 16, ctu,
+                jnp.sqrt(tables.rd_lambda(qp, True)
+                         .astype(jnp.float32)))
+            ip_count = jnp.sum(
+                ip_cost.reshape(-1) < sad_me.reshape(-1)
+                .astype(jnp.float32)).astype(jnp.int32)
+        cand_count = jnp.maximum(cand_count, ip_count)
 
     # ---- device CU-quadtree consolidation (VERDICT round-2 item 3):
     # fold 2x2 / 4x4 tile groups into 32/64 CUs with TU-size RDO.

@@ -190,15 +190,28 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
     return jnp.stack([z_h * 2, mv_h * 2])
 
 
-def select_mv(cur_blocks, ref_pad, pos_y, pos_x, cands, block: int):
+def select_mv(cur_blocks, ref_pad, pos_y, pos_x, cands, block: int,
+              anchor=None, sqrt_lam=None):
     """Pick per block among candidate MV fields by full-res integer
     SAD + |mv| tie-break; earlier candidates win ties.  cands: list of
-    [n, 2] int MV fields.  Returns [n, 2]."""
+    [n, 2] int MV fields.  Returns [n, 2].
+
+    With (anchor [2] or [n, 2] int pel, sqrt_lam), candidates pay the
+    HM-style motion bit cost sqrt(lambda) * mvd_bits(4*(cand-anchor))
+    — the reference prices every ME SAD against its AMVP predictor
+    (hmr_motion_inter.c mvcost); the field median plays the predictor
+    here, pulling noise-driven near-ties toward the coherent field."""
+    from homerhevc_tpu.ops import rdbits
+
     def int_sad(cand):
         win = _gather_windows(ref_pad, REF_PAD + pos_y + cand[:, 0],
                               REF_PAD + pos_x + cand[:, 1], block)
-        return (jnp.sum(jnp.abs(win - cur_blocks), (-1, -2))
-                + jnp.abs(cand[:, 0]) + jnp.abs(cand[:, 1]))
+        sad = (jnp.sum(jnp.abs(win - cur_blocks), (-1, -2))
+               + jnp.abs(cand[:, 0]) + jnp.abs(cand[:, 1]))
+        if anchor is not None:
+            sad = sad.astype(jnp.float32) + sqrt_lam \
+                * rdbits.mvd_bits(4 * (cand - anchor))
+        return sad
 
     sads = jnp.stack([int_sad(c) for c in cands], 0)
     best = jnp.argmin(sads, 0)
@@ -235,7 +248,8 @@ def refine_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int):
 
 
 def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
-                  precision: int = 2, r: int = 2):
+                  precision: int = 2, r: int = 2, anchor=None,
+                  sqrt_lam=None):
     """Dense subpel: evaluate ALL quarter-pel positions in [-r, r]^2
     around the integer MV (the TPU-idiomatic reshape of the reference's
     half-then-quarter 9+9 walk) and return (quarter-pel MV [n, 2],
@@ -277,9 +291,17 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
     t = jnp.einsum("nyx,pxo->pnyo", wf, jnp.asarray(bh_np), precision=hp)
     preds = interp.finish_uni(
         jnp.einsum("pnyo,pyz->pnzo", t, jnp.asarray(bv_np), precision=hp))
-    pen = np.asarray([abs(dy) + abs(dx) for dy, dx in offs], np.int32)
-    sads = jnp.sum(jnp.abs(preds - cur_blocks[None]), axis=(-1, -2)) \
-        + jnp.asarray(pen)[:, None]                    # [P, n]
+    sads = jnp.sum(jnp.abs(preds - cur_blocks[None]),
+                   axis=(-1, -2)).astype(jnp.float32)  # [P, n]
+    if anchor is not None and sqrt_lam is not None:
+        from homerhevc_tpu.ops import rdbits
+        offs_q = jnp.asarray(offs, jnp.int32)          # [P, 2]
+        mvd = mv_int[None] * 4 + offs_q[:, None] - anchor[None] * 4
+        sads = sads + sqrt_lam * rdbits.mvd_bits(mvd)  # [P, n]
+    else:
+        pen = np.asarray([abs(dy) + abs(dx) for dy, dx in offs],
+                         np.int32)
+        sads = sads + jnp.asarray(pen)[:, None]
     best = jnp.argmin(sads, axis=0)                    # [n]
     sad = jnp.min(sads, axis=0)
     dmv = jnp.asarray(offs, jnp.int32)[best]
@@ -343,7 +365,8 @@ def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
 
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
-                    precision: int = 2, subpel_r: int = 2):
+                    precision: int = 2, subpel_r: int = 2,
+                    sqrt_lam=None):
     """Full ME pipeline. cur/ref [H, W] int32. Returns (mv_q [bh,bw,2],
     sad [bh,bw], pred [n, B, B] final luma MC prediction)."""
     h, w = cur.shape
@@ -372,9 +395,11 @@ def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
                         block)
         med = field_median(mv0.reshape(bh, bw, 2))
         mv1 = select_mv(cur_blocks, ref_pad, pos_y, pos_x,
-                        [mv0, jnp.broadcast_to(med, mv0.shape)], block)
+                        [mv0, jnp.broadcast_to(med, mv0.shape)], block,
+                        anchor=med, sqrt_lam=sqrt_lam)
     with jax.named_scope("me.subpel"):
         mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y,
                                        pos_x, mv1, block, precision,
-                                       subpel_r)
+                                       subpel_r, anchor=med,
+                                       sqrt_lam=sqrt_lam)
     return mv2.reshape(bh, bw, 2), sad.reshape(bh, bw), pred

@@ -92,12 +92,16 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         mv0 = me.select_mv(cur_b, ref_pad, pos_y, pos_x, [rz, ra], s)
         mv0_full = jax.lax.all_gather(
             mv0.reshape(bh, bw, 2), row_axis).reshape(h // s, bw, 2)
+        med = me.field_median(mv0_full)
+        sqlam_me = jnp.sqrt(lam.astype(jnp.float32))
         mv1 = me.select_mv(
             cur_b, ref_pad, pos_y, pos_x,
-            [mv0, jnp.broadcast_to(me.field_median(mv0_full),
-                                   mv0.shape)], s)
+            [mv0, jnp.broadcast_to(med, mv0.shape)], s,
+            anchor=med, sqrt_lam=sqlam_me)
         mv_q, sad_me, pred = me.subpel_search(cur_b, ref_pad, pos_y,
-                                              pos_x, mv1, s)
+                                              pos_x, mv1, s,
+                                              anchor=med,
+                                              sqrt_lam=sqlam_me)
 
         # merge/skip RD (two coherence-propagation rounds, matching
         # encode_p_frame): candidate fields derive from the FULL grid
