@@ -654,23 +654,24 @@ _FALLBACK_CAP = 512          # max intra CUs per P frame (static shape)
 
 def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
                          qp, s, bh, bw, h, w, sbh_scan,
-                         scaling=False):
-    """Luma half of the isolated intra fallback: replace up to
-    _FALLBACK_CAP inter CUs by intra CUs.
+                         scaling=False, rounds: int = 2):
+    """Luma half of the intra fallback: replace up to _FALLBACK_CAP
+    inter CUs per round by intra CUs, over `rounds` batched passes.
 
-    Intra CUs are restricted to blocks whose 8-neighborhood stays
-    inter, so their ADI reference pixels come from inter
-    reconstructions that are final — the whole pass stays one batched
-    launch with no wavefront.  Candidates: DC-prediction SAD beats the
-    inter SAD with margin; the best ones are gathered via top-k (stream
-    compaction), fully mode-searched (all 35 modes), TQ-reconstructed
-    and scattered back.  Chroma follows in _intra_fallback_chroma once
-    the (post-quadtree) chroma reconstruction its ADI needs exists."""
+    Within a round, intra CUs are restricted to blocks whose
+    8-neighborhood holds no other PENDING pick, so their ADI reference
+    pixels are final (inter reconstructions, or intra blocks COMMITTED
+    by earlier rounds — both decoder-exact) — each round stays one
+    batched launch with no wavefront, and successive rounds grow
+    contiguous intra regions ring by ring (role of the reference's
+    free per-CU intra/inter arbitration, hmr_motion_inter.c:3043).
+    Candidates: DC-prediction SAD beats the inter SAD with margin; the
+    best are gathered via top-k (stream compaction), fully
+    mode-searched (all 35 modes), TQ-reconstructed and scattered back.
+    Chroma follows per round in _intra_fallback_chroma once the
+    (post-quadtree) chroma reconstruction its ADI needs exists."""
     nb = bh * bw
     kcap = min(_FALLBACK_CAP, nb)
-    plane_y = _unblocks(recon_y, h, w)
-    buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
-    buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
 
     avail = schedule.availability(bw, bh, 64 // s)
     amask = np.stack([avail["bottomleft"], avail["left"],
@@ -686,57 +687,67 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
 
     pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
-
-    adi = intra.substitute_refs(
-        _gather_adi_blocks(buf, pos_y, pos_x, s), pix_avail)
-
-    # ---- DC-proxy decision + isolation
-    dc = (jnp.sum(adi[:, s:2 * s], -1) + jnp.sum(
-        adi[:, 2 * s + 1:3 * s + 1], -1) + s) // (2 * s)
-    dc_sad = jnp.sum(jnp.abs(cur_b - dc[:, None, None]), (-1, -2))
     inter_sad = jnp.sum(jnp.abs(cur_b - inter_pred), (-1, -2))
-    cand = dc_sad.astype(jnp.float32) < 0.75 * inter_sad
-    cand_count = cand.sum().astype(jnp.int32)
-    cgrid = cand.reshape(bh, bw)
-    pad = jnp.pad(cgrid, 1)
-    neigh = jnp.zeros_like(cgrid)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            neigh = neigh | pad[1 + dy:1 + dy + bh, 1 + dx:1 + dx + bw]
-    isolated = (cgrid & ~neigh).reshape(nb)
 
-    gain = jnp.where(isolated, inter_sad - dc_sad, -1)
-    _, sel = jax.lax.top_k(gain, kcap)                # block indices
-    sel_ok = gain[sel] > 0                            # [kcap]
+    is_intra_blk = jnp.zeros((nb,), jnp.int32)
+    intra_modes = jnp.zeros((nb,), jnp.int32)
+    cand_count = jnp.int32(0)
+    rounds_out = []
+    for rnd in range(rounds):
+        plane_y = _unblocks(recon_y, h, w)
+        buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
+        buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
+        adi = intra.substitute_refs(
+            _gather_adi_blocks(buf, pos_y, pos_x, s), pix_avail)
 
-    # ---- full 35-mode search on the selected blocks
-    adi_sel = adi[sel]
-    preds = intra.predict_all_modes(adi_sel, s, True)  # [k, 35, S, S]
-    cur_sel = cur_b[sel]
-    sads = jnp.sum(jnp.abs(preds - cur_sel[:, None]), (-1, -2))
-    best = jnp.argmin(sads, -1).astype(jnp.int32)     # [k]
-    pred_sel = jnp.take_along_axis(
-        preds, best[:, None, None, None], 1)[:, 0]
-    qp_sel = qp[sel] if jnp.ndim(qp) > 0 else qp
-    lvl_sel, rr = _tq(cur_sel - pred_sel, s, qp_sel, True, sbh_scan,
-                      scaling)
-    rec_sel = jnp.clip(pred_sel + rr, 0, 255)
-    cbf_sel = jnp.any(lvl_sel != 0, (-1, -2))
+        # ---- DC-proxy decision + within-round isolation (committed
+        # intra neighbours are fine; pending picks are not)
+        dc = (jnp.sum(adi[:, s:2 * s], -1) + jnp.sum(
+            adi[:, 2 * s + 1:3 * s + 1], -1) + s) // (2 * s)
+        dc_sad = jnp.sum(jnp.abs(cur_b - dc[:, None, None]), (-1, -2))
+        cand = (dc_sad.astype(jnp.float32) < 0.75 * inter_sad) \
+            & (is_intra_blk == 0)
+        if rnd == 0:
+            cand_count = cand.sum().astype(jnp.int32)
+        cgrid = cand.reshape(bh, bw)
+        pad = jnp.pad(cgrid, 1)
+        neigh = jnp.zeros_like(cgrid)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                neigh = neigh | pad[1 + dy:1 + dy + bh,
+                                    1 + dx:1 + dx + bw]
+        isolated = (cgrid & ~neigh).reshape(nb)
 
-    slot = jnp.where(sel_ok, sel, nb)
-    recon_y = recon_y.at[slot].set(rec_sel, mode="drop")
-    level_y = level_y.at[slot].set(lvl_sel, mode="drop")
-    cbf_y = cbf_y.reshape(-1).at[slot].set(cbf_sel, mode="drop") \
-        .reshape(bh, bw)
-    is_intra_blk = jnp.zeros((nb,), jnp.int32).at[slot].set(1,
-                                                            mode="drop")
-    intra_modes = jnp.zeros((nb,), jnp.int32).at[slot].set(best,
-                                                           mode="drop")
+        gain = jnp.where(isolated, inter_sad - dc_sad, -1)
+        _, sel = jax.lax.top_k(gain, kcap)            # block indices
+        sel_ok = gain[sel] > 0                        # [kcap]
+
+        # ---- full 35-mode search on the selected blocks
+        adi_sel = adi[sel]
+        preds = intra.predict_all_modes(adi_sel, s, True)
+        cur_sel = cur_b[sel]
+        sads = jnp.sum(jnp.abs(preds - cur_sel[:, None]), (-1, -2))
+        best = jnp.argmin(sads, -1).astype(jnp.int32)  # [k]
+        pred_sel = jnp.take_along_axis(
+            preds, best[:, None, None, None], 1)[:, 0]
+        qp_sel = qp[sel] if jnp.ndim(qp) > 0 else qp
+        lvl_sel, rr = _tq(cur_sel - pred_sel, s, qp_sel, True,
+                          sbh_scan, scaling)
+        rec_sel = jnp.clip(pred_sel + rr, 0, 255)
+        cbf_sel = jnp.any(lvl_sel != 0, (-1, -2))
+
+        slot = jnp.where(sel_ok, sel, nb)
+        recon_y = recon_y.at[slot].set(rec_sel, mode="drop")
+        level_y = level_y.at[slot].set(lvl_sel, mode="drop")
+        cbf_y = cbf_y.reshape(-1).at[slot].set(cbf_sel, mode="drop") \
+            .reshape(bh, bw)
+        is_intra_blk = is_intra_blk.at[slot].set(1, mode="drop")
+        intra_modes = intra_modes.at[slot].set(best, mode="drop")
+        rounds_out.append((sel, slot, best))
     return (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
-            cand_count, sel, slot, best, amask)
-
+            cand_count, rounds_out, amask)
 
 def _gather_adi_blocks(b, py, px, size):
     top = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
@@ -917,7 +928,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     cand_count = jnp.int32(0)
     if intra_fallback:
         (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
-         cand_count, fb_sel, fb_slot, fb_best, fb_amask) = \
+         cand_count, fb_rounds, fb_amask) = \
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
                 h, w, sbh_scan, scaling_lists)
@@ -1049,14 +1060,17 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # ---- fallback chroma (after the chroma pass so its DM intra
     # prediction reads final neighbour reconstructions)
     if intra_fallback:
-        recon_u, level_u, cbf_u = _intra_fallback_chroma(
-            recon_u, u, level_u, cbf_u, fb_sel, fb_slot, fb_best,
-            fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
-            scaling_lists)
-        recon_v, level_v, cbf_v = _intra_fallback_chroma(
-            recon_v, v, level_v, cbf_v, fb_sel, fb_slot, fb_best,
-            fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
-            scaling_lists)
+        # per round, so a later round's chroma ADI reads the committed
+        # chroma reconstructions of the earlier rounds
+        for fb_sel, fb_slot, fb_best in fb_rounds:
+            recon_u, level_u, cbf_u = _intra_fallback_chroma(
+                recon_u, u, level_u, cbf_u, fb_sel, fb_slot, fb_best,
+                fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
+                scaling_lists)
+            recon_v, level_v, cbf_v = _intra_fallback_chroma(
+                recon_v, v, level_v, cbf_v, fb_sel, fb_slot, fb_best,
+                fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
+                scaling_lists)
 
     # running-distortion signal for rate control (role of the
     # reference's avg_dist accumulation, hmr_encoder_lib.c:2722-2752):
