@@ -305,6 +305,7 @@ class Encoder:
                     [self._gop_poc + j >= 2 for j in range(k)], bool))
         out = inter_frame.encode_p_chunk_jit(
             yps, ups, vps, *self._ref, qp=qp, qp_maps=qp_maps, block=16,
+            vis_h=cfg.height, vis_w=cfg.width,
             **ref2_kw,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao, ctu=ctu,

@@ -39,7 +39,7 @@ def _unblocks(blocks: jnp.ndarray, h: int, w: int):
         .reshape(h, w)
 
 
-def _rd_zero(level, recon, pred, cur, lam):
+def _rd_zero(level, recon, pred, cur, lam, inv=None):
     """Zero-residual RD decision (role of the reference's merge/skip
     zero-residual pass, check_rd_cost_merge_2nx2n hmr_motion_inter.c:
     2699-2786 and the cost_rd coefficient-sum heuristic hmr_common.h:50):
@@ -48,6 +48,10 @@ def _rd_zero(level, recon, pred, cur, lam):
     components go zero on a merged MV."""
     ssd_coded = jnp.sum((recon - cur) ** 2, (-1, -2)).astype(jnp.float32)
     ssd_zero = jnp.sum((pred - cur) ** 2, (-1, -2)).astype(jnp.float32)
+    if inv is not None:
+        # conformance-window padding: no displayable distortion
+        ssd_coded = jnp.where(inv, 0.0, ssd_coded)
+        ssd_zero = jnp.where(inv, 0.0, ssd_zero)
     # CABAC-LUT bit estimate (role of the reference's counter env,
     # hmr_binary_encoding.c:280): exact binarization structure replaces
     # the old 3*sum|level| proxy
@@ -105,10 +109,15 @@ def merge_candidate_fields(mv_grid, med=None):
 
 
 def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
-             n):
+             n, inv=None):
     """Shared candidate evaluation: TQ + zero-residual fold + cost.
     cur_c/preds: [nc*n, S, S]; bits_mv [nc, n].  Returns
-    (level, recon [nc*n, S, S], cost [nc, n])."""
+    (level, recon [nc*n, S, S], cost [nc, n]).
+
+    inv [n] bool marks blocks fully OUTSIDE the conformance window
+    (CTU padding): their pixels are never displayed, so they carry no
+    distortion and always fold to the zero-residual variant — the
+    padding costs merge/skip flags instead of coefficients."""
     qp_cands = jnp.tile(qp, nc) if jnp.ndim(qp) > 0 else qp
     level, rr = _tq(cur_c - preds, s, qp_cands, False, sbh_scan,
                     scaling)
@@ -117,6 +126,9 @@ def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
         .astype(jnp.float32).reshape(nc, n)
     ssd_zero = jnp.sum((preds - cur_c) ** 2, (-1, -2)) \
         .astype(jnp.float32).reshape(nc, n)
+    if inv is not None:
+        ssd_coded = jnp.where(inv[None], 0.0, ssd_coded)
+        ssd_zero = jnp.where(inv[None], 0.0, ssd_zero)
     bits_resid = (rdbits.residual_bits(level, s) + 2.0).reshape(nc, n)
     cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
     cost_zero = ssd_zero + lam * (bits_mv + 1.0)
@@ -131,7 +143,7 @@ def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
 def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
                    qp, lam, s, sbh_scan, cand_fields=None,
                    scaling=False, carry_in=None, ref_grid=None,
-                   ref_pads=None):
+                   ref_pads=None, inv=None):
     """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
     reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
     evaluated densely for every block at once).
@@ -193,7 +205,7 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     bits_lt = jnp.full((2, n), 3.0)
     lvl_lt, rec_lt, cost_lt = _cand_rd(
         jnp.tile(cur_b, (2, 1, 1)), lt_pred, qp, lam, s, sbh_scan,
-        scaling, bits_lt, 2, n)
+        scaling, bits_lt, 2, n, inv=inv)
 
     if carry_in is None:
         # own + global + zero (global: one MV -> whole-plane MC; zero:
@@ -215,7 +227,7 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
              rdbits.mvd_bits(-left_f) + 5.0], 0)
         lvl_ogz, rec_ogz, cost_ogz = _cand_rd(
             jnp.tile(cur_b, (3, 1, 1)), ogz_pred, qp, lam, s, sbh_scan,
-            scaling, bits_ogz, 3, n)
+            scaling, bits_ogz, 3, n, inv=inv)
         ogz_ref = jnp.concatenate(
             [own_ref, jnp.zeros((2 * n,), jnp.int32)], 0)
         fixed = (ogz_mv, ogz_pred, lvl_ogz, rec_ogz, cost_ogz, ogz_ref)
@@ -266,7 +278,7 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
                     recon_y, cost_child, elig_tile, qp, lam, bh, bw,
                     n: int, sbh_scan16, sbh_scan_big, scaling=False,
                     ref_flat=None, ref_pad=None, ref_pads=None,
-                    y0=0):
+                    y0=0, inv=None):
     """One consolidation level: fold n x n groups of 16x16 tiles into a
     (16n)x(16n) CU when the parent RD (with TU-size RDO) beats the sum
     of the children (TPU redesign of consolidate_prediction_info +
@@ -345,9 +357,20 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
         lam_g = lam
         qp_tile = qp
 
+    # visibility weight per tile (conformance-window padding carries
+    # no distortion)
+    visw = None
+    if inv is not None:
+        visw = (~inv[flat].reshape(g, n * n)).astype(jnp.float32)
+
+    def tile_ssd(a, b):
+        ssd_t = jnp.sum((a - b) ** 2, (-1, -2)).astype(jnp.float32)
+        if visw is not None:
+            ssd_t = ssd_t * visw
+        return jnp.sum(ssd_t, -1)
+
     # zero-residual variant
-    ssd_zero = jnp.sum((pred_t - o_tiles) ** 2, (-1, -2, -3)) \
-        .astype(jnp.float32)
+    ssd_zero = tile_ssd(pred_t, o_tiles)
     # merge-priced parent MV for uniform groups; majority-MV parents
     # usually land next to same-MV neighbours (the host finds a merge)
     # but may end up mvd-coded — price between the two
@@ -361,8 +384,7 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
         rec16 = jnp.clip(pred_t.reshape(-1, 16, 16) + rr16, 0, 255)
         l16 = l16.reshape(g, n * n, 16, 16)
         rec16 = rec16.reshape(g, n * n, 16, 16)
-        ssd16 = jnp.sum((rec16 - o_tiles) ** 2, (-1, -2, -3)) \
-            .astype(jnp.float32)
+        ssd16 = tile_ssd(rec16, o_tiles)
         rb16 = jnp.sum(rdbits.residual_bits(
             l16.reshape(-1, 16, 16), 16).reshape(g, n * n), -1)
         cost_tr1 = ssd16 + lam_g * (bits_mv + rb16 + 5.0)
@@ -390,8 +412,7 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
         rec_big = jnp.clip(pred_big + rrB, 0, 255)
         rbB = rdbits.residual_bits(lvl_big, 32)
         cbf_big_q = jnp.any(lvl_big != 0, (-1, -2))[:, None]
-    ssd_big = jnp.sum((rec_big - orig_big) ** 2, (-1, -2)) \
-        .astype(jnp.float32)
+    ssd_big = tile_ssd(_split_tiles(rec_big, n), o_tiles)
     cost_big = ssd_big + lam_g * (bits_mv + rbB + 4.0)
 
     parent_cost = jnp.minimum(jnp.minimum(cost_big, cost_tr1),
@@ -469,7 +490,7 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
                          recon_y, cost16, is_intra_blk, qp, lam,
                          bh: int, bw: int, sign_hiding: bool,
                          scaling: bool = False, ref_flat=None,
-                         ref_pad=None, ref_pads=None, y0=0):
+                         ref_pad=None, ref_pads=None, y0=0, inv=None):
     """Full bottom-up CU consolidation 16 -> 32 -> 64 with TU RDO.
 
     Returns (mv [bh,bw,2], level_y, recon_y, cbf_y [bh,bw],
@@ -487,7 +508,7 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
      trd32, tidx32) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32, scaling,
-        ref_flat, ref_pad, ref_pads, y0)
+        ref_flat, ref_pad, ref_pads, y0, inv)
 
     # level 64: with the majority-MV path any ref-uniform, intra-free
     # group is eligible — the parent is evaluated at the 16 tiles'
@@ -498,7 +519,7 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
      trd64, tidx64) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost32_tile, intra_t, qp, lam, bh, bw, 4, sbh16,
-        sbh32, scaling, ref_flat, ref_pad, ref_pads, y0)
+        sbh32, scaling, ref_flat, ref_pad, ref_pads, y0, inv)
 
     # granule maps
     cu_depth = jnp.full((bh * bw,), 2, jnp.int32)
@@ -654,7 +675,7 @@ _FALLBACK_CAP = 512          # max intra CUs per P frame (static shape)
 
 def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
                          qp, s, bh, bw, h, w, sbh_scan,
-                         scaling=False, rounds: int = 2):
+                         scaling=False, rounds: int = 2, inv=None):
     """Luma half of the intra fallback: replace up to _FALLBACK_CAP
     inter CUs per round by intra CUs, over `rounds` batched passes.
 
@@ -707,6 +728,8 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
         dc_sad = jnp.sum(jnp.abs(cur_b - dc[:, None, None]), (-1, -2))
         cand = (dc_sad.astype(jnp.float32) < 0.75 * inter_sad) \
             & (is_intra_blk == 0)
+        if inv is not None:
+            cand = cand & ~inv
         if rnd == 0:
             cand_count = cand.sum().astype(jnp.int32)
         cgrid = cand.reshape(bh, bw)
@@ -802,7 +825,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    scaling_lists: bool = False,
                    me_subpel_r: int = 2,
                    qp_map=None,
-                   ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None):
+                   ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
+                   vis_h: int = None, vis_w: int = None):
     """Encode one P frame against one or two references.
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
@@ -884,6 +908,16 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     pos_x = jnp.broadcast_to(pos_x, (bh, bw)).reshape(-1)
 
     cur_b = _blocks(cur, s)
+    # blocks fully outside the conformance window (CTU padding) are
+    # never displayed: they carry no distortion and fold to skip,
+    # costing flags instead of coefficients (vis_h/vis_w = visible
+    # frame dims; None = CTU-multiple frame)
+    inv16 = None
+    if (vis_h is not None and vis_w is not None
+            and (vis_h < h or vis_w < w)):
+        iy = np.arange(bh) * s >= vis_h
+        ix = np.arange(bw) * s >= vis_w
+        inv16 = jnp.asarray((iy[:, None] | ix[None, :]).reshape(-1))
     # merge/skip RD arbitration over candidate MVs (exact predictions,
     # full-lambda SSD + CABAC-LUT bits; ref check_rd_cost_merge_2nx2n).
     # Two rounds: round 2 rebuilds the neighbour candidates from round
@@ -907,7 +941,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                                pred, qp_t, lam_t, s, sbh_scan,
                                cand_fields=cands,
                                scaling=scaling_lists, carry_in=carry,
-                               ref_grid=rgrid, ref_pads=ref_pads)
+                               ref_grid=rgrid, ref_pads=ref_pads,
+                               inv=inv16)
             mv = mv_flat.reshape(bh, bw, 2)
             if multi_ref:
                 rgrid = carry["ref"].reshape(bh, bw)
@@ -931,7 +966,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
          cand_count, fb_rounds, fb_amask) = \
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
-                h, w, sbh_scan, scaling_lists)
+                h, w, sbh_scan, scaling_lists, inv=inv16)
         # frame-level intra-preference signal for the scene-change
         # restart (ref intra-ratio check, hmr_motion_inter.c:2836):
         # the fallback's DC proxy is blind to angular-predictable
@@ -968,7 +1003,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 cost16, dil.reshape(-1), qp_t, lam_t, bh, bw,
                 sign_hiding, scaling_lists,
                 ref_flat=None if not multi_ref else ref_sel.reshape(-1),
-                ref_pad=ref_pad, ref_pads=ref_pads)
+                ref_pad=ref_pad, ref_pads=ref_pads, inv=inv16)
         mv_f = mv.reshape(-1, 2)
 
         # chroma coding (single pass, post-quadtree): prediction at
@@ -1000,7 +1035,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                             scaling_lists)
             rec8 = jnp.clip(cpred + rr8, 0, 255)
             lvl8, rec8 = _rd_zero(lvl8, rec8, cpred, cb,
-                                  lam_ct * chroma_rd_scale)
+                                  lam_ct * chroma_rd_scale, inv=inv16)
             # TB16 path over 2x2 groups of chroma blocks
             g2h, g2w = bh // 2, bw // 2
             asm = lambda t: t.reshape(g2h, 2, g2w, 2, cs, cs) \
@@ -1014,8 +1049,13 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             lvl16c, rr16c = _tq(orig16 - pred16, 2 * cs, qp_ct_g,
                                 False, scan16, scaling_lists)
             rec16c = jnp.clip(pred16 + rr16c, 0, 255)
+            inv16g = None
+            if inv16 is not None:
+                inv16g = inv16.reshape(bh, bw)[::2, ::2].reshape(-1) \
+                    & inv16.reshape(bh, bw)[1::2, 1::2].reshape(-1)
             lvl16c, rec16c = _rd_zero(lvl16c, rec16c, pred16, orig16,
-                                      lam_ct_g * chroma_rd_scale)
+                                      lam_ct_g * chroma_rd_scale,
+                                      inv=inv16g)
             cbf16c = jnp.any(lvl16c != 0, (-1, -2))      # [g2]
 
             def tiles(p16):   # [g2, 2cs, 2cs] -> [bh, bw, cs, cs]
@@ -1183,12 +1223,14 @@ encode_p_frame_jit = jax.jit(
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset",
-                     "me_precision", "scaling_lists", "me_subpel_r"))
+                     "me_precision", "scaling_lists", "me_subpel_r",
+                     "vis_h", "vis_w"))
 
 
 def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
                    ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
                    **flags):
+    # (vis_h/vis_w ride through **flags into encode_p_frame)
     """Encode K consecutive P frames in ONE device program (lax.scan
     over the inter-frame reference dependency).
 
@@ -1259,4 +1301,5 @@ encode_p_chunk_jit = jax.jit(
     static_argnames=("block", "sign_hiding", "deblocking",
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset",
-                     "me_precision", "scaling_lists", "me_subpel_r"))
+                     "me_precision", "scaling_lists", "me_subpel_r",
+                     "vis_h", "vis_w"))
