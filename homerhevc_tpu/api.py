@@ -72,6 +72,21 @@ class Encoder:
         self._worker = concurrent.futures.ThreadPoolExecutor(
             max_workers=1)
 
+    def _chip_mesh(self, k: int):
+        """Mesh over cfg.num_chips devices for chunk sharding, or None
+        when single-chip / not divisible / not enough devices."""
+        n = self.cfg.num_chips
+        if n <= 1 or k % n != 0:
+            return None
+        if getattr(self, "_mesh_cache", None) is not None:
+            return self._mesh_cache
+        import jax
+        from jax.sharding import Mesh
+        if len(jax.devices()) < n:
+            return None
+        self._mesh_cache = Mesh(np.asarray(jax.devices()[:n]), ("gop",))
+        return self._mesh_cache
+
     # -- control (HENC_SETCFG re-configuration) --
     def control(self, cfg: EncoderConfig):
         """Reconfigure mid-stream.  Drains in-flight work first (the
@@ -196,8 +211,8 @@ class Encoder:
         vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
                         for f in frames])
         qp = self._rc.start_pic(True)
-        out = intra_frame.encode_i_chunk_jit(
-            yps, ups, vps, qp, ctu=ctu,
+        ikw = dict(
+            ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
             search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
@@ -206,6 +221,15 @@ class Encoder:
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset,
             tiles=cfg.tiles)
+        mesh = self._chip_mesh(k)
+        if mesh is not None:
+            # cfg.num_chips > 1: shard the chunk's frame axis over the
+            # chips (bit-transparent — all-intra frames are independent)
+            out = intra_frame.encode_i_chunk_sharded_jit(
+                yps, ups, vps, qp, mesh=mesh, **ikw)
+        else:
+            out = intra_frame.encode_i_chunk_jit(yps, ups, vps, qp,
+                                                 **ikw)
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
                      out["recon_v"][-1])
         self._ref2 = None

@@ -88,8 +88,13 @@ class EncoderConfig:
     # the wavefront's serialized steps further (measured: 10.6 -> 14.8
     # fps at 416x240 going 4 -> 12)
     intra_frames_per_launch: int = 8
-    num_chips: int = 1           # row-band sharding within a frame
-    num_hosts: int = 1           # GOP sharding across hosts
+    # >1: all-intra launch chunks shard their frame axis over this many
+    # chips (api._dispatch_i_chunk -> encode_i_chunk_sharded); the
+    # row/GOP sharded IPPP paths live in parallel/{wpp,gop}.py
+    num_chips: int = 1
+    # >1: offline GOP-parallel encode across hosts over DCN
+    # (parallel/multihost.py; requires jax.distributed processes)
+    num_hosts: int = 1
 
     # ---- derived ----
     @property

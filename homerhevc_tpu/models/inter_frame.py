@@ -39,6 +39,19 @@ def _unblocks(blocks: jnp.ndarray, h: int, w: int):
         .reshape(h, w)
 
 
+# Distortion weight for blocks fully inside the conformance-window
+# padding.  Zero would be "correct" (the pixels are never displayed)
+# but lets the padded band drift arbitrarily under zero-residual
+# folding — and the band IS read by the MC of visible edge blocks in
+# later frames (content entering at the pan edge predicts from it), so
+# unbounded drift decays visible quality frame over frame (measured:
+# -0.5 dB over 11 P frames at qp26 on the bench pan).  A small weight
+# keeps MV arbitration honest in the band (coherent global-motion skip
+# beats junk MVs) and codes a refresh coefficient only when drift
+# exceeds ~1/w of the visible threshold.
+_PAD_DIST_W = 0.0625
+
+
 def _rd_zero(level, recon, pred, cur, lam, inv=None):
     """Zero-residual RD decision (role of the reference's merge/skip
     zero-residual pass, check_rd_cost_merge_2nx2n hmr_motion_inter.c:
@@ -49,9 +62,11 @@ def _rd_zero(level, recon, pred, cur, lam, inv=None):
     ssd_coded = jnp.sum((recon - cur) ** 2, (-1, -2)).astype(jnp.float32)
     ssd_zero = jnp.sum((pred - cur) ** 2, (-1, -2)).astype(jnp.float32)
     if inv is not None:
-        # conformance-window padding: no displayable distortion
-        ssd_coded = jnp.where(inv, 0.0, ssd_coded)
-        ssd_zero = jnp.where(inv, 0.0, ssd_zero)
+        # conformance-window padding: no displayable distortion, but a
+        # small weight keeps the padded band loosely tracking the
+        # edge-replicated source (see _PAD_DIST_W)
+        ssd_coded = jnp.where(inv, ssd_coded * _PAD_DIST_W, ssd_coded)
+        ssd_zero = jnp.where(inv, ssd_zero * _PAD_DIST_W, ssd_zero)
     # CABAC-LUT bit estimate (role of the reference's counter env,
     # hmr_binary_encoding.c:280): exact binarization structure replaces
     # the old 3*sum|level| proxy
@@ -127,8 +142,10 @@ def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
     ssd_zero = jnp.sum((preds - cur_c) ** 2, (-1, -2)) \
         .astype(jnp.float32).reshape(nc, n)
     if inv is not None:
-        ssd_coded = jnp.where(inv[None], 0.0, ssd_coded)
-        ssd_zero = jnp.where(inv[None], 0.0, ssd_zero)
+        ssd_coded = jnp.where(inv[None], ssd_coded * _PAD_DIST_W,
+                              ssd_coded)
+        ssd_zero = jnp.where(inv[None], ssd_zero * _PAD_DIST_W,
+                             ssd_zero)
     bits_resid = (rdbits.residual_bits(level, s) + 2.0).reshape(nc, n)
     cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
     cost_zero = ssd_zero + lam * (bits_mv + 1.0)
@@ -361,7 +378,7 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
     # no distortion)
     visw = None
     if inv is not None:
-        visw = (~inv[flat].reshape(g, n * n)).astype(jnp.float32)
+        visw = jnp.where(inv[flat].reshape(g, n * n), _PAD_DIST_W, 1.0)
 
     def tile_ssd(a, b):
         ssd_t = jnp.sum((a - b) ** 2, (-1, -2)).astype(jnp.float32)

@@ -1040,3 +1040,28 @@ encode_i_chunk_jit = jax.jit(
                                      "chroma_qp_offset",
                                      "scaling_lists", "cu", "split_8x8",
                                      "search_nxn", "tiles"))
+
+
+def encode_i_chunk_sharded(ys, us, vs, qp, *, mesh, axis="gop",
+                           **flags):
+    """encode_i_chunk with the frame axis sharded over `mesh[axis]`
+    (cfg.num_chips consumption: all-intra frames are independent, so
+    chip parallelism is bit-transparent data parallelism — the TPU
+    reshape of the reference's n_enc_engines, hmr_encoder_lib.c:2640)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis)
+    fn = shard_map(
+        lambda y, u, v, q: encode_i_chunk(y, u, v, q, **flags),
+        mesh=mesh, in_specs=(spec, spec, spec, P()), out_specs=spec,
+        check_vma=False)
+    return fn(ys, us, vs, jnp.asarray(qp))
+
+
+encode_i_chunk_sharded_jit = jax.jit(
+    encode_i_chunk_sharded,
+    static_argnames=("mesh", "axis", "ctu", "sign_hiding",
+                     "rd_lambda_scale", "deblocking", "sao_enabled",
+                     "search_8x8", "chroma_qp_offset", "scaling_lists",
+                     "cu", "split_8x8", "search_nxn", "tiles"))

@@ -12,7 +12,8 @@ apply :960-1208) as dense whole-frame tensor passes:
   with cost = count*o^2 - 2*diff*o + lambda*rate (encoder choice);
 * mode decision picks min-cost of {OFF, 4 EO types, BO} per CTU (luma)
   and jointly over Cb+Cr for chroma (shared type idx per spec syntax);
-  merge-left/above is not used in round 1 (sao_merge = 0, conformant);
+  merge-left/above RDO adopts a neighbour's params when RD-cheaper
+  (raster scan below; flags emitted by the host coincidence pass);
 * apply is the spec 8.7.3 decoding process, bit-exact: the decoder's
   reconstruction must equal ours (validated against libde265).
 
@@ -222,13 +223,15 @@ def select_chroma(pcb, pcr):
 
 
 # ---------------------------------------------------------------------------
-# Merge-left RDO (ref sao_derive_mode_merge_rdo, hmr_sao.c:854).
+# Merge-left/up RDO (ref sao_derive_mode_merge_rdo, hmr_sao.c:854-959).
 #
 # TPU redesign: the reference walks CTUs serially and lets a CTU adopt
-# its LEFT (or above) neighbour's final params when RD-cheaper.  Here
-# every row runs the left-adoption chain as one batched `lax.scan` over
-# columns (rows are independent — vectorized); merge-UP is then caught
-# by the host coincidence pass for the exact-equality case.  The
+# its LEFT or ABOVE neighbour's FINAL params when RD-cheaper.  Here one
+# `lax.scan` over raster CTU order carries a rolling per-column buffer
+# of final params: at step (y, x) the buffer holds row y's finals for
+# columns < x and row y-1's finals for columns >= x, so buffer[x-1] is
+# the left candidate and buffer[x] the above one — the exact greedy the
+# reference computes, without materializing a wavefront.  The
 # distortion of adopting foreign params is exact, from the per-CTU
 # class statistics (the same cnt*o^2 - 2*diff*o identity the explicit
 # search uses).  Flags themselves are emitted by the host pass on
@@ -259,49 +262,75 @@ def _adopt_dist(stats_x, typ, off, bp):
                      .astype(jnp.float32))
 
 
-def merge_left_rdo(stats_y, stats_cb, stats_cr, expl, expl_cost,
-                   lam_y, avail_l):
-    """Propagate left-adoption along rows.
+def merge_adopt_rdo(stats_y, stats_cb, stats_cr, expl, expl_cost,
+              lam_y, avail_l, avail_u):
+    """Raster-order left/up adoption (one scan, rolling column buffer).
 
     expl: dict of explicit per-CTU params (t_y, off_y, bp_y, t_c,
     off_cb, bp_cb, off_cr, bp_cr), each [by, bx, ...];
     expl_cost [by, bx] = explicit D + lam*R (all comps);
-    avail_l [bx] bool = left neighbour exists and is in the same tile.
-    Returns final adopted params (same structure)."""
-    bx = expl_cost.shape[1]
-
-    def tx(s):
-        return tuple(jnp.moveaxis(a, -1, 0) for a in s)
-
-    sy, scb, scr = tx(stats_y), tx(stats_cb), tx(stats_cr)
+    avail_l / avail_u [by, bx] bool = neighbour exists and is in the
+    same tile.  Rates: merge-left = 1 ctx bin, merge-up = 2 (left flag
+    coded 0 first), explicit pays its present flags as 0s (spec
+    7.3.8.3).  Returns final adopted params (same structure)."""
+    by, bx = expl_cost.shape
+    nb = by * bx
     keys = ("t_y", "off_y", "bp_y", "t_c", "off_cb", "bp_cb",
             "off_cr", "bp_cr")
-    cols = {k: jnp.moveaxis(expl[k], 1, 0) for k in keys}  # [bx, by,...]
 
-    def step(carry, x):
-        sx_y = tuple(a[x] for a in sy)
-        sx_cb = tuple(a[x] for a in scb)
-        sx_cr = tuple(a[x] for a in scr)
-        d = (_adopt_dist(sx_y, carry["t_y"], carry["off_y"],
-                         carry["bp_y"])
-             + _adopt_dist(sx_cb, carry["t_c"], carry["off_cb"],
-                           carry["bp_cb"])
-             + _adopt_dist(sx_cr, carry["t_c"], carry["off_cr"],
-                           carry["bp_cr"]))
-        c_merge = d + lam_y * _MERGE_FLAG_BITS
-        c_expl = jnp.moveaxis(expl_cost, 1, 0)[x] \
-            + lam_y * _MERGE_FLAG_BITS
-        take = avail_l[x] & (c_merge < c_expl)            # [by]
+    def fl(s):
+        return tuple(a.reshape(a.shape[:-2] + (nb,)) for a in s)
+
+    sy, scb, scr = fl(stats_y), fl(stats_cb), fl(stats_cr)
+    flat = {k: expl[k].reshape((nb,) + expl[k].shape[2:]) for k in keys}
+    cost_f = expl_cost.reshape(nb)
+    av_l = avail_l.reshape(nb)
+    av_u = avail_u.reshape(nb)
+    fbits = lam_y * _MERGE_FLAG_BITS
+    big = jnp.float32(3e38)
+
+    def step(buf, t):
+        x = t - (t // bx) * bx
+        s1 = [tuple(jax.lax.dynamic_slice_in_dim(a, t, 1, a.ndim - 1)
+                    for a in s) for s in (sy, scb, scr)]
+
+        def cand_cost(c):
+            return (_adopt_dist(s1[0], c["t_y"], c["off_y"], c["bp_y"])
+                    + _adopt_dist(s1[1], c["t_c"], c["off_cb"],
+                                  c["bp_cb"])
+                    + _adopt_dist(s1[2], c["t_c"], c["off_cr"],
+                                  c["bp_cr"]))[0]
+
+        # x-1 clamps to 0 when x == 0; guarded by av_l there
+        left = {k: jax.lax.dynamic_slice_in_dim(buf[k], x - 1, 1, 0)
+                for k in keys}
+        up = {k: jax.lax.dynamic_slice_in_dim(buf[k], x, 1, 0)
+              for k in keys}
+        ex = {k: jax.lax.dynamic_slice_in_dim(flat[k], t, 1, 0)
+              for k in keys}
+        has_l = av_l[t]
+        has_u = av_u[t]
+        c_l = jnp.where(has_l, cand_cost(left) + fbits, big)
+        c_u = jnp.where(has_u, cand_cost(up) + 2.0 * fbits, big)
+        c_e = cost_f[t] + fbits * (has_l.astype(jnp.float32)
+                                   + has_u.astype(jnp.float32))
+        take_l = (c_l <= c_u) & (c_l < c_e)
+        take_u = ~take_l & (c_u < c_e)
         new = {}
         for k in keys:
-            e = cols[k][x]
-            t = take.reshape(take.shape + (1,) * (e.ndim - 1))
-            new[k] = jnp.where(t, carry[k], e)
-        return new, new
+            e = ex[k]
+            tl = take_l.reshape((1,) * e.ndim)
+            tu = take_u.reshape((1,) * e.ndim)
+            new[k] = jnp.where(tl, left[k], jnp.where(tu, up[k], e))
+        buf = {k: jax.lax.dynamic_update_slice_in_dim(
+            buf[k], new[k], x, 0) for k in keys}
+        return buf, {k: new[k][0] for k in keys}
 
-    init = {k: cols[k][0] for k in keys}
-    _, outs = jax.lax.scan(step, init, jnp.arange(bx))
-    return {k: jnp.moveaxis(outs[k], 0, 1) for k in keys}
+    buf0 = {k: jnp.zeros((bx,) + flat[k].shape[1:], flat[k].dtype)
+            for k in keys}
+    _, outs = jax.lax.scan(step, buf0, jnp.arange(nb, dtype=jnp.int32))
+    return {k: outs[k].reshape((by, bx) + flat[k].shape[1:])
+            for k in keys}
 
 
 def sao_component(org, rec, ctb: int, lam, secondary: bool = False):
@@ -313,17 +342,20 @@ def sao_component(org, rec, ctb: int, lam, secondary: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
-def _avail_left_np(bx: int, tiles) -> np.ndarray:
-    """[bx] bool: left CTU exists and is in the same tile column."""
-    av = np.ones(bx, bool)
-    av[0] = False
+def _avail_lu_np(by: int, bx: int, tiles):
+    """([by, bx], [by, bx]) bool: left / above CTU exists and is in the
+    same tile (spec 7.3.8.3 leftCtbInTile / upCtbInTile)."""
+    av_l = np.ones((by, bx), bool)
+    av_l[:, 0] = False
+    av_u = np.ones((by, bx), bool)
+    av_u[0, :] = False
     if tiles is not None:
-        tc = tiles[0]
-        for i in range(1, tc):
-            b = (i * bx) // tc
-            if b < bx:
-                av[b] = False
-    return av
+        from homerhevc_tpu.models.schedule import tile_bounds
+        for b in tile_bounds(bx, tiles[0])[1:-1]:
+            av_l[:, b] = False
+        for b in tile_bounds(by, tiles[1])[1:-1]:
+            av_u[b, :] = False
+    return av_l, av_u
 
 
 def sao_frame(org_y, org_u, org_v, rec_y, rec_u, rec_v,
@@ -346,13 +378,14 @@ def sao_frame(org_y, org_u, org_v, rec_y, rec_u, rec_v,
                                        secondary=True)
     t_y, off_y, bp_y, cost_y = select_luma(py)
     t_c, off_cb, off_cr, bp_cb, bp_cr, cost_c = select_chroma(pcb, pcr)
-    if merge_rdo and t_y.shape[1] > 1:
+    if merge_rdo and t_y.size > 1:
         expl = dict(t_y=t_y, off_y=off_y, bp_y=bp_y, t_c=t_c,
                     off_cb=off_cb, bp_cb=bp_cb, off_cr=off_cr,
                     bp_cr=bp_cr)
-        avail_l = jnp.asarray(_avail_left_np(t_y.shape[1], tiles))
-        fin = merge_left_rdo(sy, scb, scr, expl, cost_y + cost_c,
-                             jnp.float32(lam_y), avail_l)
+        av_l, av_u = _avail_lu_np(t_y.shape[0], t_y.shape[1], tiles)
+        fin = merge_adopt_rdo(
+            sy, scb, scr, expl, cost_y + cost_c,
+            jnp.float32(lam_y), jnp.asarray(av_l), jnp.asarray(av_u))
         t_y, off_y, bp_y = fin["t_y"], fin["off_y"], fin["bp_y"]
         t_c, off_cb, bp_cb = fin["t_c"], fin["off_cb"], fin["bp_cb"]
         off_cr, bp_cr = fin["off_cr"], fin["bp_cr"]

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -40,7 +41,7 @@ from homerhevc_tpu.ops import deblock, interp, me, packing, quant, sao, \
     jax.jit, static_argnames=("mesh", "row_axis", "block", "sign_hiding",
                               "deblocking", "sao_enabled", "ctu",
                               "chroma_rd_scale", "chroma_qp_offset",
-                              "scaling_lists"))
+                              "scaling_lists", "vis_h", "vis_w"))
 def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                               mesh: Mesh, row_axis: str = "row",
                               block: int = 16, sign_hiding: bool = True,
@@ -48,7 +49,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                               sao_enabled: bool = True, ctu: int = 64,
                               chroma_rd_scale: float = 1.0,
                               chroma_qp_offset: int = 0,
-                              scaling_lists: bool = False):
+                              scaling_lists: bool = False,
+                              vis_h: int = None, vis_w: int = None):
     """P-frame encode with CTU-row bands sharded over mesh[row_axis].
 
     Inputs are full planes (uint8/int32); the reference planes are
@@ -67,6 +69,14 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
     qp = jnp.asarray(qp, jnp.int32)
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp + chroma_qp_offset, 0, 57)]
+
+    # conformance-window padding mask (matches encode_p_frame's inv16)
+    inv_full = None
+    if (vis_h is not None and vis_w is not None
+            and (vis_h < h or vis_w < w)):
+        iy = np.arange(h // s) * s >= vis_h
+        ix = np.arange(w // s) * s >= vis_w
+        inv_full = jnp.asarray(iy[:, None] | ix[None, :])
 
     def local(y_b, u_b, v_b, refy, refu, refv, qp, qp_c):
         band = jax.lax.axis_index(row_axis).astype(jnp.int32)
@@ -114,6 +124,13 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
 
         mv_me = mv_q.reshape(bh, bw, 2)
         mv_band = mv_me
+        inv_b = None
+        inv_g = None
+        if inv_full is not None:
+            inv_b = jax.lax.dynamic_slice(
+                inv_full, (brow, 0), (bh, bw)).reshape(-1)
+            inv_g = (inv_b.reshape(bh, bw)[::2, ::2]
+                     & inv_b.reshape(bh, bw)[1::2, 1::2]).reshape(-1)
         carry = None
         for _ in range(2):
             mv_grid_full = jax.lax.all_gather(
@@ -125,7 +142,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                 inter_frame._merge_skip_rd(
                     cur_b, ref_pad, pos_y, pos_x, mv_me, pred, qp,
                     lam, s, sbh_scan, cand_fields=cands,
-                    scaling=scaling_lists, carry_in=carry)
+                    scaling=scaling_lists, carry_in=carry, inv=inv_b)
             mv_band = mv_flat.reshape(bh, bw, 2)
         pred = pred_sel
         mv = mv_band
@@ -138,7 +155,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                 cur_b, pred_sel, mv, level_y, recon_y,
                 cost16, jnp.zeros((bh * bw,), bool), qp, lam, bh, bw,
                 sign_hiding, scaling_lists,
-                ref_pad=ref_pad, y0=pos_y[0])
+                ref_pad=ref_pad, y0=pos_y[0], inv=inv_b)
         mv_fl = mv.reshape(-1, 2)
 
         cpad = me.REF_PAD // 2
@@ -158,7 +175,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                                        sbh_scan_c, scaling_lists)
             rec = jnp.clip(cpred + rrc, 0, 255)
             lvl, rec = inter_frame._rd_zero(lvl, rec, cpred, cb,
-                                            lam_c * chroma_rd_scale)
+                                            lam_c * chroma_rd_scale,
+                                            inv=inv_b)
             # 16x16 chroma TBs where the luma TB is 32-wide
             g2h, g2w = bh // 2, bw // 2
             asm = lambda t: t.reshape(g2h, 2, g2w, 2, cs, cs) \
@@ -171,7 +189,8 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                                           False, scan16, scaling_lists)
             rec16 = jnp.clip(pred16 + rr16, 0, 255)
             lvl16, rec16 = inter_frame._rd_zero(
-                lvl16, rec16, pred16, orig16, lam_c * chroma_rd_scale)
+                lvl16, rec16, pred16, orig16, lam_c * chroma_rd_scale,
+                inv=inv_g)
             cbf16 = jnp.any(lvl16 != 0, (-1, -2))
 
             def tiles(p16):

@@ -1,0 +1,39 @@
+"""cfg.num_chips consumption: all-intra chunks shard their frame axis
+over the chip mesh bit-transparently (api._dispatch_i_chunk ->
+intra_frame.encode_i_chunk_sharded)."""
+import numpy as np
+import jax
+import pytest
+
+from homerhevc_tpu.api import Encoder
+from homerhevc_tpu.config import EncoderConfig
+
+
+def _frames(n=8, h=64, w=128, seed=4):
+    rng = np.random.default_rng(seed)
+    g = np.mgrid[0:h + 8, 0:w + 8]
+    base = np.clip(((g[1] * 5 + g[0] * 3) % 221)
+                   + rng.integers(0, 18, g[0].shape), 0, 255) \
+        .astype(np.uint8)
+    return [(base[i:i + h, i:i + w],
+             base[0:h // 2, i:i + w // 2],
+             base[4:4 + h // 2, i:i + w // 2]) for i in range(n)]
+
+
+def test_num_chips_all_intra_bit_transparent():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 (virtual) devices")
+    frames = _frames()
+
+    def run(num_chips):
+        cfg = EncoderConfig(width=128, height=64, qp=33, intra_period=1,
+                            intra_frames_per_launch=8,
+                            num_chips=num_chips)
+        enc = Encoder(cfg)
+        out = []
+        for f in frames:
+            out.extend(enc.encode_async(*f))
+        out.extend(enc.flush())
+        return b"".join(fr.nalus for fr in out)
+
+    assert run(4) == run(1)

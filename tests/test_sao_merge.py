@@ -1,7 +1,7 @@
-"""SAO merge-left RDO (ops/sao.merge_left_rdo): a CTU adopts its left
-neighbour's params when RD-cheaper; adopted params are exactly equal so
-the host coincidence pass emits merge flags (ref sao_derive_mode_merge
-_rdo, hmr_sao.c:854)."""
+"""SAO merge-left/up RDO (ops/sao.merge_adopt_rdo): a CTU adopts its
+left or above neighbour's params when RD-cheaper; adopted params are
+exactly equal so the host coincidence pass emits merge flags (ref
+sao_derive_mode_merge_rdo, hmr_sao.c:854)."""
 import numpy as np
 import jax.numpy as jnp
 
@@ -83,5 +83,24 @@ def test_tile_boundary_blocks_adoption():
     # the tile boundary between the two CTUs forbids adoption: each
     # CTU keeps its own explicit optimum (-4 vs -3 bias -> different)
     assert (off[0, :, 1] != off[0, :, 0]).any()
-    av = sao._avail_left_np(2, (2, 1))
-    assert not av[1] and not av[0]
+    av_l, av_u = sao._avail_lu_np(1, 2, (2, 1))
+    assert not av_l[0, 1] and not av_l[0, 0]
+
+
+def test_merge_up_adopts_params():
+    """Two vertically stacked CTUs with close-but-different BO biases:
+    the lower CTU adopts the upper one's params (merge-up)."""
+    org, rec = _planes()
+    org, rec = org.T.copy(), rec.T.copy()            # 128x64: 2 rows
+    orgc = org[::2, ::2]
+    lam = 60.0
+    _, _, _, fields = sao.sao_frame(
+        org, orgc, orgc, rec, orgc, orgc, lam, lam, ctu=64,
+        merge_rdo=True)
+    t = np.asarray(fields["type"])
+    off = np.asarray(fields["offsets"])
+    bp = np.asarray(fields["band_pos"])
+    assert t[0, 0, 0] != 0
+    assert (t[:, 1, :] == t[:, 0, :]).all()
+    assert (off[:, 1, :] == off[:, 0, :]).all()
+    assert (bp[:, 1, :] == bp[:, 0, :]).all()

@@ -109,15 +109,20 @@ def test_row_sharding_bit_transparent():
         deblocking=True)
     refs = (iframe["recon_y"], iframe["recon_u"], iframe["recon_v"])
 
+    # vis_h/vis_w exercise the conformance-window padding weight on
+    # both paths (the bottom band carries padded rows, every band a
+    # padded block column)
     single = inter_frame.encode_p_frame_jit(
         y1, u1, v1, *refs, qp=30, block=16, sign_hiding=True,
-        deblocking=True, sao_enabled=True, intra_fallback=False)
+        deblocking=True, sao_enabled=True, intra_fallback=False,
+        vis_h=496, vis_w=112)
 
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("row",))
     sharded = wpp.encode_p_frame_rowsharded(
         jnp.asarray(y1), jnp.asarray(u1), jnp.asarray(v1),
         *[jnp.asarray(r, jnp.int32) for r in refs], qp=30, mesh=mesh,
-        block=16, sign_hiding=True, deblocking=True, sao_enabled=True)
+        block=16, sign_hiding=True, deblocking=True, sao_enabled=True,
+        vis_h=496, vis_w=112)
 
     np.testing.assert_array_equal(np.asarray(sharded["recon_y"]),
                                   np.asarray(single["recon_y"]))
