@@ -35,6 +35,14 @@ class EncoderConfig:
     height: int = 720
     frame_rate: float = 25.0
     qp: int = 32
+    # fixed-QP IPPP: code IDR slices this much finer than P slices.
+    # An I frame's quality propagates bit-free through every skipped
+    # P block of its GOP, so the GOP-optimal I operating point is
+    # finer than the per-frame lambda suggests (measured: -2 moves
+    # bits-at-equal-PSNR vs the reference from 1.15x to ~1.0x at the
+    # qp26 sweep point; conformant — slice_qp is per-slice syntax).
+    # -2 matches the industry ipratio≈1.4 convention (x265/HM).
+    intra_qp_offset: int = -2
     intra_period: int = 100
     gop_size: int = 100          # reference: num_b=0, IPPP within GOP
     num_ref_frames: int = 1

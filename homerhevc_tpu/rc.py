@@ -46,6 +46,9 @@ class RateControl:
         """Target-size bookkeeping + QP for the coming picture
         (ref hmr_rc_init_pic + hmr_rc_calc_cu_qp at consumed = 0)."""
         if not self.enabled:
+            if is_intra and self.cfg.intra_period != 1:
+                return int(_clip(self.cfg.qp
+                                 + self.cfg.intra_qp_offset, 0, 51))
             return self.cfg.qp
         ip = self._intra_period()
         intra_avg = 2.25 * self.average_pict_size * math.sqrt(ip)
