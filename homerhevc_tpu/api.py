@@ -220,7 +220,8 @@ class Encoder:
             search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset,
-            tiles=cfg.tiles)
+            tiles=cfg.tiles,
+            rd_refine=cfg.rd_mode == RDMode.RD_FULL)
         mesh = self._chip_mesh(k)
         if mesh is not None:
             # cfg.num_chips > 1: shard the chunk's frame axis over the
@@ -275,7 +276,8 @@ class Encoder:
             search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset,
-            tiles=cfg.tiles)
+            tiles=cfg.tiles,
+            rd_refine=cfg.rd_mode == RDMode.RD_FULL)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self._ref2 = None
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,

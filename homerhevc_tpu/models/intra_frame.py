@@ -195,7 +195,7 @@ def _blocks(plane: jnp.ndarray, b: int):
 
 
 def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None,
-                tiles=None):
+                tiles=None, topk: int = 1):
     """Best intra mode + cost for every s x s block, from source-pixel
     reference samples with exact availability.
 
@@ -241,8 +241,18 @@ def _dense_best(y32, s: int, ctu: int, sqrt_lam, adi_plane=None,
     top_m = jnp.where(amask[:, 3].reshape(bh, bw), top_m, 1)
     cands = _mpm_candidates(left_m.reshape(-1), top_m.reshape(-1))
     in_mpm = (all_m[..., None] == cands[:, None, :]).any(-1)
-    cost = all_s + sqrt_lam.astype(jnp.float32) \
-        * rdbits.intra_mode_bits(in_mpm)
+    mbits = rdbits.intra_mode_bits(in_mpm)
+    cost = all_s + sqrt_lam.astype(jnp.float32) * mbits
+    if topk > 1:
+        # SATD-preselected candidate list for the wavefront's full-RD
+        # mode refinement (role of the reference's loop-3 candidate
+        # evaluation, hmr_motion_intra.c:1226): modes + their estimated
+        # mode-signalling bits, best first
+        _, idx = jax.lax.top_k(-cost, topk)           # [nb, K]
+        mk = jnp.take_along_axis(all_m, idx, -1)
+        mb = jnp.take_along_axis(mbits, idx, -1)
+        return (jnp.moveaxis(mk, -1, 0).reshape(topk, bh, bw),
+                jnp.moveaxis(mb, -1, 0).reshape(topk, bh, bw))
     best = jnp.argmin(cost, -1).astype(jnp.int32)
     return best.reshape(bh, bw), jnp.min(cost, -1).reshape(bh, bw)
 
@@ -305,23 +315,38 @@ def _dense_best_chroma(u32, v32, lm_grid, s_l: int, ctu: int,
 
 def dense_decision(y32, ctu: int, sqrt_lam, search_8x8: bool = True,
                    u32=None, v32=None, sqrt_lam_c=None,
-                   adi_y=None, search_nxn: bool = False, tiles=None):
+                   adi_y=None, search_nxn: bool = False, tiles=None,
+                   refine_k: int = 1):
     """Dense MODE decision for the whole frame (one best mode per block
     at each tree level).  The CU-tree split decisions happen in the
     reconstruction pass with true SSD + lambda*bits RD (both paths are
     computed there anyway, ref consolidation hmr_motion_intra.c:1440).
     When chroma planes are given, also decides the chroma mode per CU
     at each level (5-candidate search)."""
-    with jax.named_scope("intra.dense32"):
-        mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam, adi_y, tiles)
-    with jax.named_scope("intra.dense16"):
-        mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam, adi_y, tiles)
+    extra = {}
+    if refine_k > 1:
+        with jax.named_scope("intra.dense32"):
+            m32k, mb32k = _dense_best(y32, 32, ctu, sqrt_lam, adi_y,
+                                      tiles, topk=refine_k)
+        with jax.named_scope("intra.dense16"):
+            m16k, mb16k = _dense_best(y32, 16, ctu, sqrt_lam, adi_y,
+                                      tiles, topk=refine_k)
+        mode32, mode16 = m32k[0], m16k[0]
+        extra = dict(mode32k=m32k, mbits32k=mb32k,
+                     mode16k=m16k, mbits16k=mb16k)
+    else:
+        with jax.named_scope("intra.dense32"):
+            mode32, _ = _dense_best(y32, 32, ctu, sqrt_lam, adi_y,
+                                    tiles)
+        with jax.named_scope("intra.dense16"):
+            mode16, _ = _dense_best(y32, 16, ctu, sqrt_lam, adi_y,
+                                    tiles)
     if search_8x8:
         with jax.named_scope("intra.dense8"):
             mode8, _ = _dense_best(y32, 8, ctu, sqrt_lam, adi_y, tiles)
     else:
         mode8 = jnp.repeat(jnp.repeat(mode16, 2, 0), 2, 1)
-    out = dict(mode32=mode32, mode16=mode16, mode8=mode8)
+    out = dict(mode32=mode32, mode16=mode16, mode8=mode8, **extra)
     if search_nxn:
         with jax.named_scope("intra.dense4"):
             mode4, _ = _dense_best(y32, 4, ctu, sqrt_lam, adi_y, tiles)
@@ -413,7 +438,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  scaling_lists: bool = False,
                  cu: int = None, split_8x8: bool = None,
                  dec_y=None, dec_u=None, dec_v=None,
-                 search_nxn: bool = False, tiles=None):
+                 search_nxn: bool = False, tiles=None,
+                 rd_refine: bool = False):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).  `cu` and
@@ -443,10 +469,12 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     # dec_* planes (when given) replace the ADI source only — SATD is
     # always against the true source pixels
     ady = None if dec_y is None else jnp.asarray(dec_y, jnp.int32)
+    K = 3 if rd_refine else 1      # rd=full: top-3 full-RD refinement
     dec = dense_decision(y32, ctu, sqrt_lambda, search_8x8,
                          u32=u32, v32=v32,
                          sqrt_lam_c=jnp.sqrt(lam_rd_c), adi_y=ady,
-                         search_nxn=search_nxn, tiles=tiles)
+                         search_nxn=search_nxn, tiles=tiles,
+                         refine_k=K)
 
     bh, bw = h // 16, w // 16            # 16-granule grid (record maps)
     b32h, b32w = h // 32, w // 32
@@ -486,11 +514,46 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         adi32 = intra.substitute_refs(
             jax.vmap(lambda yy, xx: g_adi(rec_y, yy, xx, 32))(y0, x0),
             _avail_mask(av32, 32))
-        pred32 = intra.predict_single_mode(adi32, m32, 32, True,
-                                           strong=True)
-        lvl32, rec32, cbf32 = _tq_recon(orig32, pred32, 32, qp, lam_rd,
-                                        sign_hiding=sign_hiding,
-                                        scaling=scaling_lists)
+        if rd_refine:
+            # full-RD mode refinement over the SATD top-K (role of the
+            # reference's loop-3 candidate RD, hmr_motion_intra.c:1226):
+            # reconstruct each candidate from the TRUE recon ADI and
+            # pick by SSD + lambda*(residual + mode bits)
+            m32k = jnp.stack([_gather_map(dec["mode32k"][k], by, bx, 0)
+                              for k in range(K)], 0)       # [K, nb]
+            mb32k = jnp.stack(
+                [_gather_map(dec["mbits32k"][k], by, bx, 0)
+                 for k in range(K)], 0).astype(jnp.float32)
+            origK = jnp.tile(orig32, (K, 1, 1))
+            predK = intra.predict_single_mode(
+                jnp.tile(adi32, (K, 1)), m32k.reshape(-1), 32, True,
+                strong=True)
+            lvlK, recK, cbfK = _tq_recon(origK, predK, 32, qp, lam_rd,
+                                         sign_hiding=sign_hiding,
+                                         scaling=scaling_lists)
+            costK = (jnp.sum((recK - origK) ** 2, (-1, -2))
+                     .astype(jnp.float32)
+                     + lamf * rdbits.residual_bits(lvlK, 32)) \
+                .reshape(K, nb) + lamf * mb32k
+            kb = jnp.argmin(costK, 0)                      # [nb]
+
+            def _pickK(a, k):
+                a = a.reshape(K, nb, *a.shape[1:])
+                idx = k.reshape((1, nb) + (1,) * (a.ndim - 2))
+                return jnp.take_along_axis(a, idx, 0)[0]
+
+            lvl32 = _pickK(lvlK, kb)
+            rec32 = _pickK(recK, kb)
+            cbf32 = _pickK(cbfK, kb)
+            m32_old = m32k[0]
+            m32 = jnp.take_along_axis(m32k, kb[None], 0)[0]
+        else:
+            pred32 = intra.predict_single_mode(adi32, m32, 32, True,
+                                               strong=True)
+            lvl32, rec32, cbf32 = _tq_recon(orig32, pred32, 32, qp,
+                                            lam_rd,
+                                            sign_hiding=sign_hiding,
+                                            scaling=scaling_lists)
 
         # ===== luma 16/8 path (patch covers slot + 16 right/below
         # ext); the four z-order sub-16s run as a lax.scan (and the
@@ -505,6 +568,20 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         m16_all = jnp.stack([_gather_map(dec["mode16"], 2 * by + q[0],
                                          2 * bx + q[1], 0)
                              for q in _SUB_OFF], 0)      # [4, nb]
+        if rd_refine:
+            m16k_all = jnp.stack(
+                [jnp.stack([_gather_map(dec["mode16k"][k],
+                                        2 * by + q[0], 2 * bx + q[1],
+                                        0) for k in range(K)], 0)
+                 for q in _SUB_OFF], 0)                  # [4, K, nb]
+            mb16k_all = jnp.stack(
+                [jnp.stack([_gather_map(dec["mbits16k"][k],
+                                        2 * by + q[0], 2 * bx + q[1],
+                                        0) for k in range(K)], 0)
+                 for q in _SUB_OFF], 0).astype(jnp.float32)
+        else:
+            m16k_all = m16_all[:, None]
+            mb16k_all = jnp.zeros(m16k_all.shape, jnp.float32)
         m8_all = jnp.stack(
             [jnp.stack([_gather_map(dec["mode8"],
                                     4 * by + 2 * q[0] + r[0],
@@ -512,6 +589,10 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                         for r in _SUB_OFF], 0)
              for q in _SUB_OFF], 0)                       # [4, 4, nb]
         cm32 = _gather_map(dec["cmode32"], by, bx, 0)
+        if rd_refine:
+            # chroma DM follows the refined luma mode (the signalled
+            # chroma candidate list derives from the final luma mode)
+            cm32 = jnp.where(cm32 == m32_old, m32, cm32)
         cm16_all = jnp.stack([_gather_map(dec["cmode16"], 2 * by + q[0],
                                           2 * bx + q[1], 0)
                               for q in _SUB_OFF], 0)     # [4, nb]
@@ -536,19 +617,48 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
         def sub16_body(carry, xk):
             patch, lvl_ch, cost_children = carry
-            off, av16_k, av8_k, av4_k, m16, m8_k, m4_k = xk
+            (off, av16_k, av8_k, av4_k, m16, m8_k, m4_k, m16k,
+             mb16k) = xk
             oy, ox = off[0], off[1]
             adi16 = intra.substitute_refs(
                 _patch_adi(patch, oy, ox, 16), _avail_mask(av16_k, 16))
-            pr16 = intra.predict_single_mode(adi16, m16, 16, True)
             o16 = jax.lax.dynamic_slice(orig32, (0, oy, ox),
                                         (nb, 16, 16))
-            l16, r16, c16 = _tq_recon(o16, pr16, 16, qp, lam_rd,
-                                      sign_hiding=sign_hiding,
-                                      scaling=scaling_lists)
-            cost16 = jnp.sum((r16 - o16) ** 2, (-1, -2)) \
-                .astype(jnp.float32) + lamf * (
-                    rdbits.residual_bits(l16, 16) + _CU_HDR_BITS)
+            if rd_refine:
+                # full-RD refinement over the SATD top-K (mode bits
+                # price the SELECTION; the exposed cost16 stays on the
+                # children's scale, which carries _CU_HDR_BITS only)
+                o16K = jnp.tile(o16, (K, 1, 1))
+                pr16K = intra.predict_single_mode(
+                    jnp.tile(adi16, (K, 1)), m16k.reshape(-1), 16,
+                    True)
+                l16K, r16K, c16K = _tq_recon(o16K, pr16K, 16, qp,
+                                             lam_rd,
+                                             sign_hiding=sign_hiding,
+                                             scaling=scaling_lists)
+                base = (jnp.sum((r16K - o16K) ** 2, (-1, -2))
+                        .astype(jnp.float32)
+                        + lamf * rdbits.residual_bits(l16K, 16)) \
+                    .reshape(K, nb)
+                kb16 = jnp.argmin(base + lamf * mb16k, 0)   # [nb]
+
+                def pick(a):
+                    a = a.reshape(K, nb, *a.shape[1:])
+                    idx = kb16.reshape((1, nb) + (1,) * (a.ndim - 2))
+                    return jnp.take_along_axis(a, idx, 0)[0]
+
+                l16, r16, c16 = pick(l16K), pick(r16K), pick(c16K)
+                m16 = jnp.take_along_axis(m16k, kb16[None], 0)[0]
+                cost16 = jnp.take_along_axis(base, kb16[None], 0)[0] \
+                    + lamf * _CU_HDR_BITS
+            else:
+                pr16 = intra.predict_single_mode(adi16, m16, 16, True)
+                l16, r16, c16 = _tq_recon(o16, pr16, 16, qp, lam_rd,
+                                          sign_hiding=sign_hiding,
+                                          scaling=scaling_lists)
+                cost16 = jnp.sum((r16 - o16) ** 2, (-1, -2)) \
+                    .astype(jnp.float32) + lamf * (
+                        rdbits.residual_bits(l16, 16) + _CU_HDR_BITS)
             if search_8x8:
                 offs8 = jnp.asarray(
                     [[8 * r[0], 8 * r[1]] for r in _SUB_OFF], jnp.int32)
@@ -680,10 +790,14 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 (offs, jnp.moveaxis(av16, 1, 0),
                  jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
                  jnp.moveaxis(av4, 1, 0),
-                 m16_all, m8_all, m4_all))
+                 m16_all, m8_all, m4_all, m16k_all, mb16k_all))
         rec_children = patch[:, 1:33, 1:33]
         m16_sel = m16_y                            # [4, nb]
         sp16_sel = sp16_y                          # [4, nb]
+        if rd_refine:
+            # chroma DM follows the refined per-quadrant luma mode
+            cm16_all = jnp.where(cm16_all == m16_all, m16_sel,
+                                 cm16_all)
         modes_q8 = jnp.moveaxis(m8_y2, 2, 0)       # [nb, 4, 4]
         cbf_q8 = jnp.moveaxis(cbf_y2, 2, 0)
         nxn_q8 = jnp.moveaxis(nxn_y2, 2, 0)        # [nb, 4, 4]
@@ -1021,7 +1135,7 @@ encode_frame_jit = jax.jit(
                                    "sao_enabled", "search_8x8",
                                    "chroma_qp_offset", "scaling_lists",
                                    "cu", "split_8x8", "search_nxn",
-                                   "tiles"))
+                                   "tiles", "rd_refine"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -1039,7 +1153,8 @@ encode_i_chunk_jit = jax.jit(
                                      "sao_enabled", "search_8x8",
                                      "chroma_qp_offset",
                                      "scaling_lists", "cu", "split_8x8",
-                                     "search_nxn", "tiles"))
+                                     "search_nxn", "tiles",
+                                     "rd_refine"))
 
 
 def encode_i_chunk_sharded(ys, us, vs, qp, *, mesh, axis="gop",
@@ -1064,4 +1179,5 @@ encode_i_chunk_sharded_jit = jax.jit(
     static_argnames=("mesh", "axis", "ctu", "sign_hiding",
                      "rd_lambda_scale", "deblocking", "sao_enabled",
                      "search_8x8", "chroma_qp_offset", "scaling_lists",
-                     "cu", "split_8x8", "search_nxn", "tiles"))
+                     "cu", "split_8x8", "search_nxn", "tiles",
+                     "rd_refine"))
