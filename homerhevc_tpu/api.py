@@ -72,6 +72,23 @@ class Encoder:
         self._worker = concurrent.futures.ThreadPoolExecutor(
             max_workers=1)
 
+    def _p_ladder_knobs(self) -> dict:
+        """Speed-ladder knobs of the P pipeline per rd_mode (measured
+        on TPU — fps/RD table in STATUS.md).  merge_rounds: coherence
+        rounds of the merge/skip RD; fallback_rounds: isolated-intra
+        growth rounds; quadtree_majority: evaluate non-MV-uniform
+        32/64 parents at the majority MV (ref's large-CU search,
+        hmr_motion_inter.c:2503)."""
+        rd = self.cfg.rd_mode
+        if rd == RDMode.RD_FULL:
+            return dict(merge_rounds=2, fallback_rounds=2,
+                        quadtree_majority=True)
+        if rd == RDMode.RD_FAST:
+            return dict(merge_rounds=2, fallback_rounds=2,
+                        quadtree_majority=True)
+        return dict(merge_rounds=1, fallback_rounds=1,
+                    quadtree_majority=False)
+
     def _chip_mesh(self, k: int):
         """Mesh over cfg.num_chips devices for chunk sharding, or None
         when single-chip / not divisible / not enough devices."""
@@ -343,7 +360,8 @@ class Encoder:
             # perf=FULL searches the complete +-3 qpel reachable set of
             # the reference's half+quarter walk; FAST/UFAST trim to +-2
             me_subpel_r=3 if cfg.performance_mode == PerfMode.FULL_COMPUTATION
-            else 2)
+            else 2,
+            **self._p_ladder_knobs())
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         if cfg.num_ref_frames >= 2:
             self._ref2 = (out["recon2_y"], out["recon2_u"],

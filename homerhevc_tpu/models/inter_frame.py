@@ -733,15 +733,16 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
     rounds_out = []
     for rnd in range(rounds):
         plane_y = _unblocks(recon_y, h, w)
-        buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
-        buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
-        adi = intra.substitute_refs(
-            _gather_adi_blocks(buf, pos_y, pos_x, s), pix_avail)
 
-        # ---- DC-proxy decision + within-round isolation (committed
-        # intra neighbours are fine; pending picks are not)
-        dc = (jnp.sum(adi[:, s:2 * s], -1) + jnp.sum(
-            adi[:, 2 * s + 1:3 * s + 1], -1) + s) // (2 * s)
+        # ---- DC-proxy decision from DENSE plane ops (the exact ADI
+        # gather over every block was the stage's dominant cost; the
+        # proxy only RANKS candidates, the coding below uses exact
+        # refs).  Top/left first-ring sums come from the edge-padded
+        # reconstruction.
+        pp = jnp.pad(plane_y, ((1, 0), (1, 0)), mode="edge")
+        top_sum = pp[0:h:s, 1:1 + w].reshape(bh, bw, s).sum(-1)
+        left_sum = pp[1:1 + h, 0:w:s].reshape(bh, s, bw).sum(1)
+        dc = ((top_sum + left_sum + s) // (2 * s)).reshape(nb)
         dc_sad = jnp.sum(jnp.abs(cur_b - dc[:, None, None]), (-1, -2))
         cand = (dc_sad.astype(jnp.float32) < 0.75 * inter_sad) \
             & (is_intra_blk == 0)
@@ -764,8 +765,13 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
         _, sel = jax.lax.top_k(gain, kcap)            # block indices
         sel_ok = gain[sel] > 0                        # [kcap]
 
-        # ---- full 35-mode search on the selected blocks
-        adi_sel = adi[sel]
+        # ---- full 35-mode search on the selected blocks (exact ADI
+        # references gathered for the SELECTED blocks only)
+        buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
+        buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
+        adi_sel = intra.substitute_refs(
+            _gather_adi_blocks(buf, pos_y[sel], pos_x[sel], s),
+            pix_avail[sel])
         preds = intra.predict_all_modes(adi_sel, s, True)
         cur_sel = cur_b[sel]
         sads = jnp.sum(jnp.abs(preds - cur_sel[:, None]), (-1, -2))
@@ -843,8 +849,17 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    me_subpel_r: int = 2,
                    qp_map=None,
                    ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
-                   vis_h: int = None, vis_w: int = None):
+                   vis_h: int = None, vis_w: int = None,
+                   merge_rounds: int = 2, fallback_rounds: int = 2,
+                   quadtree_majority: bool = True):
     """Encode one P frame against one or two references.
+
+    Speed-ladder knobs (mapped from perf_mode/rd_mode in api.py; each
+    measured on TPU in STATUS.md's ladder table):
+    merge_rounds — coherence-propagation rounds of the merge/skip RD;
+    fallback_rounds — isolated-intra growth rounds; quadtree_majority —
+    evaluate non-MV-uniform 32/64 parents at the majority MV (extra MC
+    gathers).
 
     y/u/v: uint8 planes (CTU-padded); ref_*: int32 reconstructed (and
     deblocked) reference planes of the same shapes.
@@ -951,7 +966,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         # own/global/zero (and round 1's winner) are carried cached
         carry = None
         rgrid = ref_sel
-        for _ in range(2):
+        for _ in range(merge_rounds):
             cands = merge_candidate_fields(mv)
             mv_flat, level_y, recon_y, pred_sel, cost16, carry = \
                 _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_me,
@@ -983,22 +998,34 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
          cand_count, fb_rounds, fb_amask) = \
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
-                h, w, sbh_scan, scaling_lists, inv=inv16)
+                h, w, sbh_scan, scaling_lists,
+                rounds=fallback_rounds, inv=inv16)
         # frame-level intra-preference signal for the scene-change
         # restart (ref intra-ratio check, hmr_motion_inter.c:2836):
         # the fallback's DC proxy is blind to angular-predictable
         # content (rotating edges / wipes), so ALSO count blocks whose
         # dense 35-mode SATD beats the ME result — when most of the
-        # frame would rather be intra, the next frame restarts as IDR
+        # frame would rather be intra, the next frame restarts as IDR.
+        # The dense pass is expensive (~14 ms/frame), so it only runs
+        # (lax.cond — a real branch under jit/scan) when the cheap
+        # signals suggest a possible scene change: many DC-proxy
+        # candidates, or a poorly predicted frame (high mean ME SAD).
         from homerhevc_tpu.models import intra_frame as _intra_model
-        with jax.named_scope("intra_pref"):
-            _, ip_cost = _intra_model._dense_best(
-                cur, 16, ctu,
-                jnp.sqrt(tables.rd_lambda(qp, True)
-                         .astype(jnp.float32)))
-            ip_count = jnp.sum(
-                ip_cost.reshape(-1) < sad_me.reshape(-1)
-                .astype(jnp.float32)).astype(jnp.int32)
+
+        def _dense_count(_):
+            with jax.named_scope("intra_pref"):
+                _, ip_cost = _intra_model._dense_best(
+                    cur, 16, ctu,
+                    jnp.sqrt(tables.rd_lambda(qp, True)
+                             .astype(jnp.float32)))
+                return jnp.sum(
+                    ip_cost.reshape(-1) < sad_me.reshape(-1)
+                    .astype(jnp.float32)).astype(jnp.int32)
+
+        mean_sad_px = jnp.sum(sad_me).astype(jnp.float32) / (h * w)
+        maybe_scene = (cand_count > nb // 4) | (mean_sad_px > 6.0)
+        ip_count = jax.lax.cond(maybe_scene, _dense_count,
+                                lambda _: jnp.int32(0), None)
         cand_count = jnp.maximum(cand_count, ip_count)
 
     # ---- device CU-quadtree consolidation (VERDICT round-2 item 3):
@@ -1020,7 +1047,9 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 cost16, dil.reshape(-1), qp_t, lam_t, bh, bw,
                 sign_hiding, scaling_lists,
                 ref_flat=None if not multi_ref else ref_sel.reshape(-1),
-                ref_pad=ref_pad, ref_pads=ref_pads, inv=inv16)
+                ref_pad=ref_pad if quadtree_majority else None,
+                ref_pads=ref_pads if quadtree_majority else None,
+                inv=inv16)
         mv_f = mv.reshape(-1, 2)
 
         # chroma coding (single pass, post-quadtree): prediction at
@@ -1241,7 +1270,8 @@ encode_p_frame_jit = jax.jit(
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
-                     "vis_h", "vis_w"))
+                     "vis_h", "vis_w", "merge_rounds",
+                     "fallback_rounds", "quadtree_majority"))
 
 
 def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
@@ -1319,4 +1349,5 @@ encode_p_chunk_jit = jax.jit(
                      "sao_enabled", "ctu", "intra_fallback",
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
-                     "vis_h", "vis_w"))
+                     "vis_h", "vis_w", "merge_rounds",
+                     "fallback_rounds", "quadtree_majority"))

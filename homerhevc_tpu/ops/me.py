@@ -366,37 +366,79 @@ def _mvd_bits(d: jnp.ndarray) -> jnp.ndarray:
 
 def motion_estimate(cur: jnp.ndarray, ref: jnp.ndarray, block: int = 16,
                     precision: int = 2, subpel_r: int = 2,
-                    sqrt_lam=None):
+                    sqrt_lam=None, row0=0, median_fn=None):
     """Full ME pipeline. cur/ref [H, W] int32. Returns (mv_q [bh,bw,2],
-    sad [bh,bw], pred [n, B, B] final luma MC prediction)."""
+    sad [bh,bw], pred [n, B, B] final luma MC prediction).
+
+    Refinement and arbitration are fused into TWO per-block gathers
+    total (one refine window, one subpel window): both coarse chains
+    refine inside ONE stacked-SAD pass, and the global-median candidate
+    is evaluated from a whole-plane slice (a single MV needs no
+    gathers).  Per-block window gathers are count-bound on TPU
+    (~5.5 ms per 3.8k-block call regardless of window size), so fewer
+    gather calls is the lever — the fused form saves 5 of 7."""
     h, w = cur.shape
     bh, bw = h // block, w // block
+    n = bh * bw
     with jax.named_scope("me.coarse"):
-        cands = coarse_search(cur, ref, block)    # [2, bh, bw, 2] pel
+        cands = coarse_search(cur, ref, block, row0=row0)  # [2,bh,bw,2]
     ref_pad = jnp.pad(ref, REF_PAD, mode="edge")
-    ys = (jnp.arange(bh) * block)[:, None] + jnp.zeros((bh, bw), jnp.int32)
-    xs = (jnp.arange(bw) * block)[None, :] + jnp.zeros((bh, bw), jnp.int32)
-    pos_y = ys.reshape(-1)
-    pos_x = xs.reshape(-1)
+    pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * block,
+                              bw)
+    pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * block, bh)
     cur_blocks = cur.reshape(bh, block, bw, block).transpose(
         0, 2, 1, 3).reshape(-1, block, block)
-    # refine BOTH chains at full res, then arbitrate at FULL
-    # resolution (where aliasing cannot beat an exact match); the
-    # field MEDIAN of the winners is a final global-motion candidate
-    # (ref AMVP/parent seeding, hmr_motion_inter.c:2060-2074, lifted
-    # to dense frame-level candidates)
+    # refine BOTH chains at full res in one gather+SAD pass, then
+    # arbitrate at FULL resolution (where aliasing cannot beat an
+    # exact match); the field MEDIAN of the winners is a final
+    # global-motion candidate (ref AMVP/parent seeding,
+    # hmr_motion_inter.c:2060-2074, lifted to dense frame candidates)
+    r = REFINE_R
     with jax.named_scope("me.refine"):
-        rz = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
-                           cands[0].reshape(-1, 2), block)
-        ra = refine_search(cur_blocks, ref_pad, pos_y, pos_x,
-                           cands[1].reshape(-1, 2), block)
+        bases = cands.reshape(-1, 2)                     # [2n, 2]
+        win = _gather_windows(
+            ref_pad,
+            REF_PAD + jnp.tile(pos_y, 2) + bases[:, 0] - r,
+            REF_PAD + jnp.tile(pos_x, 2) + bases[:, 1] - r,
+            block + 2 * r)                               # ONE gather
+        sads = _stacked_window_sads(
+            win, jnp.tile(cur_blocks, (2, 1, 1)), block, r)
+        k2 = (2 * r + 1) ** 2
+        offs = jnp.asarray([(dy, dx) for dy in range(-r, r + 1)
+                            for dx in range(-r, r + 1)], jnp.int32)
+        # [k2, 2, n] candidate costs with |mv| tie-break (already in
+        # _stacked_window_sads) + |base| chain tie-break
+        sads2 = sads.reshape(k2, 2, n) \
+            + jnp.abs(bases).sum(-1).reshape(2, n)[None]
+        flat = sads2.reshape(k2 * 2, n)
+        best = jnp.argmin(flat, 0)                       # [n]
+        sad0 = jnp.min(flat, 0)
+        mv_all = (bases.reshape(2, n, 2)[None]
+                  + offs[:, None, None]).reshape(k2 * 2, n, 2)
+        mv0 = jnp.take_along_axis(mv_all, best[None, :, None], 0)[0]
     with jax.named_scope("me.global_arb"):
-        mv0 = select_mv(cur_blocks, ref_pad, pos_y, pos_x, [rz, ra],
-                        block)
-        med = field_median(mv0.reshape(bh, bw, 2))
-        mv1 = select_mv(cur_blocks, ref_pad, pos_y, pos_x,
-                        [mv0, jnp.broadcast_to(med, mv0.shape)], block,
-                        anchor=med, sqrt_lam=sqrt_lam)
+        # median_fn hook: the row-sharded path passes an all_gathering
+        # median so every band sees the FULL field (bit-transparency)
+        med = (median_fn or field_median)(mv0.reshape(bh, bw, 2))
+        # median candidate: one whole-plane slice, no gathers
+        med_plane = jax.lax.dynamic_slice(
+            ref_pad, (REF_PAD + row0 + med[0], REF_PAD + med[1]),
+            (h, w))
+        med_blocks = med_plane.reshape(bh, block, bw, block) \
+            .transpose(0, 2, 1, 3).reshape(-1, block, block)
+        sad_med = jnp.sum(jnp.abs(med_blocks - cur_blocks), (-1, -2))
+        if sqrt_lam is not None:
+            from homerhevc_tpu.ops import rdbits
+            c0 = sad0.astype(jnp.float32) \
+                + sqrt_lam * rdbits.mvd_bits(4 * (mv0 - med[None]))
+            cm = sad_med.astype(jnp.float32) \
+                + sqrt_lam * rdbits.mvd_bits(jnp.zeros((1, 2),
+                                                       jnp.int32))
+        else:
+            c0 = sad0 + jnp.abs(mv0).sum(-1)
+            cm = sad_med + jnp.abs(med).sum()
+        take_med = cm < c0
+        mv1 = jnp.where(take_med[:, None], med[None], mv0)
     with jax.named_scope("me.subpel"):
         mv2, sad, pred = subpel_search(cur_blocks, ref_pad, pos_y,
                                        pos_x, mv1, block, precision,

@@ -226,45 +226,54 @@ def select_chroma(pcb, pcr):
 # Merge-left/up RDO (ref sao_derive_mode_merge_rdo, hmr_sao.c:854-959).
 #
 # TPU redesign: the reference walks CTUs serially and lets a CTU adopt
-# its LEFT or ABOVE neighbour's FINAL params when RD-cheaper.  Here one
-# `lax.scan` over raster CTU order carries a rolling per-column buffer
-# of final params: at step (y, x) the buffer holds row y's finals for
-# columns < x and row y-1's finals for columns >= x, so buffer[x-1] is
-# the left candidate and buffer[x] the above one — the exact greedy the
-# reference computes, without materializing a wavefront.  The
-# distortion of adopting foreign params is exact, from the per-CTU
-# class statistics (the same cnt*o^2 - 2*diff*o identity the explicit
-# search uses).  Flags themselves are emitted by the host pass on
-# param equality, so adoption needs no new transfer fields.
+# its LEFT or ABOVE neighbour's FINAL params when RD-cheaper.  A raster
+# scan over all CTUs is a by*bx-deep sequential chain (measured: it
+# dominated the whole SAO stage), so adoption runs in TWO passes:
+#
+#   1. LEFT chains: a lax.scan over columns only (bx steps), all rows
+#      decided in parallel — each CTU may adopt the final params of its
+#      left neighbour (exactly the reference's greedy restricted to
+#      merge-left chains);
+#   2. UP adoption: one batched pass — each CTU may adopt the pass-1
+#      final of the CTU above when that beats its pass-1 outcome.
+#
+# A pass-2 adoption can break a left chain below it (the host emits
+# merge flags from final-param coincidence, so the stream stays
+# conformant either way); the RD loss vs the exact raster greedy is the
+# rare case where an up-adoption would have enabled a cheaper left
+# chain.  The adopted distortion is exact, from the per-CTU class
+# statistics (the cnt*o^2 - 2*diff*o identity of the explicit search).
 # ---------------------------------------------------------------------------
 
 _MERGE_FLAG_BITS = 0.9     # ctx-coded sao_merge_*_flag, either value
 
 
-def _adopt_dist(stats_x, typ, off, bp):
-    """Exact SSD change of applying params (typ, off[...,4], bp) to the
-    CTUs of one column.  stats_x = (eo_diff [4,5,by], eo_cnt,
-    bo_diff [32,by], bo_cnt); typ/bp [by], off [by,4]."""
-    eo_d, eo_c, bo_d, bo_c = stats_x
-    of = off.astype(jnp.int32)
+def _adopt_dist(stats, typ, off, bp):
+    """Exact SSD change of applying params (typ, off [..., 4], bp) to
+    CTUs with statistics `stats` = (eo_diff [4, 5, ...], eo_cnt,
+    bo_diff [32, ...], bo_cnt); typ/bp [...] int32."""
+    eo_d, eo_c, bo_d, bo_c = stats
+    of = jnp.moveaxis(off.astype(jnp.int32), -1, 0)           # [4, ...]
     # EO dist for each of the 4 types -> select by typ-2
-    d_eo = jnp.sum(eo_c[:, 1:5] * (of.T ** 2)[None]
-                   - 2 * eo_d[:, 1:5] * of.T[None], axis=1)   # [4, by]
+    d_eo = jnp.sum(eo_c[:, 1:5] * (of ** 2)[None]
+                   - 2 * eo_d[:, 1:5] * of[None], axis=1)     # [4, ...]
     sel_eo = jnp.take_along_axis(
         d_eo, jnp.clip(typ - 2, 0, 3)[None], 0)[0]
     # BO dist over the 4 bands at band_pos
-    bands = (bp[None, :] + jnp.arange(4, dtype=jnp.int32)[:, None]) & 31
-    bd = jnp.take_along_axis(bo_d, bands, 0)                  # [4, by]
+    shape = (4,) + (1,) * bp.ndim
+    bands = (bp[None] + jnp.arange(4, dtype=jnp.int32)
+             .reshape(shape)) & 31
+    bd = jnp.take_along_axis(bo_d, bands, 0)                  # [4, ...]
     bc = jnp.take_along_axis(bo_c, bands, 0)
-    d_bo = jnp.sum(bc * (of.T ** 2) - 2 * bd * of.T, axis=0)
+    d_bo = jnp.sum(bc * (of ** 2) - 2 * bd * of, axis=0)
     return jnp.where(typ == 0, 0.0,
                      jnp.where(typ == 1, d_bo, sel_eo)
                      .astype(jnp.float32))
 
 
 def merge_adopt_rdo(stats_y, stats_cb, stats_cr, expl, expl_cost,
-              lam_y, avail_l, avail_u):
-    """Raster-order left/up adoption (one scan, rolling column buffer).
+                    lam_y, avail_l, avail_u):
+    """Two-pass left-chain / up adoption (see module comment above).
 
     expl: dict of explicit per-CTU params (t_y, off_y, bp_y, t_c,
     off_cb, bp_cb, off_cr, bp_cr), each [by, bx, ...];
@@ -274,63 +283,57 @@ def merge_adopt_rdo(stats_y, stats_cb, stats_cr, expl, expl_cost,
     coded 0 first), explicit pays its present flags as 0s (spec
     7.3.8.3).  Returns final adopted params (same structure)."""
     by, bx = expl_cost.shape
-    nb = by * bx
     keys = ("t_y", "off_y", "bp_y", "t_c", "off_cb", "bp_cb",
             "off_cr", "bp_cr")
-
-    def fl(s):
-        return tuple(a.reshape(a.shape[:-2] + (nb,)) for a in s)
-
-    sy, scb, scr = fl(stats_y), fl(stats_cb), fl(stats_cr)
-    flat = {k: expl[k].reshape((nb,) + expl[k].shape[2:]) for k in keys}
-    cost_f = expl_cost.reshape(nb)
-    av_l = avail_l.reshape(nb)
-    av_u = avail_u.reshape(nb)
     fbits = lam_y * _MERGE_FLAG_BITS
     big = jnp.float32(3e38)
 
-    def step(buf, t):
-        x = t - (t // bx) * bx
-        s1 = [tuple(jax.lax.dynamic_slice_in_dim(a, t, 1, a.ndim - 1)
-                    for a in s) for s in (sy, scb, scr)]
+    def col(s, x):
+        # stats of column x: [..., by]
+        return tuple(a[..., x] for a in s)
 
-        def cand_cost(c):
-            return (_adopt_dist(s1[0], c["t_y"], c["off_y"], c["bp_y"])
-                    + _adopt_dist(s1[1], c["t_c"], c["off_cb"],
-                                  c["bp_cb"])
-                    + _adopt_dist(s1[2], c["t_c"], c["off_cr"],
-                                  c["bp_cr"]))[0]
+    def cand_cost(sts, c):
+        sy_x, scb_x, scr_x = sts
+        return (_adopt_dist(sy_x, c["t_y"], c["off_y"], c["bp_y"])
+                + _adopt_dist(scb_x, c["t_c"], c["off_cb"], c["bp_cb"])
+                + _adopt_dist(scr_x, c["t_c"], c["off_cr"], c["bp_cr"]))
 
-        # x-1 clamps to 0 when x == 0; guarded by av_l there
-        left = {k: jax.lax.dynamic_slice_in_dim(buf[k], x - 1, 1, 0)
-                for k in keys}
-        up = {k: jax.lax.dynamic_slice_in_dim(buf[k], x, 1, 0)
-              for k in keys}
-        ex = {k: jax.lax.dynamic_slice_in_dim(flat[k], t, 1, 0)
-              for k in keys}
-        has_l = av_l[t]
-        has_u = av_u[t]
-        c_l = jnp.where(has_l, cand_cost(left) + fbits, big)
-        c_u = jnp.where(has_u, cand_cost(up) + 2.0 * fbits, big)
-        c_e = cost_f[t] + fbits * (has_l.astype(jnp.float32)
-                                   + has_u.astype(jnp.float32))
-        take_l = (c_l <= c_u) & (c_l < c_e)
-        take_u = ~take_l & (c_u < c_e)
+    # ---- pass 1: left chains (scan over columns, rows in parallel)
+    def step(carry, x):
+        prev = carry              # finals of column x-1: {k: [by, ...]}
+        sts = (col(stats_y, x), col(stats_cb, x), col(stats_cr, x))
+        ex = {k: expl[k][:, x] for k in keys}
+        has_l = avail_l[:, x]
+        has_u = avail_u[:, x]
+        c_l = jnp.where(has_l, cand_cost(sts, prev) + fbits, big)
+        c_e = expl_cost[:, x] + fbits * (has_l.astype(jnp.float32)
+                                         + has_u.astype(jnp.float32))
+        take_l = c_l < c_e
         new = {}
         for k in keys:
-            e = ex[k]
-            tl = take_l.reshape((1,) * e.ndim)
-            tu = take_u.reshape((1,) * e.ndim)
-            new[k] = jnp.where(tl, left[k], jnp.where(tu, up[k], e))
-        buf = {k: jax.lax.dynamic_update_slice_in_dim(
-            buf[k], new[k], x, 0) for k in keys}
-        return buf, {k: new[k][0] for k in keys}
+            tl = take_l.reshape((by,) + (1,) * (ex[k].ndim - 1))
+            new[k] = jnp.where(tl, prev[k], ex[k])
+        out = dict(new)
+        out["cost"] = jnp.minimum(c_l, c_e)
+        return new, out
 
-    buf0 = {k: jnp.zeros((bx,) + flat[k].shape[1:], flat[k].dtype)
+    init = {k: jnp.zeros((by,) + expl[k].shape[2:], expl[k].dtype)
             for k in keys}
-    _, outs = jax.lax.scan(step, buf0, jnp.arange(nb, dtype=jnp.int32))
-    return {k: outs[k].reshape((by, bx) + flat[k].shape[1:])
-            for k in keys}
+    _, outs = jax.lax.scan(step, init, jnp.arange(bx, dtype=jnp.int32))
+    # outs[k]: [bx, by, ...] -> [by, bx, ...]
+    p1 = {k: jnp.moveaxis(outs[k], 0, 1) for k in keys}
+    cost1 = jnp.moveaxis(outs["cost"], 0, 1)             # [by, bx]
+
+    # ---- pass 2: up adoption vs the pass-1 outcome (fully batched)
+    upc = {k: jnp.concatenate([p1[k][:1], p1[k][:-1]], 0) for k in keys}
+    sts_all = (stats_y, stats_cb, stats_cr)
+    c_u = jnp.where(avail_u, cand_cost(sts_all, upc) + 2.0 * fbits, big)
+    take_u = c_u < cost1
+    fin = {}
+    for k in keys:
+        tu = take_u.reshape((by, bx) + (1,) * (p1[k].ndim - 2))
+        fin[k] = jnp.where(tu, upc[k], p1[k])
+    return fin
 
 
 def sao_component(org, rec, ctb: int, lam, secondary: bool = False):

@@ -87,31 +87,24 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
 
         lam = tables.rd_lambda(qp, False)
         lam_c = tables.rd_lambda(qp_c, False)
-        cands = me.coarse_search(cur, refy, s, row0=row0)
         ref_pad = jnp.pad(refy, me.REF_PAD, mode="edge")
         pos_y = row0 + jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
         pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
         cur_b = inter_frame._blocks(cur, s)
-        # candidate arbitration matches the single-device path; the
-        # global-motion candidate uses the FULL field median (ICI
-        # all_gather) so results stay bit-transparent
-        rz = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
-                              cands[0].reshape(-1, 2), s)
-        ra = me.refine_search(cur_b, ref_pad, pos_y, pos_x,
-                              cands[1].reshape(-1, 2), s)
-        mv0 = me.select_mv(cur_b, ref_pad, pos_y, pos_x, [rz, ra], s)
-        mv0_full = jax.lax.all_gather(
-            mv0.reshape(bh, bw, 2), row_axis).reshape(h // s, bw, 2)
-        med = me.field_median(mv0_full)
+        # the shared fused ME (ops/me.motion_estimate); the global-
+        # motion candidate uses the FULL field median (ICI all_gather
+        # via median_fn) so results stay bit-transparent
         sqlam_me = jnp.sqrt(lam.astype(jnp.float32))
-        mv1 = me.select_mv(
-            cur_b, ref_pad, pos_y, pos_x,
-            [mv0, jnp.broadcast_to(med, mv0.shape)], s,
-            anchor=med, sqrt_lam=sqlam_me)
-        mv_q, sad_me, pred = me.subpel_search(cur_b, ref_pad, pos_y,
-                                              pos_x, mv1, s,
-                                              anchor=med,
-                                              sqrt_lam=sqlam_me)
+
+        def full_median(mv0_grid):
+            mv0_full = jax.lax.all_gather(mv0_grid, row_axis) \
+                .reshape(h // s, bw, 2)
+            return me.field_median(mv0_full)
+
+        mv_q, sad_me, pred = me.motion_estimate(
+            cur, refy, s, sqrt_lam=sqlam_me, row0=row0,
+            median_fn=full_median)
+        mv_q = mv_q.reshape(-1, 2)
 
         # merge/skip RD (two coherence-propagation rounds, matching
         # encode_p_frame): candidate fields derive from the FULL grid
