@@ -1060,19 +1060,27 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         lam_ct_g = lam_ct.reshape(bh // 2, 2, bw // 2, 2)[:, 0, :, 0] \
             .reshape(-1)
 
-        def rechroma(plane, refp, scan, refp2=None):
-            refc = jnp.asarray(refp, jnp.int32)
-            rp = jnp.pad(refc, cpad, mode="edge")
-            cby = cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1
-            cbx = cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1
-            if refp2 is None:
-                cw = me._gather_windows(rp, cby, cbx, cs + 3)
-            else:
-                rp2 = jnp.pad(jnp.asarray(refp2, jnp.int32), cpad,
-                              mode="edge")
-                cw = me._gather_windows_ref(
-                    jnp.stack([rp, rp2]), ref_sel.reshape(-1),
-                    cby, cbx, cs + 3)
+        # window gather for BOTH chroma planes (and both references in
+        # multi-ref) as ONE stacked ref-indexed call, hoisted out of
+        # the vmap below (the Pallas gather kernel cannot sit under
+        # jax.vmap)
+        cby = cpad + pos_y // 2 + (mv_f[:, 0] >> 3) - 1
+        cbx = cpad + pos_x // 2 + (mv_f[:, 1] >> 3) - 1
+        cpadf = lambda p: jnp.pad(jnp.asarray(p, jnp.int32), cpad,
+                                  mode="edge")
+        if multi_ref:
+            cplanes = jnp.stack([cpadf(ref_u), cpadf(ref2_u),
+                                 cpadf(ref_v), cpadf(ref2_v)])
+            ri = ref_sel.reshape(-1)
+            ri2 = jnp.concatenate([ri, 2 + ri])
+        else:
+            cplanes = jnp.stack([cpadf(ref_u), cpadf(ref_v)])
+            ri2 = jnp.repeat(jnp.arange(2, dtype=jnp.int32), nb)
+        cw2 = me._gather_windows_ref(
+            cplanes, ri2, jnp.tile(cby, 2), jnp.tile(cbx, 2),
+            cs + 3).reshape(2, nb, cs + 3, cs + 3)
+
+        def rechroma(plane, cw, scan):
             cpred = interp.mc_chroma_phases(cw, mv_f[:, 0] & 7,
                                             mv_f[:, 1] & 7, cs)
             cb = _blocks(jnp.asarray(plane, jnp.int32), cs)
@@ -1123,22 +1131,10 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 
         # Cb and Cr share every shape and table: run them as ONE
         # vmapped call (halves the sequential op count of the stage)
-        if multi_ref:
-            lvl_c2, rec_c2, cbf_c2 = jax.vmap(
-                lambda p, r, r2: rechroma(p, r, sbh_scan_c, r2))(
-                    jnp.stack([jnp.asarray(u, jnp.int32),
-                               jnp.asarray(v, jnp.int32)]),
-                    jnp.stack([jnp.asarray(ref_u, jnp.int32),
-                               jnp.asarray(ref_v, jnp.int32)]),
-                    jnp.stack([jnp.asarray(ref2_u, jnp.int32),
-                               jnp.asarray(ref2_v, jnp.int32)]))
-        else:
-            lvl_c2, rec_c2, cbf_c2 = jax.vmap(
-                lambda p, r: rechroma(p, r, sbh_scan_c))(
-                    jnp.stack([jnp.asarray(u, jnp.int32),
-                               jnp.asarray(v, jnp.int32)]),
-                    jnp.stack([jnp.asarray(ref_u, jnp.int32),
-                               jnp.asarray(ref_v, jnp.int32)]))
+        lvl_c2, rec_c2, cbf_c2 = jax.vmap(
+            lambda p, cwv: rechroma(p, cwv, sbh_scan_c))(
+                jnp.stack([jnp.asarray(u, jnp.int32),
+                           jnp.asarray(v, jnp.int32)]), cw2)
         level_u, level_v = lvl_c2[0], lvl_c2[1]
         recon_u, recon_v = rec_c2[0], rec_c2[1]
         cbf_u, cbf_v = cbf_c2[0], cbf_c2[1]

@@ -20,6 +20,7 @@ MVs returned in quarter-pel, y/x order. All integer arithmetic.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -220,9 +221,26 @@ def select_mv(cur_blocks, ref_pad, pos_y, pos_x, cands, block: int,
         allc, best[None, :, None], 0)[0]
 
 
+# Per-block window gathers go through the Pallas DMA kernel on TPU
+# (ops/pallas_kernels.gather_windows_pallas, bit-equal to the XLA
+# path, 1.4-5x faster per call); the XLA vmap(dynamic_slice) is the
+# CPU path.  NOTE the Pallas form cannot sit under jax.vmap — batched
+# callers hoist the gather (see inter_frame's chroma pass).
+USE_PALLAS_GATHER = os.environ.get("HOMER_PALLAS_GATHER", "1") != "0"
+
+
+def _pallas_ok():
+    return USE_PALLAS_GATHER and jax.default_backend() != "cpu"
+
+
 def _gather_windows(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
                     base_x: jnp.ndarray, size: int):
     """ref_pad [Hp, Wp]; base_*: [n] absolute coords into ref_pad."""
+    if _pallas_ok():
+        from homerhevc_tpu.ops import pallas_kernels
+        return pallas_kernels.gather_windows_pallas(
+            ref_pad, base_y, base_x, size)
+
     def one(by, bx):
         return jax.lax.dynamic_slice(ref_pad, (by, bx), (size, size))
     return jax.vmap(one)(base_y, base_x)
@@ -316,6 +334,11 @@ def _gather_windows_ref(ref_pads, ref, base_y, base_x, size: int):
     """ref_pads [R, Hp, Wp]; ref [n] picks the reference plane per
     block (multi-ref: spec ref_idx_l0).  Windows never cross plane
     boundaries, so indexing the stacked leading axis is exact."""
+    if _pallas_ok():
+        from homerhevc_tpu.ops import pallas_kernels
+        return pallas_kernels.gather_windows_ref_pallas(
+            ref_pads, ref, base_y, base_x, size)
+
     def one(r, by, bx):
         return jax.lax.dynamic_slice(ref_pads, (r, by, bx),
                                      (1, size, size))[0]

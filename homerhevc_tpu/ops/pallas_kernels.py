@@ -1,15 +1,27 @@
 """Pallas TPU kernels for hot encoder ops.
 
-First resident: the quarter-resolution full-search SAD of the coarse
-motion-estimation stage (ops/me._slab_search).  The XLA formulation
-re-streams the downsampled planes from HBM for each of the 289 offsets;
-this kernel pins both planes in VMEM once and runs the whole
-offset loop (abs-diff -> MXU pooling matmul -> running argmin) on-chip.
+Residents:
 
-The kernel is bit-equivalent to the jnp path (same visit order, strict
-`<`, exact f32 integer sums) — asserted by tests/test_pallas.py in
-interpreter mode, so CI needs no TPU.  The jnp path remains the CPU
-fallback (interpret mode is too slow for per-frame use).
+* gather_windows_pallas — per-block window gather (the encoder's
+  universal primitive: ME refine/subpel windows, MC windows, chroma MC
+  windows all read a [size, size] patch of a padded reference plane at
+  per-block dynamic offsets).  The XLA lowering of
+  vmap(dynamic_slice) costs ~5.5 ms per 3.6k-block call at 720p
+  REGARDLESS of window size (it is gather-op-count-bound); this kernel
+  issues the patches as batched async HBM->VMEM DMAs, which the DMA
+  engines pipeline.  Replaces ops/me._gather_windows on TPU.
+
+* slab_search_pallas — the quarter-resolution full-search SAD of the
+  coarse motion-estimation stage (ops/me._slab_search).  The XLA
+  formulation re-streams the downsampled planes from HBM for each of
+  the 289 offsets; this kernel pins both planes in VMEM once and runs
+  the whole offset loop (abs-diff -> MXU pooling matmul -> running
+  argmin) on-chip.  (Parked on a Mosaic miscompile; see ops/me.py.)
+
+Kernels are bit-equivalent to the jnp paths — asserted by
+tests/test_pallas.py in interpreter mode, so CI needs no TPU.  The jnp
+paths remain the CPU fallback (interpret mode is too slow for
+per-frame use).
 """
 from __future__ import annotations
 
@@ -20,6 +32,171 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# blocks gathered per grid step (one DMA semaphore each; the step's
+# DMAs are all in flight together before the first wait)
+_GATHER_CHUNK = 64
+_LANES = 256      # superwindow lanes: 128-aligned origin + size<=128
+
+
+def _gsizes(size: int):
+    """(aligned output size S, superwindow rows) for a window size.
+    DMA slices must be tile-aligned in BOTH offset and shape (Mosaic
+    tiling (8, 128)), so the kernel copies rows [y&~7, y&~7+ROWS) and
+    lanes [x&~127, x&~127+256): ROWS covers the 0..7 row phase plus
+    the window; 256 lanes cover the 0..127 lane phase plus size<=128."""
+    s_out = (size + 7) // 8 * 8
+    rows = (size + 7 + 7) // 8 * 8
+    return s_out, rows
+
+
+def _extract(win_f, by_phase, bx_phase, s_out: int, chunk: int,
+             rows: int):
+    """Shift each [rows, 256] superwindow so the true origin lands at
+    (0, 0), via exact one-hot selection matmuls (dynamic lane slices
+    are not expressible on the TPU tile grid; 0/1-weight f32 matmuls
+    are, and they are exact for the int32 pixel/pooled-sum range).
+    win_f [chunk, rows, 256] f32; *_phase: [chunk] scalars lists."""
+    rid = jax.lax.broadcasted_iota(jnp.int32, (_LANES, s_out), 0)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (_LANES, s_out), 1)
+    colsel = jnp.stack([(rid - cid == dx).astype(jnp.float32)
+                        for dx in bx_phase])      # [chunk, 256, S]
+    rid2 = jax.lax.broadcasted_iota(jnp.int32, (s_out, rows), 0)
+    cid2 = jax.lax.broadcasted_iota(jnp.int32, (s_out, rows), 1)
+    rowsel = jnp.stack([(cid2 - rid2 == dy).astype(jnp.float32)
+                        for dy in by_phase])      # [chunk, S, rows]
+    t = jax.lax.dot_general(
+        win_f, colsel, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # [chunk, rows, S]
+    return jax.lax.dot_general(
+        rowsel, t, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # [chunk, S, S]
+
+
+def _gather_kernel(by_ref, bx_ref, ref_hbm, out_ref, scratch, sems, *,
+                   chunk: int, rows: int, s_out: int):
+    i = pl.program_id(0)
+
+    def dma(j):
+        k = i * chunk + j
+        y0 = by_ref[k] // 8 * 8
+        x0 = bx_ref[k] // 128 * 128
+        return pltpu.make_async_copy(
+            ref_hbm.at[pl.ds(y0, rows), pl.ds(x0, _LANES)],
+            scratch.at[j], sems.at[j])
+
+    for j in range(chunk):
+        dma(j).start()
+    for j in range(chunk):
+        dma(j).wait()
+    byp = [by_ref[i * chunk + j] % 8 for j in range(chunk)]
+    bxp = [bx_ref[i * chunk + j] % 128 for j in range(chunk)]
+    out_ref[:] = _extract(scratch[:].astype(jnp.float32), byp, bxp,
+                          s_out, chunk, rows).astype(jnp.int32)
+
+
+def gather_windows_pallas(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
+                          base_x: jnp.ndarray, size: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """[n, size, size] windows of ref_pad (int32 [Hp, Wp]) at int32
+    per-window origins (base_y, base_x) [n].  Origins are clamped to
+    the plane (the jnp path's dynamic_slice semantics)."""
+    assert size <= 128
+    n = base_y.shape[0]
+    hp, wp = ref_pad.shape
+    chunk = _GATHER_CHUNK
+    s_out, rows = _gsizes(size)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    by = jnp.pad(jnp.clip(base_y, 0, hp - size), (0, n_pad - n))
+    bx = jnp.pad(jnp.clip(base_x, 0, wp - size), (0, n_pad - n))
+    # superwindows read past the clamped origin; zero-pad the plane so
+    # the overhang exists (the junk lands in lanes/rows >= size, which
+    # the final slice drops)
+    refp = jnp.pad(ref_pad, ((0, rows), (0, _LANES)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (chunk, s_out, s_out), lambda i, by, bx: (i, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk, rows, _LANES), ref_pad.dtype),
+                        pltpu.SemaphoreType.DMA((chunk,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, chunk=chunk, rows=rows,
+                          s_out=s_out),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s_out, s_out),
+                                       ref_pad.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(by, bx, refp)
+    return out[:n, :size, :size]
+
+
+def _gather_ref_kernel(ri_ref, by_ref, bx_ref, ref_hbm, out_ref,
+                       scratch, sems, *, chunk: int, rows: int,
+                       s_out: int):
+    i = pl.program_id(0)
+
+    def dma(j):
+        k = i * chunk + j
+        y0 = by_ref[k] // 8 * 8
+        x0 = bx_ref[k] // 128 * 128
+        return pltpu.make_async_copy(
+            ref_hbm.at[ri_ref[k], pl.ds(y0, rows), pl.ds(x0, _LANES)],
+            scratch.at[j], sems.at[j])
+
+    for j in range(chunk):
+        dma(j).start()
+    for j in range(chunk):
+        dma(j).wait()
+    byp = [by_ref[i * chunk + j] % 8 for j in range(chunk)]
+    bxp = [bx_ref[i * chunk + j] % 128 for j in range(chunk)]
+    out_ref[:] = _extract(scratch[:].astype(jnp.float32), byp, bxp,
+                          s_out, chunk, rows).astype(jnp.int32)
+
+
+def gather_windows_ref_pallas(ref_pads: jnp.ndarray,
+                              ref_idx: jnp.ndarray,
+                              base_y: jnp.ndarray, base_x: jnp.ndarray,
+                              size: int,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Multi-reference variant: ref_pads [R, Hp, Wp]; ref_idx [n] picks
+    the plane per window (spec ref_idx_l0)."""
+    assert size <= 128
+    n = base_y.shape[0]
+    _, hp, wp = ref_pads.shape
+    chunk = _GATHER_CHUNK
+    s_out, rows = _gsizes(size)
+    n_pad = (n + chunk - 1) // chunk * chunk
+    ri = jnp.pad(jnp.clip(ref_idx, 0, ref_pads.shape[0] - 1),
+                 (0, n_pad - n))
+    by = jnp.pad(jnp.clip(base_y, 0, hp - size), (0, n_pad - n))
+    bx = jnp.pad(jnp.clip(base_x, 0, wp - size), (0, n_pad - n))
+    refp = jnp.pad(ref_pads, ((0, 0), (0, rows), (0, _LANES)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (chunk, s_out, s_out), lambda i, ri, by, bx: (i, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk, rows, _LANES),
+                                   ref_pads.dtype),
+                        pltpu.SemaphoreType.DMA((chunk,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_ref_kernel, chunk=chunk, rows=rows,
+                          s_out=s_out),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s_out, s_out),
+                                       ref_pads.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ri, by, bx, refp)
+    return out[:n, :size, :size]
 
 
 @functools.lru_cache(maxsize=None)
