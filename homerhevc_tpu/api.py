@@ -12,6 +12,7 @@ import concurrent.futures
 import dataclasses
 from typing import BinaryIO, Optional
 
+import jax
 import numpy as np
 
 from homerhevc_tpu.config import EncoderConfig, PerfMode, RDMode
@@ -324,17 +325,20 @@ class Encoder:
             self._force_idr = True
         else:
             frames = list(frames)
-        yps = np.stack([_pad_plane(np.asarray(f[0], np.uint8), ctu)
-                        for f in frames])
-        ups = np.stack([_pad_plane(np.asarray(f[1], np.uint8), ctu // 2)
-                        for f in frames])
-        vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
-                        for f in frames])
+        # ONE H2D buffer for the chunk (raw planes; device pads) — the
+        # tunneled link charges a ~29 ms fixed cost per transfer
+        buf = np.concatenate(
+            [np.asarray(f[i], np.uint8).ravel()
+             for i in range(3) for f in frames])
+        buf_dev = jax.device_put(buf)   # async upload starts now
         qp = self._rc.start_pic(False)
         qp_maps = None
         if self._per_ctu_qp:
             from homerhevc_tpu.rc import ctu_qp_map
-            qp_maps = np.stack([ctu_qp_map(qp, yy, ctu) for yy in yps])
+            qp_maps = np.stack([
+                ctu_qp_map(qp, _pad_plane(np.asarray(f[0], np.uint8),
+                                          ctu), ctu)
+                for f in frames])
         ultra = cfg.rd_mode == RDMode.RD_ULTRAFAST
         ref2_kw = {}
         if cfg.num_ref_frames >= 2:
@@ -346,8 +350,8 @@ class Encoder:
                 ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2],
                 has_ref2=np.asarray(
                     [self._gop_poc + j >= 2 for j in range(k)], bool))
-        out = inter_frame.encode_p_chunk_jit(
-            yps, ups, vps, *self._ref, qp=qp, qp_maps=qp_maps, block=16,
+        out = inter_frame.encode_p_chunk_packed_jit(
+            buf_dev, *self._ref, k=k, qp=qp, qp_maps=qp_maps, block=16,
             vis_h=cfg.height, vis_w=cfg.width,
             **ref2_kw,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
@@ -367,7 +371,9 @@ class Encoder:
             self._ref2 = (out["recon2_y"], out["recon2_u"],
                           out["recon2_v"])
         pend = dict(kind="p", out=out, qp=qp, poc=self._poc,
-                    gop_poc=self._gop_poc, padded=yps.shape[1:],
+                    gop_poc=self._gop_poc,
+                    padded=(-cfg.height % ctu + cfg.height,
+                            -cfg.width % ctu + cfg.width),
                     n=n_real, qp_maps=qp_maps,
                     orig=frames[-1] if compute_recon else None)
         self._poc += n_real
@@ -639,20 +645,41 @@ class Encoder:
         tr_depth = packed[nb * 9:nb * 10].reshape(bh, bw).astype(np.uint8)
         pend["intra_frac"] = float(packed[nb * 10]) / nb
         pend["dist"] = float(packed[nb * 10 + 1])
-        cap_y, cap_c, esc_y, esc_c = p_caps(nb)
+        from homerhevc_tpu.models.inter_frame import p_caps_small
+        cap_ys, cap_cs, esc_ys, esc_cs = p_caps_small(nb)
         off = nb * 10 + 2
-        sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
-        sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
-        cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_y],
-                                                cap_y, 16, nb, esc_y)
-        off += sz_y
-        cnt_b, blk_b = packing.unpack_blocks_i8(packed[off:off + sz_c],
-                                                cap_c, 8, nb, esc_c)
-        off += sz_c
-        cnt_r, blk_r = packing.unpack_blocks_i8(packed[off:off + sz_c],
-                                                cap_c, 8, nb, esc_c)
-        off += sz_c
+        sz_ys = packing.compact_i8_size(cap_ys, 16, esc_ys)
+        sz_cs = packing.compact_i8_size(cap_cs, 8, esc_cs)
+        cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_ys],
+                                                cap_ys, 16, nb, esc_ys)
+        off += sz_ys
+        cnt_b, blk_b = packing.unpack_blocks_i8(packed[off:off + sz_cs],
+                                                cap_cs, 8, nb, esc_cs)
+        off += sz_cs
+        cnt_r, blk_r = packing.unpack_blocks_i8(packed[off:off + sz_cs],
+                                                cap_cs, 8, nb, esc_cs)
+        off += sz_cs
         sao_tail = packed[off:]
+        if blk_y is None or blk_b is None or blk_r is None:
+            # small-tier overflow: one extra pull of this frame's full
+            # tier (graceful; content-dependent, rare at normal QPs)
+            cap_y, cap_c, esc_y, esc_c = p_caps(nb)
+            pf = pend["out"]["packed_full"]
+            if pf.ndim == 2:
+                pf = pf[pend["k"]]
+            pf = np.asarray(pf)
+            sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
+            sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
+            if blk_y is None:
+                cnt_y, blk_y = packing.unpack_blocks_i8(
+                    pf[:sz_y], cap_y, 16, nb, esc_y)
+            if blk_b is None:
+                cnt_b, blk_b = packing.unpack_blocks_i8(
+                    pf[sz_y:sz_y + sz_c], cap_c, 8, nb, esc_c)
+            if blk_r is None:
+                cnt_r, blk_r = packing.unpack_blocks_i8(
+                    pf[sz_y + sz_c:sz_y + 2 * sz_c], cap_c, 8, nb,
+                    esc_c)
 
         def plane(blocks, hh, ww, b):
             return np.ascontiguousarray(

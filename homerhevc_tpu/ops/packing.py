@@ -43,6 +43,51 @@ def compact_size(cap: int, b: int) -> int:
     return 1 + cap + cap * b * b
 
 
+def compact_blocks_i8_tiers(level_blocks: jnp.ndarray, tiers):
+    """Multi-tier compact_blocks_i8: `tiers` is a list of (cap, esc_cap)
+    pairs; returns one vec per tier, ALL derived from a single
+    argsort/gather of the largest tier.  The caller ships the smallest
+    tier and pulls a larger one only when its counts overflow — the
+    device pays one sort regardless of how many tiers exist.
+    """
+    nb, b, _ = level_blocks.shape
+    n = b * b
+    cap_max = max(c for c, _ in tiers)
+    flat = level_blocks.reshape(nb, n).astype(jnp.int16)
+    nz = jnp.any(flat != 0, axis=-1)
+    order = jnp.argsort(jnp.where(nz, 0, 1), stable=True)[:cap_max]
+    ids_max = jnp.where(nz[order], order.astype(jnp.int16), -1)
+    data_max = (flat[order] * nz[order, None])           # [cap_max, n]
+    count = nz.sum().astype(jnp.int16)
+    lo_max = jnp.clip(data_max, -128, 127)
+    esc_rows_max = (data_max != lo_max).any(-1)          # [cap_max]
+
+    outs = []
+    for cap, esc_cap in tiers:
+        ids = ids_max[:cap]
+        data = data_max[:cap].reshape(-1)
+        lo = lo_max[:cap].reshape(-1)
+        lo_u = lo.astype(jnp.uint8).astype(jnp.uint16)
+        packed_lo = jax.lax.bitcast_convert_type(
+            lo_u[0::2] | (lo_u[1::2] << 8), jnp.int16)   # [cap*n/2]
+
+        # escapes at BLOCK granularity: rows with any |level| > 127 ship
+        # as raw int16 (cheap small top_k over `cap` rows, not cap*n)
+        esc_rows = esc_rows_max[:cap]
+        esc_count = esc_rows.sum()
+        ridx = jnp.arange(cap, dtype=jnp.int32)
+        key = jnp.where(esc_rows, (1 << 30) - ridx, 0)
+        _, esc_id = jax.lax.top_k(key, esc_cap)
+        esc_id = esc_id.astype(jnp.int32)
+        esc_data = data.reshape(cap, n)[esc_id].reshape(-1)
+        esc = jnp.concatenate([esc_id.astype(jnp.int16), esc_data])
+        outs.append(jnp.concatenate([
+            count[None],
+            jnp.minimum(esc_count, 30000).astype(jnp.int16)[None],
+            ids, packed_lo, esc]))
+    return outs
+
+
 def compact_blocks_i8(level_blocks: jnp.ndarray, cap: int, esc_cap: int):
     """Like compact_blocks but ships int8 levels (two per int16 slot)
     plus a fixed-capacity escape list for |level| > 127 — at normal QPs
@@ -52,35 +97,7 @@ def compact_blocks_i8(level_blocks: jnp.ndarray, cap: int, esc_cap: int):
                      lo_packed(cap*b*b/2), esc(pos_lo, pos_hi, val) x esc_cap]
     Overflow of either capacity => host falls back to the full planes.
     """
-    nb, b, _ = level_blocks.shape
-    n = b * b
-    flat = level_blocks.reshape(nb, n).astype(jnp.int16)
-    nz = jnp.any(flat != 0, axis=-1)
-    order = jnp.argsort(jnp.where(nz, 0, 1), stable=True)[:cap]
-    ids = jnp.where(nz[order], order.astype(jnp.int16), -1)
-    data = (flat[order] * nz[order, None]).reshape(-1)   # [cap*n] i16
-    count = nz.sum().astype(jnp.int16)
-
-    lo = jnp.clip(data, -128, 127)
-    esc_mask = (data != lo).reshape(cap, n)
-    lo_u = lo.astype(jnp.uint8).astype(jnp.uint16)
-    packed_lo = jax.lax.bitcast_convert_type(
-        lo_u[0::2] | (lo_u[1::2] << 8), jnp.int16)       # [cap*n/2]
-
-    # escapes at BLOCK granularity: rows with any |level| > 127 ship as
-    # raw int16 (cheap small top_k over `cap` rows, not cap*n values)
-    esc_rows = esc_mask.any(-1)                          # [cap]
-    esc_count = esc_rows.sum()
-    ridx = jnp.arange(cap, dtype=jnp.int32)
-    key = jnp.where(esc_rows, (1 << 30) - ridx, 0)
-    _, esc_id = jax.lax.top_k(key, esc_cap)
-    esc_id = esc_id.astype(jnp.int32)
-    esc_data = data.reshape(cap, n)[esc_id].reshape(-1)  # [esc_cap*n]
-    esc = jnp.concatenate([esc_id.astype(jnp.int16), esc_data])
-    return jnp.concatenate([
-        count[None],
-        jnp.minimum(esc_count, 30000).astype(jnp.int16)[None],
-        ids, packed_lo, esc])
+    return compact_blocks_i8_tiers(level_blocks, [(cap, esc_cap)])[0]
 
 
 def compact_i8_size(cap: int, b: int, esc_cap: int) -> int:

@@ -254,6 +254,13 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         dist16 = jax.lax.psum(
             jnp.sum(jnp.abs(recon_y - cur_b)), row_axis) // nb
         cap_y, cap_c, esc_y, esc_c = inter_frame.p_caps(nb)
+        cap_ys, cap_cs, esc_ys, esc_cs = inter_frame.p_caps_small(nb)
+        pk_y_s, pk_y_f = packing.compact_blocks_i8_tiers(
+            lvl_y_f, [(cap_ys, esc_ys), (cap_y, esc_y)])
+        pk_u_s, pk_u_f = packing.compact_blocks_i8_tiers(
+            lvl_u_f, [(cap_cs, esc_cs), (cap_c, esc_c)])
+        pk_v_s, pk_v_f = packing.compact_blocks_i8_tiers(
+            lvl_v_f, [(cap_cs, esc_cs), (cap_c, esc_c)])
         parts = [
             mv_f.astype(jnp.int16).reshape(-1),
             jnp.zeros((nb,), jnp.int16),           # ref_idx (1-ref path)
@@ -267,14 +274,13 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
             .astype(jnp.int16).reshape(-1),
             jnp.zeros((1,), jnp.int16),            # cand count
             jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None],
-            packing.compact_blocks_i8(lvl_y_f, cap_y, esc_y),
-            packing.compact_blocks_i8(lvl_u_f, cap_c, esc_c),
-            packing.compact_blocks_i8(lvl_v_f, cap_c, esc_c)]
+            pk_y_s, pk_u_s, pk_v_s]
         if sao_fields is not None:
             parts.append(sao.pack_sao_fields(sao_fields))
         packed = jnp.concatenate(parts)
+        packed_full = jnp.concatenate([pk_y_f, pk_u_f, pk_v_f])
         return dict(recon_y=full_y, recon_u=full_u, recon_v=full_v,
-                    mv=mv_f, packed=packed)
+                    mv=mv_f, packed=packed, packed_full=packed_full)
 
     spec_y = P(row_axis)
     rep = P()
@@ -282,6 +288,6 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
         local, mesh=mesh,
         in_specs=(spec_y, spec_y, spec_y, rep, rep, rep, rep, rep),
         out_specs=dict(recon_y=rep, recon_u=rep, recon_v=rep, mv=rep,
-                       packed=rep),
+                       packed=rep, packed_full=rep),
         check_vma=False)
     return fn(y, u, v, ref_y, ref_u, ref_v, qp, qp_c)
