@@ -8,6 +8,8 @@ from homerhevc_tpu.ops import deblock
 from tests import golden_deblock as gd
 
 
+pytestmark = pytest.mark.smoke
+
 @pytest.mark.parametrize("qp", [20, 30, 37, 51])
 def test_luma_vs_golden(qp):
     rng = np.random.default_rng(qp)

@@ -7,6 +7,8 @@ from homerhevc_tpu.ops import interp
 from tests import golden_inter as gi
 
 
+pytestmark = pytest.mark.smoke
+
 def test_luma_all_phases():
     rng = np.random.default_rng(0)
     ref = rng.integers(0, 256, (64, 64)).astype(np.int32)

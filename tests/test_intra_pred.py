@@ -6,6 +6,8 @@ from homerhevc_tpu.ops import intra
 from tests import golden_model as gm
 
 
+pytestmark = pytest.mark.smoke
+
 @pytest.mark.parametrize("size", [4, 8, 16, 32])
 @pytest.mark.parametrize("is_luma", [True, False])
 def test_all_modes_vs_golden(size, is_luma):

@@ -3,7 +3,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from homerhevc_tpu.ops import packing
+import pytest
 
+
+pytestmark = pytest.mark.smoke
 
 def _blocks(rng, nb, b, frac_nz, hi=5):
     lv = rng.integers(-hi, hi + 1, (nb, b, b)).astype(np.int32)

@@ -4,7 +4,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from homerhevc_tpu.ops import me, pallas_kernels
+import pytest
 
+
+pytestmark = pytest.mark.smoke
 
 def test_gather_windows_kernel_matches_jnp():
     rng = np.random.default_rng(1)

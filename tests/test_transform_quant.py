@@ -7,6 +7,8 @@ from homerhevc_tpu.ops import transform, quant
 from tests import golden_model as gm
 
 
+pytestmark = pytest.mark.smoke
+
 def test_dct_matrices_known_rows():
     t4 = tables.dct_matrix(4)
     assert t4.tolist() == [[64, 64, 64, 64], [83, 36, -36, -83],
