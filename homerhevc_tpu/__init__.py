@@ -15,4 +15,22 @@ reference's WPP/engine threads.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: the encoder's chunk programs are
+# large (20-40 s compiles); caching them makes every tool/bench start
+# warm.  Opt out with HEVC_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("HEVC_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/hevc_tpu_xla"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from homerhevc_tpu.config import EncoderConfig  # noqa: F401

@@ -68,6 +68,9 @@ def main():
             ("no sao", dict(sao_enabled=False)),
             ("no deblock", dict(deblocking=False)),
             ("no sbh", dict(sign_hiding=False)),
+            ("merge_rounds=1", dict(merge_rounds=1)),
+            ("quadtree_maj=False", dict(quadtree_majority=False)),
+            ("fallback_rounds=1", dict(fallback_rounds=1)),
             ("no fb, no sao, no db", dict(intra_fallback=False,
                                           sao_enabled=False,
                                           deblocking=False)),
