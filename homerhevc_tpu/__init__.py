@@ -23,13 +23,17 @@ import os as _os
 if not _os.environ.get("HEVC_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
-        _cache = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR",
-            _os.path.expanduser("~/.cache/hevc_tpu_xla"))
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                           1.0)
+        # respect a cache dir the user set programmatically BEFORE
+        # importing this package (env var already wins via the
+        # fallback below)
+        if _jax.config.jax_compilation_cache_dir is None:
+            _cache = _os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                _os.path.expanduser("~/.cache/hevc_tpu_xla"))
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -194,6 +194,11 @@ class Encoder:
         hmr_rc_end_pic + the intra-ratio scene check, ref
         hmr_encoder_lib.c:2767, hmr_motion_inter.c:2836)."""
         is_idr = fr._is_idr
+        if self._rc.enabled:
+            # refresh the real state's per-picture target before the
+            # VBV update (the dispatched QPs came from a projection;
+            # start_pic is idempotent between end_pic calls)
+            self._rc.start_pic(is_idr)
         self._rc.end_pic(fr.bits, is_idr, avg_dist=fr._dist)
         self._last_intra_cand_frac = fr._intra_frac
         if (not is_idr and self.cfg.scene_change_reinit
@@ -331,14 +336,18 @@ class Encoder:
             [np.asarray(f[i], np.uint8).ravel()
              for i in range(3) for f in frames])
         buf_dev = jax.device_put(buf)   # async upload starts now
-        qp = self._rc.start_pic(False)
+        # per-frame QP inside the chunk (closed-loop RC projection —
+        # the reference's every-picture QP update, hmr_rate_control.c:89)
+        qps = self._rc.project_chunk(k)
+        qp_vec = np.asarray(qps, np.int32)
         qp_maps = None
         if self._per_ctu_qp:
             from homerhevc_tpu.rc import ctu_qp_map
             qp_maps = np.stack([
-                ctu_qp_map(qp, _pad_plane(np.asarray(f[0], np.uint8),
-                                          ctu), ctu)
-                for f in frames])
+                ctu_qp_map(qps[j],
+                           _pad_plane(np.asarray(f[0], np.uint8), ctu),
+                           ctu)
+                for j, f in enumerate(frames)])
         ultra = cfg.rd_mode == RDMode.RD_ULTRAFAST
         ref2_kw = {}
         if cfg.num_ref_frames >= 2:
@@ -351,7 +360,8 @@ class Encoder:
                 has_ref2=np.asarray(
                     [self._gop_poc + j >= 2 for j in range(k)], bool))
         out = inter_frame.encode_p_chunk_packed_jit(
-            buf_dev, *self._ref, k=k, qp=qp, qp_maps=qp_maps, block=16,
+            buf_dev, *self._ref, k=k, qp=qp_vec, qp_maps=qp_maps,
+            block=16,
             vis_h=cfg.height, vis_w=cfg.width,
             **ref2_kw,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
@@ -370,7 +380,7 @@ class Encoder:
         if cfg.num_ref_frames >= 2:
             self._ref2 = (out["recon2_y"], out["recon2_u"],
                           out["recon2_v"])
-        pend = dict(kind="p", out=out, qp=qp, poc=self._poc,
+        pend = dict(kind="p", out=out, qps=qps, poc=self._poc,
                     gop_poc=self._gop_poc,
                     padded=(-cfg.height % ctu + cfg.height,
                             -cfg.width % ctu + cfg.width),
@@ -380,27 +390,31 @@ class Encoder:
         self._gop_poc += n_real
         return pend
 
-    # -- stage 2: host transfer + entropy --
-    def _finalize(self, pend) -> list:
+    def _records(self, packed, pend):
+        """Per-frame (pk, record, is_idr) triples of a pulled chunk —
+        the single definition of the pend format walk (also used by
+        tools/pipeline_split.py for stage attribution)."""
         cfg = self.cfg
-        out = pend["out"]
-        with stage("transfer"):
-            packed = np.asarray(out["packed"])  # ONE device->host pull
-        frames = []
         if pend["kind"] == "i":
-            rec = self._i_record(packed, pend, cfg)
-            frames.append(self._emit(rec, pend, True))
+            yield pend, self._i_record(packed, pend, cfg), True
         elif pend["kind"] == "i_chunk":
             for k in range(pend["n"]):
                 pk = dict(pend, poc=pend["poc"] + k, gop_poc=0, k=k)
-                rec = self._i_record(packed[k], pk, cfg)
-                frames.append(self._emit(rec, pk, True))
+                yield pk, self._i_record(packed[k], pk, cfg), True
         else:
             for k in range(pend["n"]):
                 pk = dict(pend, poc=pend["poc"] + k,
                           gop_poc=pend["gop_poc"] + k, k=k)
-                rec = self._p_record(packed[k], pk, cfg)
-                frames.append(self._emit(rec, pk, False))
+                yield pk, self._p_record(packed[k], pk, cfg), False
+
+    # -- stage 2: host transfer + entropy --
+    def _finalize(self, pend) -> list:
+        out = pend["out"]
+        with stage("transfer"):
+            packed = np.asarray(out["packed"])  # ONE device->host pull
+        frames = []
+        for pk, rec, is_idr in self._records(packed, pend):
+            frames.append(self._emit(rec, pk, is_idr))
         if pend["orig"] is not None:
             y, u, v = pend["orig"]
             fr = frames[-1]
@@ -710,7 +724,8 @@ class Encoder:
             qpm = np.repeat(np.repeat(
                 pend["qp_maps"][pend["k"]], r, 0), r, 1).astype(np.int8)
         rec = binding.FrameRecord(
-            width=w, height=h, slice_type=1, slice_qp=pend["qp"],
+            width=w, height=h, slice_type=1,
+            slice_qp=int(pend["qps"][pend["k"]]),
             poc=pend["gop_poc"], is_idr=False, num_merge_cands=2,
             cu_depth=rep(cu_depth), tr_depth=rep(tr_depth),
             pred_mode=rep(is_intra),

@@ -571,12 +571,19 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
             tr_depth.reshape(bh, bw), chroma16)
 
 
+def _even(x: int, nb: int) -> int:
+    """Round the cap up to even (int8 row-pairing), never above the
+    even floor of nb (an odd-nb frame overflowing its cap falls back to
+    the raw planes — graceful, not wrong)."""
+    return min(x + (x & 1), nb - (nb & 1))
+
+
 def p_caps(nb: int):
     """Full-tier compaction capacities: (luma blocks, chroma blocks,
-    luma escape BLOCKS, chroma escape BLOCKS); blocks must be even
-    (int8 pairing)."""
-    cap_y = min(nb, max(64, nb * 60 // 100))
-    cap_c = min(nb, max(32, nb * 35 // 100))
+    luma escape BLOCKS, chroma escape BLOCKS); block caps must be even
+    (int8 row-pairing)."""
+    cap_y = _even(min(nb, max(64, nb * 60 // 100)), nb)
+    cap_c = _even(min(nb, max(32, nb * 35 // 100)), nb)
     return cap_y, cap_c, min(cap_y, max(16, nb // 64)), \
         min(cap_c, max(8, nb // 128))
 
@@ -587,8 +594,8 @@ def p_caps_small(nb: int):
     is ~1.5% luma / ~1.4% chroma; 12%/10% gives ~8x headroom while
     cutting the shipped buffer ~5x vs the full tier.  Overflow costs
     one extra pull of the full tier (graceful), not correctness."""
-    cap_y = min(nb, max(64, nb * 12 // 100))
-    cap_c = min(nb, max(32, nb * 10 // 100))
+    cap_y = _even(min(nb, max(64, nb * 12 // 100)), nb)
+    cap_c = _even(min(nb, max(32, nb * 10 // 100)), nb)
     return cap_y, cap_c, min(cap_y, max(4, nb // 256)), \
         min(cap_c, max(4, nb // 512))
 
@@ -1301,8 +1308,9 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
 
     Amortizes the host<->device round trip over K frames: one dispatch,
     one packed transfer (role of the reference's frame pipeline at
-    chunk granularity).  ys: uint8 [K, H, W]; qp scalar (rate control
-    moves to chunk granularity under batching).
+    chunk granularity).  ys: uint8 [K, H, W]; qp scalar or [K] vector
+    (per-frame closed-loop rate control, rc.project_chunk — traced, so
+    changing values costs no recompilation).
 
     Multi-reference: ref2_* seeds list0 index 1 for the chunk's first
     frame (the frame BEFORE ref_*); the scan then carries the previous
@@ -1312,6 +1320,9 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
     Returns dict(recon_* = last frame's reconstruction, packed [K, L]).
     """
     multi = ref2_y is not None
+    qp = jnp.asarray(qp, jnp.int32)
+    if qp.ndim == 0:           # scalar QP -> uniform per-frame vector
+        qp = jnp.broadcast_to(qp, (ys.shape[0],))
 
     def step(carry, xs):
         if multi:
@@ -1319,18 +1330,12 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
         else:
             ry, ru, rv = carry
             prev = None
-        if qp_maps is None:
-            y, u, v = xs[:3]
-            qmap = None
-            rest = xs[3:]
-        else:
-            y, u, v, qmap = xs[:4]
-            rest = xs[4:]
         kw = {}
         if multi:
             kw = dict(ref2_y=prev[0], ref2_u=prev[1], ref2_v=prev[2],
-                      has_ref2=rest[0])
-        out = encode_p_frame(y, u, v, ry, ru, rv, qp=qp, qp_map=qmap,
+                      has_ref2=xs["has_ref2"])
+        out = encode_p_frame(xs["y"], xs["u"], xs["v"], ry, ru, rv,
+                             qp=xs["qp"], qp_map=xs.get("qmap"),
                              **kw, **flags)
         per_frame = dict(packed=out["packed"],
                          packed_full=out["packed_full"],
@@ -1340,13 +1345,15 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
         rec = (out["recon_y"], out["recon_u"], out["recon_v"])
         return ((rec, (ry, ru, rv)) if multi else rec, per_frame)
 
-    xs = (ys, us, vs) if qp_maps is None else (ys, us, vs, qp_maps)
+    xs = dict(y=ys, u=us, v=vs, qp=qp)
+    if qp_maps is not None:
+        xs["qmap"] = qp_maps
     r0 = (jnp.asarray(ref_y, jnp.int32), jnp.asarray(ref_u, jnp.int32),
           jnp.asarray(ref_v, jnp.int32))
     if multi:
         if has_ref2 is None:
             has_ref2 = jnp.ones((ys.shape[0],), bool)
-        xs = xs + (has_ref2,)
+        xs["has_ref2"] = has_ref2
         prev0 = (jnp.asarray(ref2_y, jnp.int32),
                  jnp.asarray(ref2_u, jnp.int32),
                  jnp.asarray(ref2_v, jnp.int32))

@@ -52,6 +52,8 @@ def compact_blocks_i8_tiers(level_blocks: jnp.ndarray, tiers):
     """
     nb, b, _ = level_blocks.shape
     n = b * b
+    assert all(c % 2 == 0 for c, _ in tiers), \
+        "tier caps must be even (row-pairs pack 2 blocks per int16 row)"
     cap_max = max(c for c, _ in tiers)
     flat = level_blocks.reshape(nb, n).astype(jnp.int16)
     nz = jnp.any(flat != 0, axis=-1)
@@ -66,10 +68,14 @@ def compact_blocks_i8_tiers(level_blocks: jnp.ndarray, tiers):
     for cap, esc_cap in tiers:
         ids = ids_max[:cap]
         data = data_max[:cap].reshape(-1)
-        lo = lo_max[:cap].reshape(-1)
-        lo_u = lo.astype(jnp.uint8).astype(jnp.uint16)
+        # pair levels across BLOCK ROWS (even row = low byte, odd row =
+        # high byte): stride-2 on the sublane axis is a cheap select,
+        # while stride-2 on the flat lane axis forced a cross-lane
+        # relayout (measured 7.4 ms/frame at 720p)
+        lo_u = lo_max[:cap].astype(jnp.uint8).astype(jnp.uint16)
         packed_lo = jax.lax.bitcast_convert_type(
-            lo_u[0::2] | (lo_u[1::2] << 8), jnp.int16)   # [cap*n/2]
+            lo_u[0::2, :] | (lo_u[1::2, :] << 8),
+            jnp.int16).reshape(-1)                       # [cap*n/2]
 
         # escapes at BLOCK granularity: rows with any |level| > 127 ship
         # as raw int16 (cheap small top_k over `cap` rows, not cap*n)
@@ -113,11 +119,12 @@ def unpack_blocks_i8(vec, cap: int, b: int, nb: int, esc_cap: int):
         return max(count, esc_count), None
     n = b * b
     ids = vec[2:2 + cap][:count].astype(np.int32)
-    packed_lo = vec[2 + cap:2 + cap + cap * n // 2].view(np.uint16)
-    lo = np.empty(cap * n, np.int8)
+    packed_lo = vec[2 + cap:2 + cap + cap * n // 2].view(np.uint16) \
+        .reshape(cap // 2, n)
+    lo = np.empty((cap, n), np.int8)
     lo[0::2] = (packed_lo & 0xFF).astype(np.uint8).view(np.int8)
     lo[1::2] = (packed_lo >> 8).astype(np.uint8).view(np.int8)
-    data = lo.astype(np.int16).reshape(cap, n)
+    data = lo.astype(np.int16)
     esc = vec[2 + cap + cap * n // 2:]
     esc_id = esc[:esc_cap][:esc_count].astype(np.int32)
     esc_rows = esc[esc_cap:].reshape(esc_cap, n)[:esc_count]

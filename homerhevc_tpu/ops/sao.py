@@ -62,43 +62,51 @@ def eo_class_maps(rec: jnp.ndarray):
     return jnp.stack(cls_all), jnp.stack(valid_all)
 
 
+@functools.lru_cache(maxsize=None)
+def _pool_mat_np(n: int, ctb: int) -> np.ndarray:
+    """[n, n//ctb] 0/1 block-sum pooling matrix."""
+    m = np.zeros((n, n // ctb), np.float32)
+    m[np.arange(n), np.arange(n) // ctb] = 1.0
+    return m
+
+
 def _ctu_sum(x: jnp.ndarray, ctb: int):
+    """CTU block sums [..., H, W] -> [..., H/ctb, W/ctb] as two GEMMs
+    (the reshape-sum form lowered to slow strided sublane reductions —
+    measured 2.3 ms/frame in the P path).  Exact: per-pixel |values|
+    <= 255 and per-CTU sums < 2^24; HIGHEST precision keeps the second
+    contraction's f32 inputs unrounded."""
     h, w = x.shape[-2:]
-    return x.reshape(*x.shape[:-2], h // ctb, ctb, w // ctb, ctb) \
-        .sum((-3, -1))
+    hp = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("...hw,wx->...hx", x.astype(jnp.float32),
+                   jnp.asarray(_pool_mat_np(w, ctb)), precision=hp)
+    return jnp.einsum("...hx,hy->...yx", t,
+                      jnp.asarray(_pool_mat_np(h, ctb)),
+                      precision=hp).astype(jnp.int32)
 
 
 def sao_stats(org: jnp.ndarray, rec: jnp.ndarray, ctb: int):
     """Per-CTU statistics. Returns (eo_diff, eo_cnt [4, 5, by, bx],
     bo_diff, bo_cnt [32, by, bx]) plus the cached class maps.
 
-    One-hot batched: category/band masks become a trailing one-hot axis
-    reduced in ONE pass, instead of 2*(5+32) small sequential masked
-    reductions per plane (which were dispatch-latency-bound)."""
+    One-hot batched with the category/band axis LEADING (a trailing
+    one-hot axis put the tiny channel dim in lanes — slow), reduced by
+    the GEMM pooling of _ctu_sum."""
     cls, valid = eo_class_maps(rec)
     diff = (org - rec).astype(jnp.int32)
     cats = jnp.arange(5, dtype=jnp.int32)
-    oh = ((cls[..., None] == cats) & valid[..., None]) \
-        .astype(jnp.int32)                           # [4, H, W, 5]
-    stats = _ctu_sum_tail(jnp.stack([diff[None, ..., None] * oh, oh]),
-                          ctb)                       # [2, 4, by, bx, 5]
-    eo_diff = jnp.moveaxis(stats[0], -1, 1)          # [4, 5, by, bx]
-    eo_cnt = jnp.moveaxis(stats[1], -1, 1)
+    oh = ((cls[None] == cats[:, None, None, None]) & valid[None]) \
+        .astype(jnp.int32)                           # [5, 4, H, W]
+    stats = _ctu_sum(jnp.stack([diff[None, None] * oh, oh]),
+                     ctb)                            # [2, 5, 4, by, bx]
+    eo_diff = stats[0].swapaxes(0, 1)                # [4, 5, by, bx]
+    eo_cnt = stats[1].swapaxes(0, 1)
     bands = jnp.arange(32, dtype=jnp.int32)
-    ohb = ((rec >> 3)[..., None] == bands).astype(jnp.int32)
-    bstats = _ctu_sum_tail(jnp.stack([diff[..., None] * ohb, ohb]),
-                           ctb)                      # [2, by, bx, 32]
-    bo_diff = jnp.moveaxis(bstats[0], -1, 0)         # [32, by, bx]
-    bo_cnt = jnp.moveaxis(bstats[1], -1, 0)
-    return (eo_diff, eo_cnt, bo_diff, bo_cnt, cls, valid)
-
-
-def _ctu_sum_tail(x: jnp.ndarray, ctb: int):
-    """CTU-block sums over the two dims BEFORE a trailing channel dim:
-    [..., H, W, C] -> [..., H/ctb, W/ctb, C]."""
-    h, w = x.shape[-3:-1]
-    return x.reshape(*x.shape[:-3], h // ctb, ctb, w // ctb, ctb,
-                     x.shape[-1]).sum((-4, -2))
+    ohb = ((rec >> 3)[None] == bands[:, None, None]) \
+        .astype(jnp.int32)                           # [32, H, W]
+    bstats = _ctu_sum(jnp.stack([diff[None] * ohb, ohb]),
+                      ctb)                           # [2, 32, by, bx]
+    return (eo_diff, eo_cnt, bstats[0], bstats[1], cls, valid)
 
 
 def _best_offset(diff, cnt, lam, sign):

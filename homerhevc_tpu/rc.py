@@ -69,6 +69,26 @@ class RateControl:
             qp += 4
         return int(_clip(qp + 0.5, 1.0, MAX_QP))
 
+    def project_chunk(self, k: int) -> list[int]:
+        """Per-frame QPs for the next k P frames (closed-loop RC inside
+        a batched chunk: the reference updates QP every picture from
+        running bit counts, hmr_rate_control.c:89-136; the chunked TPU
+        pipeline projects the same recurrence forward on a shadow state,
+        assuming each frame lands on its target).  The REAL state is
+        updated with actual bits at the FIFO drain point (end_pic), so
+        projection errors self-correct with one chunk of lag — the same
+        topology as the reference's inter-engine RC exchange
+        (hmr_encoder_lib.c:2773-2784)."""
+        if not self.enabled:
+            return [self.start_pic(False)] * k
+        shadow = RateControl(self.cfg)
+        shadow.load_state_dict(self.state_dict())
+        qps = []
+        for _ in range(k):
+            qps.append(shadow.start_pic(False))
+            shadow.end_pic(int(shadow.target_pict_size), False)
+        return qps
+
     def end_pic(self, bits: int, is_intra: bool,
                 avg_dist: float | None = None):
         """VBV update after a picture (ref hmr_rc_end_pic): I-frame cost

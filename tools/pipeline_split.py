@@ -31,7 +31,6 @@ def main():
     frames = [(ys[1 + j], us[1 + j], vs[1 + j]) for j in range(k)]
 
     # device-only: dispatch M chunks back-to-back, one readback at end
-    import jax
     M = 6
     pend = enc._dispatch_p_chunk(frames)
     np.asarray(pend["out"]["packed"].ravel()[0])
@@ -59,11 +58,7 @@ def main():
     packed = np.asarray(pend["out"]["packed"])
     t1 = time.perf_counter()
     from homerhevc_tpu.entropy import binding
-    recs = []
-    for j in range(k):
-        pk = dict(pend, poc=pend["poc"] + j,
-                  gop_poc=pend["gop_poc"] + j, k=j)
-        recs.append(enc._p_record(packed[j], pk, cfg))
+    recs = [rec for _, rec, _ in enc._records(packed, pend)]
     t2 = time.perf_counter()
     for rec in recs:
         binding.encode_slice(enc.ccfg, rec)

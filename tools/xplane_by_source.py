@@ -1,14 +1,14 @@
-"""Rank TPU ops by self-time from a jax.profiler xplane trace.
+"""Rank TPU time by SOURCE LINE from a jax.profiler xplane trace.
 
-Usage: python tools/xplane_top.py [trace_dir] [top_n]
-Aggregates the device "XLA Ops" line (true self-time, not async
-spans), grouping instruction instances by their base name.
+Usage: python tools/xplane_by_source.py [trace_dir] [top_n]
+Aggregates leaf XLA-op self-time (container `while` events excluded —
+their duration spans the whole body) by the `source` stat of each op's
+metadata, i.e. the Python file:line that traced it.
 """
 from __future__ import annotations
 
 import collections
 import glob
-import re
 import sys
 
 
@@ -32,9 +32,18 @@ def main():
     for plane in space.planes:
         if "TPU" not in plane.name:
             continue
-        ev_meta = {m.id: m.display_name or m.name
-                   for m in plane.event_metadata.values()}
         st_meta = {m.id: m.name for m in plane.stat_metadata.values()}
+        ev_names = {m.id: (m.display_name or m.name)
+                    for m in plane.event_metadata.values()}
+        # metadata id -> source line
+        src = {}
+        for m in plane.event_metadata.values():
+            name = m.display_name or m.name
+            s = ""
+            for st in m.stats:
+                if st_meta.get(st.metadata_id) == "source":
+                    s = st.str_value
+            src[m.id] = s or f"<{name.split('.')[0]}>"
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
@@ -42,23 +51,23 @@ def main():
             cnt = collections.Counter()
             total_ps = 0
             for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, "?")
-                # strip only the trailing ".NNN" instance suffix so
-                # digits that are part of the op's real name survive
-                base = re.sub(r"(\.\d+)+$", "", name)
+                name = ev_names.get(ev.metadata_id, "?")
+                if name.split(".")[0] in ("while", "conditional"):
+                    continue          # container: spans its whole body
                 dur = ev.duration_ps
                 if dur == 0:
                     for st in ev.stats:
                         if st_meta.get(st.metadata_id) == \
                                 "device_duration_ps":
                             dur = st.int64_value or st.uint64_value
-                tot[base] += dur
-                cnt[base] += 1
+                key = src.get(ev.metadata_id, "?")
+                tot[key] += dur
+                cnt[key] += 1
                 total_ps += dur
-            print(f"== {plane.name} XLA Ops  total {total_ps/1e9:.2f} ms"
-                  f"  ({len(line.events)} events)")
+            print(f"== {plane.name} leaf ops  total {total_ps/1e9:.2f}"
+                  f" ms  ({len(line.events)} events)")
             for k, v in tot.most_common(top_n):
-                print(f"{v/1e9:9.2f} ms {cnt[k]:7d}x  {k[:90]}")
+                print(f"{v/1e9:9.2f} ms {cnt[k]:7d}x  {k}")
 
 
 if __name__ == "__main__":
