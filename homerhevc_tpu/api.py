@@ -32,6 +32,17 @@ class CodedFrame:
     psnr: Optional[tuple] = None
 
 
+def _start_d2h(arr):
+    """Enqueue the device->host copy right behind the compute that
+    produces `arr` (the worker's np.asarray then finds the bytes
+    already in flight instead of paying a fresh round trip on the
+    high-latency link)."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:       # backend without async copies: harmless
+        pass
+
+
 def _pad_plane(p: np.ndarray, mult: int) -> np.ndarray:
     h, w = p.shape
     ph = (h + mult - 1) // mult * mult
@@ -257,6 +268,7 @@ class Encoder:
         self._ref = (out["recon_y"][-1], out["recon_u"][-1],
                      out["recon_v"][-1])
         self._ref2 = None
+        _start_d2h(out["packed"])
         pend = dict(kind="i_chunk", out=out, qp=qp, poc=self._poc,
                     gop_poc=0, padded=yps.shape[1:], n=n_real,
                     orig=None)
@@ -303,6 +315,7 @@ class Encoder:
             rd_refine=cfg.rd_mode == RDMode.RD_FULL)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self._ref2 = None
+        _start_d2h(out["packed"])
         pend = dict(kind="i", out=out, qp=qp, poc=self._poc,
                     gop_poc=self._gop_poc, padded=yp.shape,
                     orig=(y, u, v) if compute_recon else None)
@@ -380,6 +393,7 @@ class Encoder:
         if cfg.num_ref_frames >= 2:
             self._ref2 = (out["recon2_y"], out["recon2_u"],
                           out["recon2_v"])
+        _start_d2h(out["packed"])
         pend = dict(kind="p", out=out, qps=qps, poc=self._poc,
                     gop_poc=self._gop_poc,
                     padded=(-cfg.height % ctu + cfg.height,
