@@ -78,6 +78,8 @@ class Encoder:
                             and cfg.max_pred_depth >= 4)
         self._force_idr = False
         self._last_intra_cand_frac = 0.0
+        self._p_mesh_cache = "unset"      # resolved lazily per config
+        self._mesh_cache = None
         # single host worker: transfer + entropy of chunk N-1 overlap
         # the device compute of chunk N (FIFO => deterministic output
         # order; RC sees the same 1-chunk lag as the inline pipeline)
@@ -100,6 +102,25 @@ class Encoder:
                         quadtree_majority=True)
         return dict(merge_rounds=1, fallback_rounds=1,
                     quadtree_majority=False)
+
+    def _p_mesh(self):
+        """Row-band mesh for IPPP chunks (the WPP analogue wired into
+        the product path, ref hmr_encoder_lib.c:2357): bands must be
+        CTU-row-aligned, so the effective chip count is the largest
+        divisor of the padded CTU-row count <= cfg.num_chips."""
+        want = self.cfg.num_chips
+        if want <= 1:
+            return None
+        if getattr(self, "_p_mesh_cache", "unset") != "unset":
+            return self._p_mesh_cache
+        import jax
+        from jax.sharding import Mesh
+        rows = self.cfg.padded_height // self.cfg.ctu_size
+        n = max([d for d in range(1, min(want, rows, len(jax.devices()))
+                                  + 1) if rows % d == 0])
+        self._p_mesh_cache = None if n <= 1 else Mesh(
+            np.asarray(jax.devices()[:n]), ("row",))
+        return self._p_mesh_cache
 
     def _chip_mesh(self, k: int):
         """Mesh over cfg.num_chips devices for chunk sharding, or None
@@ -372,9 +393,13 @@ class Encoder:
                 ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2],
                 has_ref2=np.asarray(
                     [self._gop_poc + j >= 2 for j in range(k)], bool))
+        mesh_kw = {}
+        pmesh = self._p_mesh()
+        if pmesh is not None:
+            mesh_kw = dict(mesh=pmesh, row_axis="row")
         out = inter_frame.encode_p_chunk_packed_jit(
             buf_dev, *self._ref, k=k, qp=qp_vec, qp_maps=qp_maps,
-            block=16,
+            block=16, **mesh_kw,
             vis_h=cfg.height, vis_w=cfg.width,
             **ref2_kw,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,

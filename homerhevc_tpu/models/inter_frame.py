@@ -160,7 +160,7 @@ def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
 def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
                    qp, lam, s, sbh_scan, cand_fields=None,
                    scaling=False, carry_in=None, ref_grid=None,
-                   ref_pads=None, inv=None):
+                   ref_pads=None, inv=None, neigh_refs=None):
     """Merge/skip RD arbitration over candidate MVs (TPU redesign of the
     reference's check_rd_cost_merge_2nx2n, hmr_motion_inter.c:2622-2787,
     evaluated densely for every block at once).
@@ -201,10 +201,14 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     multi = ref_grid is not None
     if multi:
         own_ref = ref_grid.reshape(-1)
-        left_ref = jnp.concatenate([ref_grid[:, :1],
-                                    ref_grid[:, :-1]], 1).reshape(-1)
-        top_ref = jnp.concatenate([ref_grid[:1],
-                                   ref_grid[:-1]], 0).reshape(-1)
+        if neigh_refs is not None:
+            # banded: neighbour refs precomputed from the FULL grid
+            left_ref, top_ref = neigh_refs
+        else:
+            left_ref = jnp.concatenate([ref_grid[:, :1],
+                                        ref_grid[:, :-1]], 1).reshape(-1)
+            top_ref = jnp.concatenate([ref_grid[:1],
+                                       ref_grid[:-1]], 0).reshape(-1)
     else:
         own_ref = left_ref = top_ref = jnp.zeros((n,), jnp.int32)
 
@@ -708,6 +712,8 @@ def _edge_qp_maps_chroma(eff_map, h: int, w: int, cell: int,
 
 
 _FALLBACK_CAP = 512          # max intra CUs per P frame (static shape)
+_NXN_CAP = 512               # max inter-NxN CUs per P frame (chroma
+                             # per-PU MC is compacted to this cap)
 
 
 def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
@@ -816,11 +822,18 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
             cand_count, rounds_out, amask)
 
 def _gather_adi_blocks(b, py, px, size):
-    top = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-        b, (yy, xx), (1, 2 * size + 1))[0])(py, px)
-    left = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-        b, (yy + 1, xx), (2 * size, 1))[:, 0])(py, px)
-    return jnp.concatenate([left[:, ::-1], top], -1)
+    """ADI L-shapes for k blocks as ONE flat gather ([k, 4S+1] linear
+    indices into the raveled buffer) — the vmapped dynamic_slice form
+    lowered to ~25k tiny slices per frame (measured 5 ms/frame)."""
+    w = b.shape[1]
+    base = py * w + px                                    # [k] corner
+    # left part: adi[j] = p(2S-1-j, -1) -> rows py+2S .. py+1 at col px
+    left_off = jnp.arange(2 * size, 0, -1, dtype=jnp.int32) * w
+    # top part: corner + top row p(-1, 0..2S-1) -> b[py, px + 0..2S]
+    top_off = jnp.arange(2 * size + 1, dtype=jnp.int32)
+    idx = jnp.concatenate([base[:, None] + left_off[None],
+                           base[:, None] + top_off[None]], -1)
+    return jnp.take(b.reshape(-1), idx, axis=0)
 
 
 def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
@@ -871,8 +884,19 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
                    vis_h: int = None, vis_w: int = None,
                    merge_rounds: int = 2, fallback_rounds: int = 2,
-                   quadtree_majority: bool = True):
+                   quadtree_majority: bool = True,
+                   inter_nxn: bool = False,
+                   axis_name: str = None, n_bands: int = 1):
     """Encode one P frame against one or two references.
+
+    Row-band sharding (the WPP replacement, ref wfpp_encoder_thread
+    hmr_encoder_lib.c:2357): with `axis_name` set, this SAME body runs
+    band-local inside shard_map over `n_bands` chips — y/u/v are
+    CTU-row bands, the reference planes are replicated, and the few
+    cross-band points (global ME median, merge neighbour fields, the
+    intra fallback, the deblock H pass, SAO, packing) use ICI
+    all_gathers / replicated compute so the bitstream is BIT-IDENTICAL
+    to the single-device run (asserted in tests/test_sharding.py).
 
     Speed-ladder knobs (mapped from perf_mode/rd_mode in api.py; each
     measured on TPU in STATUS.md's ladder table):
@@ -895,22 +919,52 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     have one reference available (the first P after an IDR) — they are
     coded with num_ref_idx_active = 1 and no ref_idx syntax.
     """
-    h, w = y.shape
+    ax = axis_name
+    hb, w = y.shape                  # band height (= frame h when ax None)
+    h = hb * n_bands                 # FULL frame height
     s = block
     cs = block // 2
-    bh, bw = h // s, w // s
+    bh, bw = hb // s, w // s         # band block grid
+    BH = h // s                      # full block grid rows
+    if ax is None:
+        row0 = 0
+        brow = 0
+    else:
+        bidx = jax.lax.axis_index(ax).astype(jnp.int32)
+        row0 = bidx * hb             # band pixel-row offset
+        brow = bidx * bh             # band block-row offset
+
+    def allg_rows(x):
+        """Gather bands along axis 0 (identity single-device)."""
+        if ax is None:
+            return x
+        g = jax.lax.all_gather(x, ax)
+        return g.reshape((g.shape[0] * g.shape[1],) + g.shape[2:])
+
+    def band_rows(x, rows=None):
+        """Slice this band's rows back out of a full array (identity
+        single-device)."""
+        if ax is None:
+            return x
+        r = bh if rows is None else rows
+        start = (brow * (r // bh),) + (0,) * (x.ndim - 1)
+        return jax.lax.dynamic_slice(
+            x, start, (r,) + x.shape[1:])
+
     qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp + chroma_qp_offset, 0, 57)]
     # per-CTU QP (cu_qp_delta / per-CTU rate control, ref
-    # hmr_rc_calc_cu_qp hmr_rate_control.c:261): a [ctus_y, ctus_x]
-    # map expanded to per-16-tile arrays; None = uniform slice QP
+    # hmr_rc_calc_cu_qp hmr_rate_control.c:261): a FULL-frame
+    # [ctus_y, ctus_x] map expanded to per-16-tile arrays; None =
+    # uniform slice QP
     ncy, ncx = h // ctu, w // ctu
     if qp_map is None:
         qp_map = jnp.broadcast_to(qp, (ncy, ncx))
     qp_map = jnp.asarray(qp_map, jnp.int32)
     r16 = ctu // s
-    qp_t = jnp.repeat(jnp.repeat(qp_map, r16, 0), r16, 1).reshape(-1)
+    qp_t_full = jnp.repeat(jnp.repeat(qp_map, r16, 0), r16, 1)  # [BH,bw]
+    qp_t = band_rows(qp_t_full).reshape(-1)
     qp_ct = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp_t + chroma_qp_offset, 0, 57)]
     lam_t = tables.rd_lambda(qp_t, False).astype(jnp.float32)
@@ -929,10 +983,19 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # (the reference's mvcost-vs-AMVP, hmr_motion_inter.c:1300)
     sqlam_me = jnp.sqrt(lam.astype(jnp.float32)) \
         if hasattr(lam, "astype") else jnp.sqrt(jnp.float32(lam))
+    median_fn = None
+    if ax is not None:
+        # the global-motion candidate must see the FULL field so band
+        # results stay bit-transparent
+        def median_fn(mv0_grid):
+            return me.field_median(
+                allg_rows(mv0_grid).reshape(BH, bw, 2))
     mv, sad_me, pred = me.motion_estimate(cur, refy, block=s,
                                           precision=me_precision,
                                           subpel_r=me_subpel_r,
-                                          sqrt_lam=sqlam_me)
+                                          sqrt_lam=sqlam_me,
+                                          row0=row0,
+                                          median_fn=median_fn)
     multi_ref = ref2_y is not None
     ref_sel = None
     if multi_ref:
@@ -940,7 +1003,9 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         mv1, sad1, pred1 = me.motion_estimate(cur, ref2y, block=s,
                                               precision=me_precision,
                                               subpel_r=me_subpel_r,
-                                              sqrt_lam=sqlam_me)
+                                              sqrt_lam=sqlam_me,
+                                              row0=row0,
+                                              median_fn=median_fn)
         # per-block reference pick: SAD + a sqrt-lambda-priced ref_idx
         # bin (HM-style ME bit weighting), masked off when the second
         # reference is not actually available this frame
@@ -954,7 +1019,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         mv = jnp.where(sel[..., None], mv1, mv)
         pred = jnp.where(sel.reshape(-1)[:, None, None],
                          pred1, pred)
-    pos_y = (jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
+    pos_y = (row0 + jnp.arange(bh, dtype=jnp.int32) * s)[:, None]
     pos_x = (jnp.arange(bw, dtype=jnp.int32) * s)[None, :]
     pos_y = jnp.broadcast_to(pos_y, (bh, bw)).reshape(-1)
     pos_x = jnp.broadcast_to(pos_x, (bh, bw)).reshape(-1)
@@ -964,12 +1029,13 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # never displayed: they carry no distortion and fold to skip,
     # costing flags instead of coefficients (vis_h/vis_w = visible
     # frame dims; None = CTU-multiple frame)
-    inv16 = None
+    inv16 = inv_full = None
     if (vis_h is not None and vis_w is not None
             and (vis_h < h or vis_w < w)):
-        iy = np.arange(bh) * s >= vis_h
+        iy = np.arange(BH) * s >= vis_h
         ix = np.arange(bw) * s >= vis_w
-        inv16 = jnp.asarray((iy[:, None] | ix[None, :]).reshape(-1))
+        inv_full = jnp.asarray(iy[:, None] | ix[None, :])  # [BH, bw]
+        inv16 = band_rows(inv_full).reshape(-1)
     # merge/skip RD arbitration over candidate MVs (exact predictions,
     # full-lambda SSD + CABAC-LUT bits; ref check_rd_cost_merge_2nx2n).
     # Two rounds: round 2 rebuilds the neighbour candidates from round
@@ -983,18 +1049,36 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     mv_me = mv
     with jax.named_scope("merge_rd"):
         # round 2 re-evaluates only the left/top propagation candidates;
-        # own/global/zero (and round 1's winner) are carried cached
+        # own/global/zero (and round 1's winner) are carried cached.
+        # Banded: neighbour candidate fields derive from the FULL grid
+        # (left/top cross band boundaries), gathered over ICI.
         carry = None
         rgrid = ref_sel
         for _ in range(merge_rounds):
-            cands = merge_candidate_fields(mv)
+            if ax is None:
+                cands = merge_candidate_fields(mv)
+                nrefs = None
+            else:
+                mv_full = allg_rows(mv)
+                cands_full = merge_candidate_fields(
+                    mv_full, me.field_median(mv_full))
+                cands = [(band_rows(c), m) for c, m in cands_full]
+                nrefs = None
+                if rgrid is not None:
+                    rfull = allg_rows(rgrid)
+                    left_r = jnp.concatenate(
+                        [rfull[:, :1], rfull[:, :-1]], 1)
+                    top_r = jnp.concatenate(
+                        [rfull[:1], rfull[:-1]], 0)
+                    nrefs = (band_rows(left_r).reshape(-1),
+                             band_rows(top_r).reshape(-1))
             mv_flat, level_y, recon_y, pred_sel, cost16, carry = \
                 _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_me,
                                pred, qp_t, lam_t, s, sbh_scan,
                                cand_fields=cands,
                                scaling=scaling_lists, carry_in=carry,
                                ref_grid=rgrid, ref_pads=ref_pads,
-                               inv=inv16)
+                               inv=inv16, neigh_refs=nrefs)
             mv = mv_flat.reshape(bh, bw, 2)
             if multi_ref:
                 rgrid = carry["ref"].reshape(bh, bw)
@@ -1013,13 +1097,37 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     is_intra_blk = jnp.zeros((nb,), jnp.int32)
     intra_modes = jnp.zeros((nb,), jnp.int32)
     cand_count = jnp.int32(0)
-    if intra_fallback:
+    if intra_fallback and ax is None:
         (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
          cand_count, fb_rounds, fb_amask) = \
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
                 h, w, sbh_scan, scaling_lists,
                 rounds=fallback_rounds, inv=inv16)
+    elif intra_fallback:
+        # banded: the fallback's global top-k selection and its intra
+        # reference pixels cross band boundaries, and the stage is a
+        # small fraction of frame compute — gather and run it
+        # REPLICATED (every chip computes the identical result, so the
+        # bitstream matches the single-device run), then slice the
+        # band's rows back out.
+        qtf = qp_t_full.reshape(-1)
+        invf = inv_full.reshape(-1) if inv_full is not None else None
+        (rec_f, lvl_f, cbf_f, isb_f, im_f, cand_count, fb_rounds,
+         fb_amask) = _intra_fallback_luma(
+            allg_rows(cur_b), allg_rows(recon_y), allg_rows(level_y),
+            allg_rows(cbf_y), allg_rows(pred),
+            qtf, s, BH, bw, h, w, sbh_scan, scaling_lists,
+            rounds=fallback_rounds, inv=invf)
+        recon_y = band_rows(rec_f.reshape(BH, bw, s, s)) \
+            .reshape(-1, s, s)
+        level_y = band_rows(lvl_f.reshape(BH, bw, s, s)) \
+            .reshape(-1, s, s)
+        cbf_y = band_rows(cbf_f)
+        is_intra_blk = band_rows(isb_f.reshape(BH, bw)).reshape(-1)
+        intra_modes = band_rows(im_f.reshape(BH, bw)).reshape(-1)
+
+    if intra_fallback:
         # frame-level intra-preference signal for the scene-change
         # restart (ref intra-ratio check, hmr_motion_inter.c:2836):
         # the fallback's DC proxy is blind to angular-predictable
@@ -1030,46 +1138,165 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         # (lax.cond — a real branch under jit/scan) when the cheap
         # signals suggest a possible scene change: many DC-proxy
         # candidates, or a poorly predicted frame (high mean ME SAD).
+        # Banded: runs replicated on the gathered source so the packed
+        # count matches the single-device run bit-exactly.
         from homerhevc_tpu.models import intra_frame as _intra_model
+        NB = BH * bw
+        cur_full = cur if ax is None else allg_rows(cur)
+        sad_me_sum = jnp.sum(sad_me) if ax is None else \
+            jax.lax.psum(jnp.sum(sad_me), ax)
+        sad_me_full = sad_me if ax is None else \
+            allg_rows(sad_me.reshape(bh, bw)).reshape(-1)
 
         def _dense_count(_):
             with jax.named_scope("intra_pref"):
                 _, ip_cost = _intra_model._dense_best(
-                    cur, 16, ctu,
+                    cur_full, 16, ctu,
                     jnp.sqrt(tables.rd_lambda(qp, True)
                              .astype(jnp.float32)))
                 return jnp.sum(
-                    ip_cost.reshape(-1) < sad_me.reshape(-1)
+                    ip_cost.reshape(-1) < sad_me_full.reshape(-1)
                     .astype(jnp.float32)).astype(jnp.int32)
 
-        mean_sad_px = jnp.sum(sad_me).astype(jnp.float32) / (h * w)
-        maybe_scene = (cand_count > nb // 4) | (mean_sad_px > 6.0)
+        mean_sad_px = sad_me_sum.astype(jnp.float32) / (h * w)
+        maybe_scene = (cand_count > NB // 4) | (mean_sad_px > 6.0)
         ip_count = jax.lax.cond(maybe_scene, _dense_count,
                                 lambda _: jnp.int32(0), None)
         cand_count = jnp.maximum(cand_count, ip_count)
+
+    # ---- inter NxN: 16x16 CUs re-coded as four 8x8 PUs where
+    # divergent motion pays off (ref NxN at max depth with size > 8,
+    # hmr_motion_inter.c:3088; spec forbids 4x4 inter PUs, so 16x16 is
+    # the NxN floor).  Each quadrant refines ±2 integer pel around the
+    # CU's winning MV (keeping its subpel phase); the CU re-codes as
+    # ONE 16x16 TB on the assembled 4-PU prediction (tr_depth 0 is
+    # legal for NxN when max_inter_tr_depth > 0, spec 7.3.8.8); taken
+    # when the RD incl. part/per-PU mv bits beats the 2Nx2N winner.
+    # Chroma MC for taken CUs runs per-PU at 4x4 in the chroma stage.
+    nxn16 = jnp.zeros((nb,), bool)
+    mv8_pu = None
+    if inter_nxn:
+        with jax.named_scope("inter_nxn"):
+            r8 = 2
+            cur8 = _blocks(cur, 8)                      # [4nb, 8, 8]
+            bh8, bw8 = 2 * bh, 2 * bw
+            p8y = (row0 + jnp.arange(bh8, dtype=jnp.int32) * 8)[:, None]
+            p8x = (jnp.arange(bw8, dtype=jnp.int32) * 8)[None, :]
+            p8y = jnp.broadcast_to(p8y, (bh8, bw8)).reshape(-1)
+            p8x = jnp.broadcast_to(p8x, (bh8, bw8)).reshape(-1)
+            mv16_8 = jnp.repeat(jnp.repeat(mv, 2, 0), 2, 1) \
+                .reshape(-1, 2)                         # [4nb, 2]
+            ref8 = None
+            if multi_ref:
+                ref8 = jnp.repeat(jnp.repeat(ref_sel, 2, 0), 2, 1) \
+                    .reshape(-1)
+            g8y = me.REF_PAD + p8y + (mv16_8[:, 0] >> 2) - r8
+            g8x = me.REF_PAD + p8x + (mv16_8[:, 1] >> 2) - r8
+            if multi_ref:
+                win8 = me._gather_windows_ref(ref_pads, ref8, g8y, g8x,
+                                              8 + 2 * r8)
+            else:
+                win8 = me._gather_windows(ref_pad, g8y, g8x, 8 + 2 * r8)
+            sads8 = me._stacked_window_sads(win8, cur8, 8, r8)
+            offs8 = jnp.asarray(
+                [(dy, dx) for dy in range(-r8, r8 + 1)
+                 for dx in range(-r8, r8 + 1)], jnp.int32)
+            mv8 = mv16_8 + 4 * offs8[jnp.argmin(sads8, 0)]  # qpel
+            pred8 = me.mc_luma_at(ref_pads if multi_ref else ref_pad,
+                                  p8y, p8x, mv8, 8, ref=ref8)
+
+            def _asm8(t):   # [4nb, 8, 8] 8-grid raster -> [nb, 16, 16]
+                return t.reshape(bh, 2, bw, 2, 8, 8) \
+                    .transpose(0, 2, 1, 4, 3, 5).reshape(-1, 16, 16)
+
+            pred_nxn = _asm8(pred8)
+            lvl_nxn, rrn = _tq(cur_b - pred_nxn, s, qp_t, False,
+                               sbh_scan, scaling_lists)
+            rec_nxn = jnp.clip(pred_nxn + rrn, 0, 255)
+            ssd_n = jnp.sum((rec_nxn - cur_b) ** 2,
+                            (-1, -2)).astype(jnp.float32)
+            ssd_z = jnp.sum((pred_nxn - cur_b) ** 2,
+                            (-1, -2)).astype(jnp.float32)
+            if inv16 is not None:
+                ssd_n = jnp.where(inv16, ssd_n * _PAD_DIST_W, ssd_n)
+                ssd_z = jnp.where(inv16, ssd_z * _PAD_DIST_W, ssd_z)
+            mvd8 = mv8 - mv16_8
+            # per-PU bits: kept-MV PUs usually merge (~2 bins); moved
+            # PUs pay mvd + merge/mvp flags
+            pu_bits = jnp.where((mvd8 == 0).all(-1), 2.0,
+                                rdbits.mvd_bits(mvd8) + 4.0)
+            pu_bits16 = pu_bits.reshape(bh, 2, bw, 2).sum((1, 3)) \
+                .reshape(-1)
+            # part_mode NxN = 3 ctx bins + rqt_root_cbf
+            bits_n = 4.0 + pu_bits16
+            rb_n = rdbits.residual_bits(lvl_nxn, s)
+            cost_coded = ssd_n + lam_t * (bits_n + rb_n)
+            cost_zero = ssd_z + lam_t * (bits_n + 1.0)
+            use_zero_n = cost_zero <= cost_coded
+            cost_nxn = jnp.where(use_zero_n, cost_zero, cost_coded)
+            lvl_nxn = jnp.where(use_zero_n[:, None, None], 0, lvl_nxn)
+            rec_nxn = jnp.where(use_zero_n[:, None, None], pred_nxn,
+                                rec_nxn)
+            diverged = (mvd8 != 0).any(-1).reshape(bh, 2, bw, 2) \
+                .any((1, 3)).reshape(-1)
+            cand_nxn = (cost_nxn < cost16) & diverged \
+                & (is_intra_blk == 0)
+            if inv16 is not None:
+                cand_nxn = cand_nxn & ~inv16
+            # deterministic global cap (static shapes for the chroma
+            # compaction; identical selection under row sharding)
+            gain = jnp.where(cand_nxn, cost16 - cost_nxn, -1.0)
+            gain_full = gain if ax is None else \
+                allg_rows(gain.reshape(bh, bw)).reshape(-1)
+            NBf = gain_full.shape[0]
+            _, sel_f = jax.lax.top_k(gain_full, min(_NXN_CAP, NBf))
+            keep_f = jnp.zeros((NBf,), bool).at[sel_f].set(
+                gain_full[sel_f] > 0)
+            nxn16 = band_rows(keep_f.reshape(-1, bw)).reshape(-1) \
+                & cand_nxn
+            tkn = nxn16[:, None, None]
+            level_y = jnp.where(tkn, lvl_nxn, level_y)
+            recon_y = jnp.where(tkn, rec_nxn, recon_y)
+            cbf_y = ((cbf_y.reshape(-1) & ~nxn16)
+                     | (nxn16 & jnp.any(lvl_nxn != 0, (-1, -2)))) \
+                .reshape(bh, bw)
+            cost16 = jnp.where(nxn16, cost_nxn, cost16)
+            # final per-PU MVs (committed blocks keep their refined
+            # quadrants; others collapse to the CU MV)
+            nxn8 = jnp.repeat(jnp.repeat(nxn16.reshape(bh, bw), 2, 0),
+                              2, 1).reshape(-1)
+            mv8_pu = jnp.where(nxn8[:, None], mv8, mv16_8)
 
     # ---- device CU-quadtree consolidation (VERDICT round-2 item 3):
     # fold 2x2 / 4x4 tile groups into 32/64 CUs with TU-size RDO.
     # Groups touching (or adjacent to) intra-fallback blocks are
     # excluded so the fallback's intra reference pixels stay exactly
-    # what the decoder reconstructs.
+    # what the decoder reconstructs; NxN CUs are leaves by definition.
     with jax.named_scope("quadtree"):
-        igrid = is_intra_blk.reshape(bh, bw).astype(bool)
-        pad_i = jnp.pad(igrid, 1)
-        dil = jnp.zeros_like(igrid)
+        # the 8-neighbour dilation crosses band boundaries: compute it
+        # on the full grid and slice the band back (identity when
+        # single-device)
+        ig_full = (is_intra_blk.reshape(bh, bw) if ax is None
+                   else allg_rows(is_intra_blk.reshape(bh, bw))) \
+            .astype(bool)
+        gh = ig_full.shape[0]
+        pad_i = jnp.pad(ig_full, 1)
+        dil_full = jnp.zeros_like(ig_full)
         for ddy in (-1, 0, 1):
             for ddx in (-1, 0, 1):
-                dil = dil | pad_i[1 + ddy:1 + ddy + bh,
-                                  1 + ddx:1 + ddx + bw]
+                dil_full = dil_full | pad_i[1 + ddy:1 + ddy + gh,
+                                            1 + ddx:1 + ddx + bw]
+        dil = band_rows(dil_full)
+        qt_excl = dil.reshape(-1) | nxn16
         (mv, level_y, recon_y, cbf_y, cu_depth, tr_depth, chroma16) = \
             quadtree_consolidate(
                 cur_b, pred_sel, mv, level_y, recon_y,
-                cost16, dil.reshape(-1), qp_t, lam_t, bh, bw,
+                cost16, qt_excl, qp_t, lam_t, bh, bw,
                 sign_hiding, scaling_lists,
                 ref_flat=None if not multi_ref else ref_sel.reshape(-1),
                 ref_pad=ref_pad if quadtree_majority else None,
                 ref_pads=ref_pads if quadtree_majority else None,
-                inv=inv16)
+                y0=row0, inv=inv16)
         mv_f = mv.reshape(-1, 2)
 
         # chroma coding (single pass, post-quadtree): prediction at
@@ -1161,7 +1388,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
 
     # ---- fallback chroma (after the chroma pass so its DM intra
     # prediction reads final neighbour reconstructions)
-    if intra_fallback:
+    if intra_fallback and ax is None:
         # per round, so a later round's chroma ADI reads the committed
         # chroma reconstructions of the earlier rounds
         for fb_sel, fb_slot, fb_best in fb_rounds:
@@ -1173,16 +1400,66 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 recon_v, v, level_v, cbf_v, fb_sel, fb_slot, fb_best,
                 fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
                 scaling_lists)
+    elif intra_fallback:
+        # banded: replicated like the luma fallback (fb_rounds carry
+        # FULL-frame block indices), then slice the band back out
+        qct_f = jnp.asarray(tables.CHROMA_QP_TABLE)[
+            jnp.clip(qp_t_full.reshape(-1) + chroma_qp_offset, 0, 57)]
+        gath = [allg_rows(a) for a in
+                (recon_u, level_u, cbf_u, recon_v, level_v, cbf_v,
+                 jnp.asarray(u, jnp.int32), jnp.asarray(v, jnp.int32))]
+        ru_f, lu_f, cu_f, rv_f, lv_f, cv_f, u_f, v_f = gath
+        for fb_sel, fb_slot, fb_best in fb_rounds:
+            ru_f, lu_f, cu_f = _intra_fallback_chroma(
+                ru_f, u_f, lu_f, cu_f, fb_sel, fb_slot, fb_best,
+                fb_amask, qct_f, cs, BH, bw, h, w, sbh_scan_c,
+                scaling_lists)
+            rv_f, lv_f, cv_f = _intra_fallback_chroma(
+                rv_f, v_f, lv_f, cv_f, fb_sel, fb_slot, fb_best,
+                fb_amask, qct_f, cs, BH, bw, h, w, sbh_scan_c,
+                scaling_lists)
+        bslc = lambda a: band_rows(a.reshape(BH, bw, cs, cs)) \
+            .reshape(-1, cs, cs)
+        recon_u, level_u = bslc(ru_f), bslc(lu_f)
+        recon_v, level_v = bslc(rv_f), bslc(lv_f)
+        cbf_u, cbf_v = band_rows(cu_f), band_rows(cv_f)
 
     # running-distortion signal for rate control (role of the
     # reference's avg_dist accumulation, hmr_encoder_lib.c:2722-2752):
     # mean per-16x16-block luma SAD of the unfiltered reconstruction
-    dist16 = jnp.sum(jnp.abs(recon_y - cur_b)) // nb
+    NB = BH * bw
+    dsum = jnp.sum(jnp.abs(recon_y - cur_b))
+    if ax is not None:
+        dsum = jax.lax.psum(dsum, ax)
+    dist16 = dsum // NB
 
-    out_y = _unblocks(recon_y, h, w)
-    out_u = _unblocks(recon_u, h // 2, w // 2)
-    out_v = _unblocks(recon_v, h // 2, w // 2)
+    # ---- assemble the frame (identity single-device; ICI all_gather
+    # banded — role of the reference's frame-assembly joins).  The
+    # trailing stages (deblock H, SAO, packing) run on full-frame maps;
+    # the vertical deblock pass stays band-local (row-local math).
+    out_y = _unblocks(recon_y, hb, w)
+    out_u = _unblocks(recon_u, hb // 2, w // 2)
+    out_v = _unblocks(recon_v, hb // 2, w // 2)
+    if ax is not None:
+        level_y = allg_rows(level_y)
+        level_u = allg_rows(level_u)
+        level_v = allg_rows(level_v)
+        cbf_u = allg_rows(cbf_u)
+        cbf_v = allg_rows(cbf_v)
+        mv = allg_rows(mv)
+        cu_depth = allg_rows(cu_depth)
+        tr_depth = allg_rows(tr_depth)
+        is_intra_blk = allg_rows(
+            is_intra_blk.reshape(bh, bw)).reshape(-1)
+        intra_modes = allg_rows(intra_modes.reshape(bh, bw)).reshape(-1)
+        if multi_ref:
+            ref_sel = allg_rows(ref_sel)
+        out_u = allg_rows(out_u)
+        out_v = allg_rows(out_v)
+        u = allg_rows(jnp.asarray(u, jnp.int32))
+        v = allg_rows(jnp.asarray(v, jnp.int32))
 
+    cbf_y_full = cbf_y if ax is None else allg_rows(cbf_y)
     if deblocking:
         # EFFECTIVE QP for the in-loop filter (spec 8.6.1, QG = CTB):
         # a CTU with no coded cbf never writes its cu_qp_delta, so the
@@ -1190,8 +1467,9 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         # delta-carrying CTU, CUs decoded BEFORE the delta's CU also
         # still use the predicted QP.  Replicate with (a) a forward-
         # fill scan over the CTU raster and (b) a per-granule split at
-        # the z-scan start of the first cbf-carrying CU.
-        cbf_any_g = (cbf_y | cbf_u | cbf_v)                # [bh, bw]
+        # the z-scan start of the first cbf-carrying CU.  All maps here
+        # are FULL-frame (the decoding-order chain crosses bands).
+        cbf_any_g = (cbf_y_full | cbf_u | cbf_v)           # [BH, bw]
         has_cbf_ctu = cbf_any_g.reshape(
             ncy, r16, ncx, r16).any((1, 3)).reshape(-1)
         posc = jnp.arange(ncy * ncx, dtype=jnp.int32)
@@ -1206,7 +1484,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         z_g = jnp.asarray(np.tile(z_np, (ncy, ncx)), jnp.int32)
         cstart = jnp.where(cu_depth == 2, z_g,
                            jnp.where(cu_depth == 1,
-                                     z_g // 4 * 4, 0))    # [bh, bw]
+                                     z_g // 4 * 4, 0))    # [BH, bw]
         big = jnp.int32(r16 * r16)
         first = jnp.min(
             jnp.where(cbf_any_g, cstart, big).reshape(
@@ -1216,16 +1494,20 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         qp_g16 = jnp.where(
             cstart < rep_c(first),
             rep_c(prev_eff.reshape(ncy, ncx)),
-            rep_c(qp_map))                                 # [bh, bw]
+            rep_c(qp_map))                                 # [BH, bw]
 
         # spec 8.7.2.4: the cbf term of the BS is the LUMA TB only
-        ii = is_intra_blk.reshape(bh, bw) if intra_fallback else None
+        ii = is_intra_blk.reshape(BH, bw) if intra_fallback else None
         tb2 = (tr_depth == 0) & (cu_depth == 1) | (cu_depth == 0)
-        bs_v, bs_h = inter_boundary_strength(cbf_y.astype(jnp.int32),
-                                             mv, s, h, w, is_intra=ii,
-                                             tb2=tb2, ref=ref_sel)
+        bs_v, bs_h = inter_boundary_strength(
+            cbf_y_full.astype(jnp.int32), mv, s, h, w, is_intra=ii,
+            tb2=tb2, ref=ref_sel)
         qp_v, qp_h = _edge_qp_maps(qp_g16, h, w, 16)
-        out_y = deblock._luma_pass(out_y, bs_v, qp_v)
+        # vertical pass: row-local -> band-local (slice the band's rows
+        # of the full maps; identity single-device)
+        out_y = deblock._luma_pass(
+            out_y, band_rows(bs_v, hb // 4), band_rows(qp_v, hb // 4))
+        out_y = out_y if ax is None else allg_rows(out_y)
         out_y = deblock._luma_pass(out_y.T, bs_h.T, qp_h.T).T
         if intra_fallback:
             # chroma filters only BS==2 edges (intra-adjacent)
@@ -1236,13 +1518,17 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             out_u = deblock._chroma_pass(out_u.T, bs_hc.T, qpch.T).T
             out_v = deblock._chroma_pass(out_v, bs_vc, qpcv)
             out_v = deblock._chroma_pass(out_v.T, bs_hc.T, qpch.T).T
+    elif ax is not None:
+        out_y = allg_rows(out_y)
 
     sao_fields = None
     if sao_enabled:
         lam = tables.rd_lambda(qp, False)
         lam_c = tables.rd_lambda(qp_c, False)
+        y_full = jnp.asarray(y, jnp.int32) if ax is None \
+            else allg_rows(jnp.asarray(y, jnp.int32))
         out_y, out_u, out_v, sao_fields = sao.sao_frame(
-            jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+            y_full, jnp.asarray(u, jnp.int32),
             jnp.asarray(v, jnp.int32), out_y, out_u, out_v,
             lam, lam_c, ctu)
 
@@ -1252,15 +1538,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         coeff_cb=_unblocks(level_u, h // 2, w // 2).astype(jnp.int16),
         coeff_cr=_unblocks(level_v, h // 2, w // 2).astype(jnp.int16),
         mv=mv,
-        cbf=jnp.stack([cbf_y, cbf_u, cbf_v]).astype(jnp.int32),
+        cbf=jnp.stack([cbf_y_full, cbf_u, cbf_v]).astype(jnp.int32),
     )
     # single-transfer marshaling with nonzero-block compaction (the
     # device->host link is a high-latency, low-bandwidth tunnel).
     # Two tiers from ONE device-side sort: the small tier (sized for
     # measured density, p_caps_small) ships always; the full tier
     # stays in HBM and is pulled only when the small counts overflow.
-    cap_y, cap_c, esc_y, esc_c = p_caps(nb)
-    cap_ys, cap_cs, esc_ys, esc_cs = p_caps_small(nb)
+    cap_y, cap_c, esc_y, esc_c = p_caps(NB)
+    cap_ys, cap_cs, esc_ys, esc_cs = p_caps_small(NB)
     if multi_ref:
         out["ref_idx"] = ref_sel
     pk_y_s, pk_y_f = packing.compact_blocks_i8_tiers(
@@ -1272,7 +1558,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     parts = [
         mv.astype(jnp.int16).reshape(-1),
         (ref_sel if multi_ref
-         else jnp.zeros((bh, bw), jnp.int32)).astype(jnp.int16)
+         else jnp.zeros((BH, bw), jnp.int32)).astype(jnp.int16)
         .reshape(-1),
         out["cbf"].astype(jnp.int16).reshape(-1),
         is_intra_blk.astype(jnp.int16),
@@ -1296,7 +1582,8 @@ encode_p_frame_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority"))
+                     "fallback_rounds", "quadtree_majority",
+                     "axis_name", "n_bands"))
 
 
 def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
@@ -1318,11 +1605,69 @@ def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
     reference does not exist yet (first P after an IDR).
 
     Returns dict(recon_* = last frame's reconstruction, packed [K, L]).
+
+    Row-band sharding: with `mesh` given, the WHOLE chunk program runs
+    band-local under shard_map over mesh[row_axis] — current frames are
+    banded on their row axis, references/QP replicated, and
+    encode_p_frame's axis_name collectives keep the result bit-identical
+    to the single-chip run (the WPP analogue wired through the chunk
+    pipeline; ref wfpp threads, hmr_encoder_lib.c:2357).
     """
     multi = ref2_y is not None
     qp = jnp.asarray(qp, jnp.int32)
     if qp.ndim == 0:           # scalar QP -> uniform per-frame vector
         qp = jnp.broadcast_to(qp, (ys.shape[0],))
+
+    mesh = flags.pop("mesh", None)
+    row_axis = flags.pop("row_axis", "row")
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        n = mesh.shape[row_axis]
+        assert (ys.shape[1] // n) % flags.get("ctu", 64) == 0, \
+            "band height must be CTU-aligned"
+        band = P(None, row_axis)
+        rep = P()
+        args = [jnp.asarray(ys), jnp.asarray(us), jnp.asarray(vs),
+                jnp.asarray(ref_y, jnp.int32),
+                jnp.asarray(ref_u, jnp.int32),
+                jnp.asarray(ref_v, jnp.int32), qp]
+        specs = [band, band, band, rep, rep, rep, rep]
+        if qp_maps is not None:
+            args.append(jnp.asarray(qp_maps, jnp.int32))
+            specs.append(rep)
+        if multi:
+            args += [jnp.asarray(ref2_y, jnp.int32),
+                     jnp.asarray(ref2_u, jnp.int32),
+                     jnp.asarray(ref2_v, jnp.int32),
+                     jnp.ones((ys.shape[0],), bool)
+                     if has_ref2 is None else jnp.asarray(has_ref2)]
+            specs += [rep, rep, rep, rep]
+        keys = ["recon_y", "recon_u", "recon_v", "packed",
+                "packed_full", "coeff_y", "coeff_cb", "coeff_cr"]
+        if multi:
+            keys += ["recon2_y", "recon2_u", "recon2_v"]
+
+        def local(ys_b, us_b, vs_b, ry, ru, rv, qp_, *rest):
+            i = 0
+            qmaps = None
+            if qp_maps is not None:
+                qmaps = rest[0]
+                i = 1
+            r2 = (None, None, None)
+            hr2 = None
+            if multi:
+                r2 = rest[i:i + 3]
+                hr2 = rest[i + 3]
+            return encode_p_chunk(
+                ys_b, us_b, vs_b, ry, ru, rv, qp=qp_, qp_maps=qmaps,
+                ref2_y=r2[0], ref2_u=r2[1], ref2_v=r2[2], has_ref2=hr2,
+                axis_name=row_axis, n_bands=n, **flags)
+
+        fn = shard_map(local, mesh=mesh, in_specs=tuple(specs),
+                       out_specs={k: rep for k in keys},
+                       check_vma=False)
+        return fn(*args)
 
     def step(carry, xs):
         if multi:
@@ -1380,7 +1725,8 @@ encode_p_chunk_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority"))
+                     "fallback_rounds", "quadtree_majority",
+                     "mesh", "row_axis", "axis_name", "n_bands"))
 
 
 def encode_p_chunk_packed(buf, ref_y, ref_u, ref_v, *, k, vis_h,
@@ -1417,4 +1763,5 @@ encode_p_chunk_packed_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority"))
+                     "fallback_rounds", "quadtree_majority",
+                     "mesh", "row_axis"))

@@ -346,10 +346,24 @@ class SliceWriter {
       derive_qt(x0 + half, y0 + half, log2 - 1, depth + 1);
       return;
     }
-    derive_cu(x0, y0, 1 << log2);
+    int s = 1 << log2;
+    if (!is_intra(x0, y0) && m4(rec_.part_size, x0, y0) == 1) {
+      // inter NxN: four PUs in z order (spec 8.5.3.2.3 runs per PU;
+      // intra-CU neighbour positions resolve through the same z-scan
+      // availability — PU0's samples are available to PU1/2/3, later
+      // PUs' are not; cu_skip_flag never applies to NxN CUs).
+      // Ref part-size syntax: hmr_arithmetic_encoding.c:424-531.
+      int half = s >> 1;
+      derive_cu(x0, y0, half, false);
+      derive_cu(x0 + half, y0, half, false);
+      derive_cu(x0, y0 + half, half, false);
+      derive_cu(x0 + half, y0 + half, half, false);
+      return;
+    }
+    derive_cu(x0, y0, s, true);
   }
 
-  void derive_cu(int x0, int y0, int s) {
+  void derive_cu(int x0, int y0, int s, bool allow_skip = true) {
     if (is_intra(x0, y0)) return;
     const MV cur = mv_at(x0, y0);
     // neighbour sample positions (spec 8.5.3.2.3)
@@ -397,7 +411,7 @@ class SliceWriter {
 
     int mvp_idx = 0, mvdx = 0, mvdy = 0;
     bool merge = merge_idx >= 0;
-    bool skip = merge && !any_cbf_cu(x0, y0, s);
+    bool skip = allow_skip && merge && !any_cbf_cu(x0, y0, s);
     if (!merge) {
       // ---- AMVP (8.5.3.2.5-8): two-pass per side — same-ref first,
       // then POC-scaled (multi-ref); with one reference the scaled

@@ -37,3 +37,25 @@ def test_num_chips_all_intra_bit_transparent():
         return b"".join(fr.nalus for fr in out)
 
     assert run(4) == run(1)
+
+
+def test_num_chips_ippp_bit_transparent():
+    """num_chips>1 on an IPPP config routes P chunks through the
+    row-sharded chunk program (api._p_mesh); the stream must be
+    byte-identical to single-chip (VERDICT r3 item 5)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 (virtual) devices")
+    frames = _frames(n=3, h=120, w=128, seed=6)   # padded to 2 CTU rows
+
+    def run(num_chips):
+        cfg = EncoderConfig(width=128, height=120, qp=31,
+                            intra_period=100, frames_per_launch=2,
+                            num_chips=num_chips)
+        enc = Encoder(cfg)
+        out = []
+        for f in frames:
+            out.extend(enc.encode_async(*f))
+        out.extend(enc.flush())
+        return b"".join(fr.nalus for fr in out)
+
+    assert run(2) == run(1)
