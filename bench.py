@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import sys
 import time
 
 import numpy as np
@@ -46,6 +47,13 @@ def main():
     import jax
     from homerhevc_tpu.api import Encoder
     from homerhevc_tpu.config import EncoderConfig
+    from homerhevc_tpu.ops import me as _me
+
+    # on-device bit-equality gate for the Pallas kernels (interpreter
+    # tests cannot catch Mosaic hardware miscompiles); raises on
+    # mismatch so a bad toolchain can never produce a "fast" number
+    _me.pallas_selftest()
+    print("# pallas_selftest: ok", file=sys.stderr)
 
     h, w = 720, 1280
     n_frames = int(os.environ.get("BENCH_FRAMES", "49"))

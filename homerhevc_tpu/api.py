@@ -96,12 +96,12 @@ class Encoder:
         rd = self.cfg.rd_mode
         if rd == RDMode.RD_FULL:
             return dict(merge_rounds=2, fallback_rounds=2,
-                        quadtree_majority=True)
+                        quadtree_majority=True, inter_nxn=True)
         if rd == RDMode.RD_FAST:
             return dict(merge_rounds=2, fallback_rounds=2,
-                        quadtree_majority=True)
+                        quadtree_majority=True, inter_nxn=True)
         return dict(merge_rounds=1, fallback_rounds=1,
-                    quadtree_majority=False)
+                    quadtree_majority=False, inter_nxn=False)
 
     def _p_mesh(self):
         """Row-band mesh for IPPP chunks (the WPP analogue wired into
@@ -655,6 +655,29 @@ class Encoder:
             np.repeat(np.repeat(same16, 2, 0), 2, 1)
         depth = np.where(m32, 1, depth)
         tr16 = np.where(m32, 1, tr16).astype(np.uint8)
+        # ---- 64x64 intra CUs (VERDICT r3 item 4 / ref 64-CU search,
+        # hmr_sse42_functions_prediction.c:45): four 32x32 CUs (depth
+        # 1, tr 0 — each one 32 TB) with one (luma, chroma) mode fold
+        # into a depth-0 CU.  log2CbSize 6 > MaxTbLog2 5 forces the TU
+        # split to four 32 TBs with per-TB prediction and four 16
+        # chroma TBs (spec 7.3.8.8) — exactly what the four 32-CUs
+        # reconstructed, so recon is untouched and three mode
+        # signalings + split flags are saved.
+        d32q = quartets(depth, 4)
+        t32q = quartets(tr16, 4)
+        m32q = quartets(modes8, 8)
+        c32q = quartets(cmodes8, 8)
+        same32 = ((d32q == 1).all((1, 3)) & (t32q == 0).all((1, 3))
+                  & (m32q == m32q[:, :1, :, :1]).all((1, 3))
+                  & (c32q == c32q[:, :1, :, :1]).all((1, 3)))
+        m64 = np.zeros((bh, bw), bool)
+        m64[:bh // 4 * 4, :bw // 4 * 4] = \
+            np.repeat(np.repeat(same32, 4, 0), 4, 1)
+        depth = np.where(m64, 0, depth)
+        # depth-0 CUs: the forced split at 64 IS trafoDepth 1; keep
+        # tr16 = 0 here (the writer derives the forced split from the
+        # CU size, spec 7.3.8.8 interSplitFlag/MaxTb clause)
+        tr16 = np.where(m64, 0, tr16).astype(np.uint8)
         part4 = None
         if nxn8 is not None and nxn8.any():
             # NxN CUs: per-4x4 PU modes and TB cbfs from the packed PU
@@ -668,7 +691,7 @@ class Encoder:
         rec = binding.FrameRecord(
             width=w, height=h, slice_type=2, slice_qp=pend["qp"],
             poc=pend["gop_poc"], is_idr=True, qp_map=qpm,
-            cu_depth=rep4(np.clip(depth, 1, 3)).astype(np.uint8),
+            cu_depth=rep4(np.clip(depth, 0, 3)).astype(np.uint8),
             tr_depth=rep4(tr16),
             intra_luma_mode=luma4,
             intra_chroma_mode=rep2(cmodes8),   # 5-candidate search
@@ -689,18 +712,35 @@ class Encoder:
         h4, w4 = h // 4, w // 4
         bh, bw = h // 16, w // 16
         nb = bh * bw
-        mv = packed[:nb * 2].reshape(bh, bw, 2)
-        ref_idx = packed[nb * 2:nb * 3].reshape(bh, bw).astype(np.uint8)
-        cbf = packed[nb * 3:nb * 6].reshape(3, bh, bw).astype(np.uint8)
-        is_intra = packed[nb * 6:nb * 7].reshape(bh, bw).astype(np.uint8)
-        imodes = packed[nb * 7:nb * 8].reshape(bh, bw).astype(np.uint8)
-        cu_depth = packed[nb * 8:nb * 9].reshape(bh, bw).astype(np.uint8)
-        tr_depth = packed[nb * 9:nb * 10].reshape(bh, bw).astype(np.uint8)
-        pend["intra_frac"] = float(packed[nb * 10]) / nb
-        pend["dist"] = float(packed[nb * 10 + 1])
+        mv = packed[:nb * 2].reshape(bh, bw, 2)          # per-16 CU MV
+        o = nb * 2
+        ref_idx = packed[o:o + nb].reshape(bh, bw).astype(np.uint8)
+        cbf = packed[o + nb:o + 4 * nb].reshape(3, bh, bw) \
+            .astype(np.uint8)
+        is_intra = packed[o + 4 * nb:o + 5 * nb].reshape(bh, bw) \
+            .astype(np.uint8)
+        imodes = packed[o + 5 * nb:o + 6 * nb].reshape(bh, bw) \
+            .astype(np.uint8)
+        cu_depth = packed[o + 6 * nb:o + 7 * nb].reshape(bh, bw) \
+            .astype(np.uint8)
+        tr_depth = packed[o + 7 * nb:o + 8 * nb].reshape(bh, bw) \
+            .astype(np.uint8)
+        # split-CU sidebands: per-8 MV deltas (dy|dx<<8 int8 pairs) and
+        # per-16 packed sub-CU TB cbfs (4 x (y|cb<<1|cr<<2))
+        mvd8p = packed[o + 8 * nb:o + 12 * nb].view(np.uint16) \
+            .reshape(2 * bh, 2 * bw)
+        mvd8 = np.stack([(mvd8p & 0xFF).astype(np.uint8).view(np.int8),
+                         (mvd8p >> 8).astype(np.uint8).view(np.int8)],
+                        -1).astype(np.int16)
+        cbf8_blk = packed[o + 12 * nb:o + 13 * nb].reshape(bh, bw)
+        cbf8 = np.zeros((2 * bh, 2 * bw), np.uint8)
+        for q, (qy, qx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            cbf8[qy::2, qx::2] = (cbf8_blk >> (3 * q)) & 7
+        pend["intra_frac"] = float(packed[o + 13 * nb]) / nb
+        pend["dist"] = float(packed[o + 13 * nb + 1])
         from homerhevc_tpu.models.inter_frame import p_caps_small
         cap_ys, cap_cs, esc_ys, esc_cs = p_caps_small(nb)
-        off = nb * 10 + 2
+        off = o + 13 * nb + 2
         sz_ys = packing.compact_i8_size(cap_ys, 16, esc_ys)
         sz_cs = packing.compact_i8_size(cap_cs, 8, esc_cs)
         cnt_y, blk_y = packing.unpack_blocks_i8(packed[off:off + sz_ys],
@@ -756,7 +796,15 @@ class Encoder:
             else raw("coeff_cr")
         k = 4
         rep = lambda m: np.repeat(np.repeat(m, k, 0), k, 1)
+        rep2 = lambda m: np.repeat(np.repeat(m, 2, 0), 2, 1)
         imode4 = rep(imodes)
+        mv8 = rep2(mv).astype(np.int16) + mvd8   # per-8x8 sub-CU MVs
+        mv4 = rep2(mv8)                  # per-4x4 from per-8x8 sub-CUs
+        # cbf maps: per-16 TBs except under split CUs (four TB8/TB4s)
+        split4 = rep(cu_depth == 3)
+        cbf_y4 = np.where(split4, rep2(cbf8 & 1), rep(cbf[0]))
+        cbf_cb4 = np.where(split4, rep2((cbf8 >> 1) & 1), rep(cbf[1]))
+        cbf_cr4 = np.where(split4, rep2((cbf8 >> 2) & 1), rep(cbf[2]))
         qpm = None
         if pend.get("qp_maps") is not None:
             r = cfg.ctu_size // 4
@@ -769,9 +817,11 @@ class Encoder:
             cu_depth=rep(cu_depth), tr_depth=rep(tr_depth),
             pred_mode=rep(is_intra),
             intra_luma_mode=imode4, intra_chroma_mode=imode4,  # DM
-            mv_x=np.ascontiguousarray(rep(mv[..., 1])),
-            mv_y=np.ascontiguousarray(rep(mv[..., 0])),
-            cbf_y=rep(cbf[0]), cbf_cb=rep(cbf[1]), cbf_cr=rep(cbf[2]),
+            mv_x=np.ascontiguousarray(mv4[..., 1]),
+            mv_y=np.ascontiguousarray(mv4[..., 0]),
+            cbf_y=np.ascontiguousarray(cbf_y4.astype(np.uint8)),
+            cbf_cb=np.ascontiguousarray(cbf_cb4.astype(np.uint8)),
+            cbf_cr=np.ascontiguousarray(cbf_cr4.astype(np.uint8)),
             coeff_y=cy, coeff_cb=cb, coeff_cr=cr,
             qp_map=qpm,
             ref_idx=rep(ref_idx),

@@ -606,34 +606,86 @@ def p_caps_small(nb: int):
 
 def inter_boundary_strength(cbf: jnp.ndarray, mv: jnp.ndarray,
                             block: int, h: int, w: int,
-                            is_intra=None, tb2=None, ref=None):
+                            is_intra=None, tb2=None, ref=None,
+                            mv8=None, nxn=None, cbf8=None):
     """BS maps for a P frame (spec 8.7.2.4; ref
     get_boundary_strength_single hmr_deblocking_filter.c:138): BS=2 at a
     PU/TU boundary when either side is intra, else 1 when either side
     has luma cbf or the MVs differ by >= 4 quarter-pel in any
     component.  tb2 (optional [bh, bw] bool) marks granules covered by
     32-wide TBs (quadtree-merged CUs); their interior edges are not
-    TU/PU boundaries and are not filtered."""
+    TU/PU boundaries and are not filtered.
+
+    8x8 split CUs: with mv8 ([2bh, 2bw, 2] per-8x8-sub-CU MVs), nxn
+    ([bh, bw] split flags) and cbf8 ([2bh, 2bw] per-8 luma TB cbf),
+    the MV and cbf terms evaluate at 8-pel granularity; a 16-interior
+    8-edge is a CU (PU+TU) boundary only inside a split block."""
     bh, bw = cbf.shape
-    mvdiff_v = (jnp.abs(mv[:, :-1] - mv[:, 1:]) >= 4).any(-1)
-    cond_v = (cbf[:, :-1] | cbf[:, 1:]).astype(bool) | mvdiff_v  # [bh,bw-1]
-    mvdiff_h = (jnp.abs(mv[:-1] - mv[1:]) >= 4).any(-1)
-    cond_h = (cbf[:-1] | cbf[1:]).astype(bool) | mvdiff_h        # [bh-1,bw]
+    cond_v = (cbf[:, :-1] | cbf[:, 1:]).astype(bool)  # [bh, bw-1]
+    cond_h = (cbf[:-1] | cbf[1:]).astype(bool)        # [bh-1, bw]
+    if mv8 is not None:
+        # per-8 TB cbf across 16-aligned edges (split CUs have four
+        # TB8s; others replicate the 16 TB's cbf — identical term)
+        c8 = cbf8.astype(bool)
+        cond_v = (c8[:, 1:-1:2] | c8[:, 2::2])        # [2bh, bw-1]
+        cond_h = (c8[1:-1:2, :] | c8[2::2, :])        # [bh-1, 2bw]
+    if mv8 is None:
+        cond_v = cond_v | (jnp.abs(mv[:, :-1] - mv[:, 1:]) >= 4).any(-1)
+        cond_h = cond_h | (jnp.abs(mv[:-1] - mv[1:]) >= 4).any(-1)
     if ref is not None:
         # spec 8.7.2.4: different reference pictures across the edge
         # -> BS 1 (multi-ref)
-        cond_v = cond_v | (ref[:, :-1] != ref[:, 1:])
-        cond_h = cond_h | (ref[:-1] != ref[1:])
+        rv = (ref[:, :-1] != ref[:, 1:])
+        rh = (ref[:-1] != ref[1:])
+        if mv8 is not None:
+            rv = jnp.repeat(rv, 2, 0)
+            rh = jnp.repeat(rh, 2, 1)
+        cond_v = cond_v | rv
+        cond_h = cond_h | rh
     if tb2 is not None:
         # interior edges of a 32-wide TB are not TU/PU boundaries:
         # boundary j (between granules j and j+1) is interior iff j is
         # even and the granules belong to a 2x-scaled TB
         j = jnp.arange(bw - 1)
         interior_v = ((j % 2) == 0)[None, :] & tb2[:, 1:]
-        cond_v = cond_v & ~interior_v
         i = jnp.arange(bh - 1)
         interior_h = ((i % 2) == 0)[:, None] & tb2[1:, :]
+        if mv8 is not None:
+            interior_v = jnp.repeat(interior_v, 2, 0)
+            interior_h = jnp.repeat(interior_h, 2, 1)
+        cond_v = cond_v & ~interior_v
         cond_h = cond_h & ~interior_h
+    if mv8 is not None:
+        mvd8_v = (jnp.abs(mv8[:, :-1] - mv8[:, 1:]) >= 4).any(-1)
+        mvd8_h = (jnp.abs(mv8[:-1] - mv8[1:]) >= 4).any(-1)
+        # 16-aligned edges (odd 8-col j): cbf/ref/tb2 term (already at
+        # 8-segment granularity) OR'd with the per-sub-CU mv term
+        val16_v = cond_v.astype(jnp.int32) \
+            | mvd8_v[:, 1::2].astype(jnp.int32)       # [2bh, bw-1]
+        val16_h = cond_h.astype(jnp.int32) \
+            | mvd8_h[1::2, :].astype(jnp.int32)       # [bh-1, 2bw]
+        # 16-interior 8-edges: CU boundaries inside split blocks only
+        # (both TU and PU boundary there: cbf + mv terms)
+        c8 = cbf8.astype(bool)
+        ci_v = c8[:, 0:-1:2] | c8[:, 1::2]            # [2bh, bw]
+        ci_h = c8[0:-1:2, :] | c8[1::2, :]            # [bh, 2bw]
+        nxn_r = jnp.repeat(nxn, 2, 0)                 # [2bh, bw]
+        vali_v = ((mvd8_v[:, 0::2] | ci_v) & nxn_r).astype(jnp.int32)
+        nxn_c = jnp.repeat(nxn, 2, 1)                 # [bh, 2bw]
+        vali_h = ((mvd8_h[0::2, :] | ci_h) & nxn_c).astype(jnp.int32)
+        if is_intra is not None:
+            ii = is_intra.astype(bool)
+            i_v = jnp.repeat(ii[:, :-1] | ii[:, 1:], 2, 0)
+            val16_v = jnp.where(i_v, 2, val16_v)
+            i_h = jnp.repeat(ii[:-1] | ii[1:], 2, 1)
+            val16_h = jnp.where(i_h, 2, val16_h)
+        bs_v = jnp.zeros((h // 4, w // 8), jnp.int32)
+        bs_v = bs_v.at[:, 2::2].set(jnp.repeat(val16_v, 2, 0))
+        bs_v = bs_v.at[:, 1::2].set(jnp.repeat(vali_v, 2, 0))
+        bs_h = jnp.zeros((h // 8, w // 4), jnp.int32)
+        bs_h = bs_h.at[2::2, :].set(jnp.repeat(val16_h, 2, 1))
+        bs_h = bs_h.at[1::2, :].set(jnp.repeat(vali_h, 2, 1))
+        return bs_v, bs_h
     val_v = cond_v.astype(jnp.int32)
     val_h = cond_h.astype(jnp.int32)
     if is_intra is not None:
@@ -1164,34 +1216,71 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                                 lambda _: jnp.int32(0), None)
         cand_count = jnp.maximum(cand_count, ip_count)
 
-    # ---- inter NxN: 16x16 CUs re-coded as four 8x8 PUs where
-    # divergent motion pays off (ref NxN at max depth with size > 8,
-    # hmr_motion_inter.c:3088; spec forbids 4x4 inter PUs, so 16x16 is
-    # the NxN floor).  Each quadrant refines ±2 integer pel around the
-    # CU's winning MV (keeping its subpel phase); the CU re-codes as
-    # ONE 16x16 TB on the assembled 4-PU prediction (tr_depth 0 is
-    # legal for NxN when max_inter_tr_depth > 0, spec 7.3.8.8); taken
-    # when the RD incl. part/per-PU mv bits beats the 2Nx2N winner.
-    # Chroma MC for taken CUs runs per-PU at 4x4 in the chroma stage.
+    # ---- 8x8 inter CUs: 16x16 blocks with divergent motion re-code
+    # as FOUR 8x8 2Nx2N CUs, each with its own MV and 8x8 TB (the
+    # spec-legal form of 8x8 motion granularity here: the stream's
+    # MinCbLog2SizeY is 3 for the intra 8x8/4x4 CUs, and part_mode NxN
+    # is only allowed when log2CbSize == MinCbLog2SizeY, spec 7.4.9.5 —
+    # so NxN-at-16 cannot be signalled.  Role of the reference's
+    # max-depth NxN/8x8 search, hmr_motion_inter.c:3088.)
+    # Each quadrant refines ±2 integer pel around the CU's winning MV
+    # (keeping its subpel phase); taken when the RD incl. split/per-CU
+    # header+mv bits beats the 16x16 winner.  Chroma for taken blocks
+    # codes four 4x4 TBs MC'd at each sub-CU's MV in the chroma stage.
     nxn16 = jnp.zeros((nb,), bool)
     mv8_pu = None
+    cbf8q = None
     if inter_nxn:
-        with jax.named_scope("inter_nxn"):
-            r8 = 2
-            cur8 = _blocks(cur, 8)                      # [4nb, 8, 8]
+        with jax.named_scope("inter_split8"):
+            r8 = 3
+            capb = min(_NXN_CAP, nb)
             bh8, bw8 = 2 * bh, 2 * bw
-            p8y = (row0 + jnp.arange(bh8, dtype=jnp.int32) * 8)[:, None]
-            p8x = (jnp.arange(bw8, dtype=jnp.int32) * 8)[None, :]
-            p8y = jnp.broadcast_to(p8y, (bh8, bw8)).reshape(-1)
-            p8x = jnp.broadcast_to(p8x, (bh8, bw8)).reshape(-1)
             mv16_8 = jnp.repeat(jnp.repeat(mv, 2, 0), 2, 1) \
                 .reshape(-1, 2)                         # [4nb, 2]
+            # --- candidate selection FIRST (the dense per-quadrant
+            # pass cost ~20 ms/frame at 720p; divergent-motion blocks
+            # are sparse).  Signal: the winner's residual energy.
+            # The cap is chosen over the GLOBAL grid so row sharding
+            # picks identical candidates; each band then compacts its
+            # own members (<= cap slots).
+            resid16 = jnp.sum(jnp.abs(cur_b - pred_sel),
+                              (-1, -2)).astype(jnp.float32)
+            elig = (is_intra_blk == 0)
+            if inv16 is not None:
+                elig = elig & ~inv16
+            key_band = jnp.where(elig, resid16, -1.0)
+            key_full = key_band if ax is None else \
+                allg_rows(key_band.reshape(bh, bw)).reshape(-1)
+            NBf = key_full.shape[0]
+            kv_f, sel_gf = jax.lax.top_k(key_full, min(_NXN_CAP, NBf))
+            keep_f = jnp.zeros((NBf,), bool).at[sel_gf].set(kv_f > 0)
+            cand_band = band_rows(keep_f.reshape(-1, bw)).reshape(-1) \
+                & elig
+            kb, bsel = jax.lax.top_k(
+                jnp.where(cand_band,
+                          jnp.int32(1 << 30) - jnp.arange(nb), 0),
+                capb)
+            okb = kb > 0                               # [capb]
+            slot16 = jnp.where(okb, bsel, nb)
+            byi, bxi = bsel // bw, bsel % bw
+            qdy = jnp.asarray([0, 0, 1, 1], jnp.int32)
+            qdx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+            pu_sel = ((2 * byi[:, None] + qdy[None]) * bw8
+                      + 2 * bxi[:, None] + qdx[None]).reshape(-1)
+            slot8 = jnp.where(jnp.repeat(okb, 4), pu_sel, 4 * nb)
+
+            # --- per-quadrant refine + code on the compacted set
+            cur8_all = _blocks(cur, 8)                  # [4nb, 8, 8]
+            cur8 = cur8_all[pu_sel]                     # [4capb, 8, 8]
+            p8y_all = (row0 + jnp.arange(bh8, dtype=jnp.int32) * 8)
+            p8y = p8y_all[pu_sel // bw8]
+            p8x = (pu_sel % bw8) * 8
+            mv16_q = mv16_8[pu_sel]
             ref8 = None
             if multi_ref:
-                ref8 = jnp.repeat(jnp.repeat(ref_sel, 2, 0), 2, 1) \
-                    .reshape(-1)
-            g8y = me.REF_PAD + p8y + (mv16_8[:, 0] >> 2) - r8
-            g8x = me.REF_PAD + p8x + (mv16_8[:, 1] >> 2) - r8
+                ref8 = jnp.repeat(ref_sel.reshape(-1)[bsel], 4)
+            g8y = me.REF_PAD + p8y + (mv16_q[:, 0] >> 2) - r8
+            g8x = me.REF_PAD + p8x + (mv16_q[:, 1] >> 2) - r8
             if multi_ref:
                 win8 = me._gather_windows_ref(ref_pads, ref8, g8y, g8x,
                                               8 + 2 * r8)
@@ -1201,71 +1290,56 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             offs8 = jnp.asarray(
                 [(dy, dx) for dy in range(-r8, r8 + 1)
                  for dx in range(-r8, r8 + 1)], jnp.int32)
-            mv8 = mv16_8 + 4 * offs8[jnp.argmin(sads8, 0)]  # qpel
+            mv8 = mv16_q + 4 * offs8[jnp.argmin(sads8, 0)]  # qpel
             pred8 = me.mc_luma_at(ref_pads if multi_ref else ref_pad,
                                   p8y, p8x, mv8, 8, ref=ref8)
 
-            def _asm8(t):   # [4nb, 8, 8] 8-grid raster -> [nb, 16, 16]
-                return t.reshape(bh, 2, bw, 2, 8, 8) \
-                    .transpose(0, 2, 1, 4, 3, 5).reshape(-1, 16, 16)
+            def _asm8(t):   # [4capb, 8, 8] q-major -> [capb, 16, 16]
+                return t.reshape(-1, 2, 2, 8, 8) \
+                    .transpose(0, 1, 3, 2, 4).reshape(-1, 16, 16)
 
-            pred_nxn = _asm8(pred8)
-            lvl_nxn, rrn = _tq(cur_b - pred_nxn, s, qp_t, False,
-                               sbh_scan, scaling_lists)
-            rec_nxn = jnp.clip(pred_nxn + rrn, 0, 255)
-            ssd_n = jnp.sum((rec_nxn - cur_b) ** 2,
+            # four 8x8 TBs, one per sub-CU
+            sbh8 = tuple(tables.scan_order(8, tables.SCAN_DIAG)) \
+                if sign_hiding else None
+            qp_q = jnp.repeat(qp_t[bsel], 4)
+            lam_q = jnp.repeat(lam_t[bsel], 4)
+            lvl8, rr8 = _tq(cur8 - pred8, 8, qp_q, False, sbh8,
+                            scaling_lists)
+            rec8 = jnp.clip(pred8 + rr8, 0, 255)
+            # per-sub-CU zero-residual fold (skip-style) — each 8x8 CU
+            # decides independently (selected blocks are never in the
+            # conformance padding, so no inv weighting here)
+            lvl8, rec8 = _rd_zero(lvl8, rec8, pred8, cur8, lam_q)
+            rec_nxn = _asm8(rec8)                       # [capb, 16, 16]
+            lvl_nxn = _asm8(lvl8)
+            orig_sel = cur_b[bsel]
+            ssd_n = jnp.sum((rec_nxn - orig_sel) ** 2,
                             (-1, -2)).astype(jnp.float32)
-            ssd_z = jnp.sum((pred_nxn - cur_b) ** 2,
-                            (-1, -2)).astype(jnp.float32)
-            if inv16 is not None:
-                ssd_n = jnp.where(inv16, ssd_n * _PAD_DIST_W, ssd_n)
-                ssd_z = jnp.where(inv16, ssd_z * _PAD_DIST_W, ssd_z)
-            mvd8 = mv8 - mv16_8
-            # per-PU bits: kept-MV PUs usually merge (~2 bins); moved
-            # PUs pay mvd + merge/mvp flags
-            pu_bits = jnp.where((mvd8 == 0).all(-1), 2.0,
-                                rdbits.mvd_bits(mvd8) + 4.0)
-            pu_bits16 = pu_bits.reshape(bh, 2, bw, 2).sum((1, 3)) \
-                .reshape(-1)
-            # part_mode NxN = 3 ctx bins + rqt_root_cbf
-            bits_n = 4.0 + pu_bits16
-            rb_n = rdbits.residual_bits(lvl_nxn, s)
-            cost_coded = ssd_n + lam_t * (bits_n + rb_n)
-            cost_zero = ssd_z + lam_t * (bits_n + 1.0)
-            use_zero_n = cost_zero <= cost_coded
-            cost_nxn = jnp.where(use_zero_n, cost_zero, cost_coded)
-            lvl_nxn = jnp.where(use_zero_n[:, None, None], 0, lvl_nxn)
-            rec_nxn = jnp.where(use_zero_n[:, None, None], pred_nxn,
-                                rec_nxn)
-            diverged = (mvd8 != 0).any(-1).reshape(bh, 2, bw, 2) \
-                .any((1, 3)).reshape(-1)
-            cand_nxn = (cost_nxn < cost16) & diverged \
-                & (is_intra_blk == 0)
-            if inv16 is not None:
-                cand_nxn = cand_nxn & ~inv16
-            # deterministic global cap (static shapes for the chroma
-            # compaction; identical selection under row sharding)
-            gain = jnp.where(cand_nxn, cost16 - cost_nxn, -1.0)
-            gain_full = gain if ax is None else \
-                allg_rows(gain.reshape(bh, bw)).reshape(-1)
-            NBf = gain_full.shape[0]
-            _, sel_f = jax.lax.top_k(gain_full, min(_NXN_CAP, NBf))
-            keep_f = jnp.zeros((NBf,), bool).at[sel_f].set(
-                gain_full[sel_f] > 0)
-            nxn16 = band_rows(keep_f.reshape(-1, bw)).reshape(-1) \
-                & cand_nxn
-            tkn = nxn16[:, None, None]
-            level_y = jnp.where(tkn, lvl_nxn, level_y)
-            recon_y = jnp.where(tkn, rec_nxn, recon_y)
-            cbf_y = ((cbf_y.reshape(-1) & ~nxn16)
-                     | (nxn16 & jnp.any(lvl_nxn != 0, (-1, -2)))) \
-                .reshape(bh, bw)
-            cost16 = jnp.where(nxn16, cost_nxn, cost16)
-            # final per-PU MVs (committed blocks keep their refined
-            # quadrants; others collapse to the CU MV)
-            nxn8 = jnp.repeat(jnp.repeat(nxn16.reshape(bh, bw), 2, 0),
-                              2, 1).reshape(-1)
-            mv8_pu = jnp.where(nxn8[:, None], mv8, mv16_8)
+            mvd8 = mv8 - mv16_q
+            # per-sub-CU bits: header (~3 bins) + merge (~2) when the
+            # MV kept the parent (a neighbour will carry it) else mvd
+            cu_bits = 3.0 + jnp.where((mvd8 == 0).all(-1), 2.0,
+                                      rdbits.mvd_bits(mvd8) + 4.0)
+            rb_q = rdbits.residual_bits(lvl8, 8)
+            bits16 = (cu_bits + rb_q).reshape(-1, 4).sum(-1) + 1.0
+            cost_nxn = ssd_n + lam_t[bsel] * bits16
+            diverged = (mvd8 != 0).any(-1).reshape(-1, 4).any(-1)
+            take = okb & diverged & (cost_nxn < cost16[bsel])
+            slot16 = jnp.where(take, bsel, nb)
+            slot8 = jnp.where(jnp.repeat(take, 4), pu_sel, 4 * nb)
+            nxn16 = jnp.zeros((nb,), bool).at[slot16].set(
+                True, mode="drop")
+            level_y = level_y.at[slot16].set(lvl_nxn, mode="drop")
+            recon_y = recon_y.at[slot16].set(rec_nxn, mode="drop")
+            cbf_y = cbf_y.reshape(-1).at[slot16].set(
+                jnp.any(lvl_nxn != 0, (-1, -2)),
+                mode="drop").reshape(bh, bw)
+            cost16 = cost16.at[slot16].set(cost_nxn, mode="drop")
+            # final per-sub-CU MVs and TB cbfs (committed blocks keep
+            # their refined quadrants; others collapse to the CU MV)
+            mv8_pu = mv16_8.at[slot8].set(mv8, mode="drop")
+            cbf8q = jnp.zeros((4 * nb,), bool).at[slot8].set(
+                jnp.any(lvl8 != 0, (-1, -2)), mode="drop")
 
     # ---- device CU-quadtree consolidation (VERDICT round-2 item 3):
     # fold 2x2 / 4x4 tile groups into 32/64 CUs with TU-size RDO.
@@ -1297,6 +1371,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 ref_pad=ref_pad if quadtree_majority else None,
                 ref_pads=ref_pads if quadtree_majority else None,
                 y0=row0, inv=inv16)
+        # split blocks become four 8x8 CUs (depth 3, TU8 leaves)
+        cu_depth = jnp.where(nxn16.reshape(bh, bw), 3, cu_depth)
         mv_f = mv.reshape(-1, 2)
 
         # chroma coding (single pass, post-quadtree): prediction at
@@ -1386,6 +1462,84 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         recon_u, recon_v = rec_c2[0], rec_c2[1]
         cbf_u, cbf_v = cbf_c2[0], cbf_c2[1]
 
+        # split-CU chroma: each committed 8x8 sub-CU carries a 4x4
+        # chroma TB MC'd at ITS MV (compacted to _NXN_CAP blocks; the
+        # TB8 results above are fully overwritten at these slots)
+        cbf8c_u = jnp.zeros((4 * nb,), bool)
+        cbf8c_v = jnp.zeros((4 * nb,), bool)
+        if inter_nxn:
+            capb = min(_NXN_CAP, nb)
+            keyb = jnp.where(nxn16,
+                             jnp.int32(1 << 30) - jnp.arange(nb), 0)
+            kv, bsel = jax.lax.top_k(keyb, capb)
+            okb = kv > 0
+            byi, bxi = bsel // bw, bsel % bw
+            qdy = jnp.asarray([0, 0, 1, 1], jnp.int32)
+            qdx = jnp.asarray([0, 1, 0, 1], jnp.int32)
+            pu_idx = ((2 * byi[:, None] + qdy[None]) * (2 * bw)
+                      + 2 * bxi[:, None] + qdx[None]).reshape(-1)
+            mv8s = mv8_pu[pu_idx]                      # [4capb, 2]
+            puy = pos_y[bsel][:, None] + qdy[None] * 8
+            pux = pos_x[bsel][:, None] + qdx[None] * 8
+            cby_n = cpad + puy.reshape(-1) // 2 + (mv8s[:, 0] >> 3) - 1
+            cbx_n = cpad + pux.reshape(-1) // 2 + (mv8s[:, 1] >> 3) - 1
+            if multi_ref:
+                rs = jnp.repeat(ref_sel.reshape(-1)[bsel], 4)
+                ri_uv = jnp.concatenate([rs, 2 + rs])
+            else:
+                ri_uv = jnp.repeat(jnp.arange(2, dtype=jnp.int32),
+                                   4 * capb)
+            cw_n = me._gather_windows_ref(
+                cplanes, ri_uv, jnp.tile(cby_n, 2), jnp.tile(cbx_n, 2),
+                4 + 3)                                 # [2*4capb, 7, 7]
+            pn = interp.mc_chroma_phases(
+                cw_n, jnp.tile(mv8s[:, 0] & 7, 2),
+                jnp.tile(mv8s[:, 1] & 7, 2), 4)        # [2*4capb, 4, 4]
+
+            def quads(cblk):   # [capb, 8, 8] -> [capb*4, 4, 4]
+                return cblk.reshape(-1, 2, 4, 2, 4) \
+                    .transpose(0, 1, 3, 2, 4).reshape(-1, 4, 4)
+
+            def unquads(q):    # [capb*4, 4, 4] -> [capb, 8, 8]
+                return q.reshape(-1, 2, 2, 4, 4) \
+                    .transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8)
+
+            ou = _blocks(jnp.asarray(u, jnp.int32), cs)[bsel]
+            ov = _blocks(jnp.asarray(v, jnp.int32), cs)[bsel]
+            orig4 = jnp.concatenate([quads(ou), quads(ov)])
+            scan4 = tuple(tables.scan_order(4, tables.SCAN_DIAG)) \
+                if sign_hiding else None
+            qpc_sel = jnp.tile(jnp.repeat(qp_ct[bsel], 4), 2)
+            lamc_sel = jnp.tile(jnp.repeat(lam_ct[bsel], 4), 2)
+            lvl4, rr4 = _tq(orig4 - pn, 4, qpc_sel, False, scan4,
+                            scaling_lists)
+            rec4 = jnp.clip(pn + rr4, 0, 255)
+            lvl4, rec4 = _rd_zero(lvl4, rec4, pn, orig4,
+                                  lamc_sel * chroma_rd_scale)
+            cbf4 = jnp.any(lvl4 != 0, (-1, -2))        # [2*4capb]
+            slots = jnp.where(okb, bsel, nb)
+            level_u = level_u.at[slots].set(
+                unquads(lvl4[:4 * capb]), mode="drop")
+            recon_u = recon_u.at[slots].set(
+                unquads(rec4[:4 * capb]), mode="drop")
+            level_v = level_v.at[slots].set(
+                unquads(lvl4[4 * capb:]), mode="drop")
+            recon_v = recon_v.at[slots].set(
+                unquads(rec4[4 * capb:]), mode="drop")
+            # per-sub-CU chroma cbfs + per-16 rollup
+            slots4 = jnp.where(okb[:, None], pu_idx.reshape(capb, 4),
+                               4 * nb).reshape(-1)
+            cbf8c_u = cbf8c_u.at[slots4].set(
+                cbf4[:4 * capb], mode="drop")
+            cbf8c_v = cbf8c_v.at[slots4].set(
+                cbf4[4 * capb:], mode="drop")
+            any_u = cbf4[:4 * capb].reshape(capb, 4).any(-1)
+            any_v = cbf4[4 * capb:].reshape(capb, 4).any(-1)
+            cbf_u = cbf_u.reshape(-1).at[slots].set(
+                any_u, mode="drop").reshape(bh, bw)
+            cbf_v = cbf_v.reshape(-1).at[slots].set(
+                any_v, mode="drop").reshape(bh, bw)
+
     # ---- fallback chroma (after the chroma pass so its DM intra
     # prediction reads final neighbour reconstructions)
     if intra_fallback and ax is None:
@@ -1454,10 +1608,39 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         intra_modes = allg_rows(intra_modes.reshape(bh, bw)).reshape(-1)
         if multi_ref:
             ref_sel = allg_rows(ref_sel)
+        nxn16 = allg_rows(nxn16.reshape(bh, bw)).reshape(-1)
+        if mv8_pu is not None:
+            mv8_pu = allg_rows(
+                mv8_pu.reshape(2 * bh, 2 * bw, 2)).reshape(-1, 2)
+            cbf8q = allg_rows(
+                cbf8q.reshape(2 * bh, 2 * bw)).reshape(-1)
+            cbf8c_u = allg_rows(
+                cbf8c_u.reshape(2 * bh, 2 * bw)).reshape(-1)
+            cbf8c_v = allg_rows(
+                cbf8c_v.reshape(2 * bh, 2 * bw)).reshape(-1)
         out_u = allg_rows(out_u)
         out_v = allg_rows(out_v)
         u = allg_rows(jnp.asarray(u, jnp.int32))
         v = allg_rows(jnp.asarray(v, jnp.int32))
+
+    # final per-8x8-sub-CU MV field (full frame): split blocks keep
+    # their refined quadrants, everything else replicates the (possibly
+    # quadtree-consolidated) CU MV; per-8 TB cbf maps likewise
+    mv8_final = jnp.repeat(jnp.repeat(mv, 2, 0), 2, 1).reshape(-1, 2)
+    cbf8_y = jnp.repeat(jnp.repeat(cbf_y, 2, 0), 2, 1).reshape(-1) \
+        if ax is None else None
+    if ax is not None:
+        cbf8_y = jnp.repeat(jnp.repeat(
+            allg_rows(cbf_y), 2, 0), 2, 1).reshape(-1)
+    cbf8_bits = jnp.zeros((4 * BH * bw,), jnp.int32)
+    if mv8_pu is not None:
+        nxn8f = jnp.repeat(jnp.repeat(nxn16.reshape(BH, bw), 2, 0),
+                           2, 1).reshape(-1)
+        mv8_final = jnp.where(nxn8f[:, None], mv8_pu, mv8_final)
+        cbf8_y = jnp.where(nxn8f, cbf8q, cbf8_y)
+        cbf8_bits = (jnp.where(nxn8f, cbf8q, False).astype(jnp.int32)
+                     | (cbf8c_u.astype(jnp.int32) << 1)
+                     | (cbf8c_v.astype(jnp.int32) << 2))
 
     cbf_y_full = cbf_y if ax is None else allg_rows(cbf_y)
     if deblocking:
@@ -1501,7 +1684,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         tb2 = (tr_depth == 0) & (cu_depth == 1) | (cu_depth == 0)
         bs_v, bs_h = inter_boundary_strength(
             cbf_y_full.astype(jnp.int32), mv, s, h, w, is_intra=ii,
-            tb2=tb2, ref=ref_sel)
+            tb2=tb2, ref=ref_sel,
+            mv8=mv8_final.reshape(2 * BH, 2 * bw, 2) if inter_nxn
+            else None,
+            nxn=nxn16.reshape(BH, bw) if inter_nxn else None,
+            cbf8=cbf8_y.reshape(2 * BH, 2 * bw) if inter_nxn else None)
         qp_v, qp_h = _edge_qp_maps(qp_g16, h, w, 16)
         # vertical pass: row-local -> band-local (slice the band's rows
         # of the full maps; identity single-device)
@@ -1555,8 +1742,21 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         level_u, [(cap_cs, esc_cs), (cap_c, esc_c)])
     pk_v_s, pk_v_f = packing.compact_blocks_i8_tiers(
         level_v, [(cap_cs, esc_cs), (cap_c, esc_c)])
+    # compact split-CU sidebands: per-8 MV deltas vs the CU MV packed
+    # (dy | dx << 8) int8 pairs, and the 4 sub-CUs' 3-bit TB-cbf
+    # fields packed into ONE int16 per 16-block (the link charges
+    # ~45 ms/MB; full per-8 MVs would add 72 KB/frame at 720p)
+    mvd8_pk_ = mv8_final - jnp.repeat(
+        jnp.repeat(mv, 2, 0), 2, 1).reshape(-1, 2)
+    mvd8_pk = ((mvd8_pk_[:, 0] & 0xFF)
+               | ((mvd8_pk_[:, 1] & 0xFF) << 8)).astype(jnp.uint16) \
+        .astype(jnp.int32)
+    c8g = cbf8_bits.reshape(BH, 2, bw, 2)
+    cbf8_blk = (c8g[:, 0, :, 0] | (c8g[:, 0, :, 1] << 3)
+                | (c8g[:, 1, :, 0] << 6) | (c8g[:, 1, :, 1] << 9)) \
+        .reshape(-1)
     parts = [
-        mv.astype(jnp.int16).reshape(-1),
+        mv.astype(jnp.int16).reshape(-1),            # per-16 CU MVs
         (ref_sel if multi_ref
          else jnp.zeros((BH, bw), jnp.int32)).astype(jnp.int16)
         .reshape(-1),
@@ -1565,6 +1765,9 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         intra_modes.astype(jnp.int16),
         cu_depth.astype(jnp.int16).reshape(-1),
         tr_depth.astype(jnp.int16).reshape(-1),
+        jax.lax.bitcast_convert_type(
+            mvd8_pk.astype(jnp.uint16), jnp.int16),  # per-8 MV deltas
+        cbf8_blk.astype(jnp.int16),   # per-16: 4 sub-CUs x 3 cbf bits
         cand_count.astype(jnp.int16)[None],
         jnp.clip(dist16, 0, 32767).astype(jnp.int16)[None],
         pk_y_s, pk_u_s, pk_v_s]
@@ -1582,7 +1785,7 @@ encode_p_frame_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority",
+                     "fallback_rounds", "quadtree_majority", "inter_nxn",
                      "axis_name", "n_bands"))
 
 
@@ -1725,7 +1928,7 @@ encode_p_chunk_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority",
+                     "fallback_rounds", "quadtree_majority", "inter_nxn",
                      "mesh", "row_axis", "axis_name", "n_bands"))
 
 
@@ -1763,5 +1966,5 @@ encode_p_chunk_packed_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority",
+                     "fallback_rounds", "quadtree_majority", "inter_nxn",
                      "mesh", "row_axis"))

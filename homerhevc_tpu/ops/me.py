@@ -242,6 +242,41 @@ def _pallas_ok():
     return USE_PALLAS_GATHER and jax.default_backend() != "cpu"
 
 
+def pallas_selftest():
+    """ON-DEVICE bit-equality gate for the Pallas gather kernels vs the
+    XLA vmap(dynamic_slice) oracle (VERDICT r3 item 7: interpreter-mode
+    tests cannot catch Mosaic miscompiles — the slab-search kernel once
+    produced wrong argmins on hardware only).  Returns True when the
+    kernels are verified or not in use; raises AssertionError on a
+    hardware mismatch.  bench.py runs this before measuring."""
+    if not _pallas_ok():
+        return True
+    from homerhevc_tpu.ops import pallas_kernels
+    rng = np.random.default_rng(0)
+    hp, wp = 264, 392
+    ref = jnp.asarray(rng.integers(0, 1 << 20, (hp, wp)), jnp.int32)
+    for size, n in ((23, 700), (11, 333), (71, 65)):
+        by = jnp.asarray(rng.integers(-4, hp + 4, n), jnp.int32)
+        bx = jnp.asarray(rng.integers(-4, wp + 4, n), jnp.int32)
+        byc = jnp.clip(by, 0, hp - size)
+        bxc = jnp.clip(bx, 0, wp - size)
+        want = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+            ref, (y, x), (size, size)))(byc, bxc)
+        got = pallas_kernels.gather_windows_pallas(ref, by, bx, size)
+        assert np.array_equal(np.asarray(got), np.asarray(want)), \
+            f"gather_windows_pallas hardware mismatch at size={size}"
+    refs = jnp.stack([ref, ref[::-1], ref + 7])
+    ri = jnp.asarray(rng.integers(0, 3, 500), jnp.int32)
+    by = jnp.asarray(rng.integers(0, hp - 23, 500), jnp.int32)
+    bx = jnp.asarray(rng.integers(0, wp - 23, 500), jnp.int32)
+    want = jax.vmap(lambda r, y, x: jax.lax.dynamic_slice(
+        refs[r], (y, x), (23, 23)))(ri, by, bx)
+    got = pallas_kernels.gather_windows_ref_pallas(refs, ri, by, bx, 23)
+    assert np.array_equal(np.asarray(got), np.asarray(want)), \
+        "gather_windows_ref_pallas hardware mismatch"
+    return True
+
+
 def _gather_windows(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
                     base_x: jnp.ndarray, size: int):
     """ref_pad [Hp, Wp]; base_*: [n] absolute coords into ref_pad."""

@@ -37,7 +37,8 @@ from homerhevc_tpu.models import inter_frame
                               "scaling_lists", "vis_h", "vis_w",
                               "intra_fallback", "me_precision",
                               "me_subpel_r", "merge_rounds",
-                              "fallback_rounds", "quadtree_majority"))
+                              "fallback_rounds", "quadtree_majority",
+                              "inter_nxn"))
 def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                               mesh: Mesh, row_axis: str = "row",
                               block: int = 16, sign_hiding: bool = True,
@@ -53,6 +54,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
                               merge_rounds: int = 2,
                               fallback_rounds: int = 2,
                               quadtree_majority: bool = True,
+                              inter_nxn: bool = False,
                               ref2_y=None, ref2_u=None, ref2_v=None,
                               has_ref2=None):
     """P-frame encode with CTU-row bands sharded over mesh[row_axis];
@@ -71,6 +73,7 @@ def encode_p_frame_rowsharded(y, u, v, ref_y, ref_u, ref_v, *, qp,
               me_subpel_r=me_subpel_r, merge_rounds=merge_rounds,
               fallback_rounds=fallback_rounds,
               quadtree_majority=quadtree_majority,
+              inter_nxn=inter_nxn,
               axis_name=row_axis, n_bands=n)
 
     args = [jnp.asarray(y), jnp.asarray(u), jnp.asarray(v),

@@ -40,3 +40,30 @@ def test_relabel_fires_and_decodes():
     tr = recs[0].tr_depth
     cu = recs[0].cu_depth
     assert ((tr == 0) | (cu <= 2)).all()
+
+
+def test_intra_64_cu_fold_roundtrip():
+    """Four same-mode 32x32 CUs fold into a 64x64 CU (depth 0) with the
+    spec-forced TU split to four 32 TBs — recon untouched, mode
+    signalings saved (VERDICT r3 item 4; ref 64-CU search,
+    hmr_sse42_functions_prediction.c:45)."""
+    import numpy as np
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tools import de265
+
+    h, w = 192, 256
+    g = np.mgrid[0:h, 0:w]
+    y = ((g[1] // 2) % 200 + 28).astype(np.uint8)   # horizontal ramp
+    u = np.full((h // 2, w // 2), 120, np.uint8)
+    v = np.full((h // 2, w // 2), 130, np.uint8)
+    cfg = EncoderConfig(width=w, height=h, qp=32, intra_period=1)
+    enc = Encoder(cfg)
+    f = enc.encode(y, u, v)
+    for d, r in zip(de265.decode(f.nalus)[0], f.recon):
+        np.testing.assert_array_equal(d, r)
+    pend = enc._dispatch_i(y, u, v)
+    rec = enc._i_record(np.asarray(pend["out"]["packed"]), pend,
+                        enc.cfg)
+    assert (rec.cu_depth[::16, ::16] == 0).sum() > 0, \
+        "no 64x64 intra CU emitted on uniform-mode content"

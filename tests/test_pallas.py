@@ -64,3 +64,13 @@ def test_slab_search_kernel_matches_jnp():
     got = np.asarray(pallas_kernels.slab_search_pallas(
         jnp.asarray(cur), jnp.asarray(slab), bs, r, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_selftest_on_hardware():
+    """On-TPU bit-equality gate (spec: VERDICT r3 item 7).  Skipped on
+    CPU — interpreter equality is covered above; this catches Mosaic
+    hardware miscompiles (wrong results with clean compiles)."""
+    import jax
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs real TPU hardware")
+    assert me.pallas_selftest()
