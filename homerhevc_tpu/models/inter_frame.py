@@ -273,12 +273,35 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
 
     best = jnp.argmin(cost, axis=0)                         # [n]
     best_cost = jnp.min(cost, axis=0)
-    pick = best * n + jnp.arange(n)
-    carry_out = dict(fixed=fixed, mv=all_mv[pick], pred=preds[pick],
-                     level=level[pick], recon=recon[pick],
-                     cost=best_cost, ref=all_ref[pick])
-    return (all_mv[pick], level[pick], recon[pick], preds[pick],
-            best_cost, carry_out)
+    nc_all = cost.shape[0]
+    # winner extraction as a one-hot contraction instead of row
+    # gathers: the [nc*n, S, S] gathers were dispatch-bound (~2 ms per
+    # frame); a 5-way masked sum is pure VPU work.  Exact: every value
+    # (mv, qpel counts; pixels; levels |.|<=2^15) is an exact f32.
+    oh = (jnp.arange(nc_all)[:, None] == best[None]) \
+        .astype(jnp.float32)                                # [nc, n]
+    hp = jax.lax.Precision.HIGHEST
+
+    def pick3(a):  # [nc*n, S, S] -> [n, S, S]
+        af = a.reshape(nc_all, n, -1).astype(jnp.float32)
+        return jnp.einsum("cn,cnx->nx", oh, af, precision=hp) \
+            .astype(a.dtype).reshape(n, *a.shape[1:])
+
+    mv_sel = jnp.einsum("cn,cnk->nk", oh,
+                        all_mv.reshape(nc_all, n, 2)
+                        .astype(jnp.float32),
+                        precision=hp).astype(jnp.int32)
+    ref_out = jnp.einsum("cn,cn->n", oh,
+                         all_ref.reshape(nc_all, n)
+                         .astype(jnp.float32),
+                         precision=hp).astype(jnp.int32)
+    lvl_sel = pick3(level)
+    rec_sel = pick3(recon)
+    pred_out = pick3(preds)
+    carry_out = dict(fixed=fixed, mv=mv_sel, pred=pred_out,
+                     level=lvl_sel, recon=rec_sel,
+                     cost=best_cost, ref=ref_out)
+    return (mv_sel, lvl_sel, rec_sel, pred_out, best_cost, carry_out)
 
 
 def _asm_tiles(t, n: int):

@@ -19,6 +19,10 @@ import sys
 
 import numpy as np
 
+if os.environ.get("RD_FORCE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from bench import synthetic_video                     # noqa: E402
