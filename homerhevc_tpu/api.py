@@ -626,6 +626,10 @@ class Encoder:
         tr16 = np.zeros((bh, bw), np.uint8)
         nxn_any8 = nxn8.astype(bool) if nxn8 is not None \
             else np.zeros_like(modes8, bool)
+        # the 8->16 / 16->32 folds emit real split_transform_flag=1
+        # trees, which need max_intra_tr_depth >= 1 (the 32->64 fold's
+        # split is FORCED by log2CbSize > MaxTbLog2 and stays legal)
+        fold_ok = cfg.max_intra_tr_depth >= 1
 
         def quartets(a, s):
             return a[:a.shape[0] // s * s, :a.shape[1] // s * s] \
@@ -635,7 +639,8 @@ class Encoder:
         # -> 16x16 CU with four 8x8 TBs
         m8q = quartets(modes8, 2)
         c8q = quartets(cmodes8, 2)
-        same8 = ((m8q == m8q[:, :1, :, :1]).all((1, 3))
+        same8 = (fold_ok
+                 & (m8q == m8q[:, :1, :, :1]).all((1, 3))
                  & (c8q == c8q[:, :1, :, :1]).all((1, 3))
                  & ~quartets(nxn_any8, 2).any((1, 3))
                  & (depth == 3))
@@ -647,7 +652,8 @@ class Encoder:
         t16q = quartets(tr16, 2)
         m16q = quartets(modes8, 4)
         c16q = quartets(cmodes8, 4)
-        same16 = ((d16q == 2).all((1, 3)) & (t16q == 0).all((1, 3))
+        same16 = (fold_ok
+                  & (d16q == 2).all((1, 3)) & (t16q == 0).all((1, 3))
                   & (m16q == m16q[:, :1, :, :1]).all((1, 3))
                   & (c16q == c16q[:, :1, :, :1]).all((1, 3)))
         m32 = np.zeros((bh, bw), bool)          # odd grid tails stay

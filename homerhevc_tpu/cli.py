@@ -54,6 +54,10 @@ options:
 -stats                          per-frame stats JSONL file
 -tiles                          CxR tile grid (all-intra), e.g. 4x2;
                                 "auto" picks one from the resolution
+-num_chips                      shard over N chips: all-intra chunks
+                                by frame, IPPP by CTU-row bands
+                                (bit-transparent); default 1
+-adaptive_qp                    0/1 per-CTU activity QP; default 0
 """
 
 
@@ -71,7 +75,8 @@ def parse_args(argv):
         "-max_pred_depth": "max_pred_depth",
         "-max_intra_tr_depth": "max_intra_tr_depth",
         "-max_inter_tr_depth": "max_inter_tr_depth",
-        "-bitrate": "bitrate",
+        "-bitrate": "bitrate", "-num_chips": "num_chips",
+        "-adaptive_qp": "adaptive_qp",
     }
     while i < len(argv):
         a = argv[i]
