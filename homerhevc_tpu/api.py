@@ -231,7 +231,8 @@ class Encoder:
             # VBV update (the dispatched QPs came from a projection;
             # start_pic is idempotent between end_pic calls)
             self._rc.start_pic(is_idr)
-        self._rc.end_pic(fr.bits, is_idr, avg_dist=fr._dist)
+        self._rc.end_pic(fr.bits, is_idr, avg_dist=fr._dist,
+                         qp=getattr(fr, "_qp", None))
         self._last_intra_cand_frac = fr._intra_frac
         if (not is_idr and self.cfg.scene_change_reinit
                 and self.cfg.intra_period != 1
@@ -479,6 +480,8 @@ class Encoder:
         frame._is_idr = is_idr
         frame._intra_frac = pend.get("intra_frac", 0.0)
         frame._dist = pend.get("dist")
+        frame._qp = int(pend["qps"][pend["k"]]) if "qps" in pend \
+            else int(pend["qp"])
         return frame
 
     @staticmethod

@@ -81,9 +81,25 @@ def encode_ippp_multihost(y, u, v, *, qp: int, mesh: Mesh,
     entropy stage; avg_dist is the global RC signal (replicated).
     """
     gy, gu, gv = distribute_gops(y, u, v, mesh, axis)
-    recs, avg = jax.jit(
+    fn = jax.jit(
         lambda a, b, c: gop_mod.encode_ippp_gops(
-            a, b, c, qp=qp, mesh=mesh, axis=axis, **kw))(gy, gu, gv)
+            a, b, c, qp=qp, mesh=mesh, axis=axis, **kw))
+    if jax.process_count() > 1:
+        # AOT-compile BEFORE touching the cross-process collective
+        # transport, then rendezvous at a coordination-service barrier:
+        # the collective backend's bootstrap (e.g. Gloo KV exchange on
+        # CPU) has a short timeout, and per-process compile-time skew
+        # must not eat into it.  The barrier rides the coordination
+        # service (no collectives), so a generous timeout is safe.
+        compiled = fn.lower(gy, gu, gv).compile()
+        from jax._src import distributed
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier("homerhevc_mh_compiled",
+                                   timeout_in_ms=600_000)
+        recs, avg = compiled(gy, gu, gv)
+    else:
+        recs, avg = fn(gy, gu, gv)
 
     def local_np(garr):
         shards = sorted(

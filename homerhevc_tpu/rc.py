@@ -36,6 +36,14 @@ class RateControl:
         self.target_pict_size = self.average_pict_size
         self.num_encoded_frames = 0
         self.avg_dist = 5000.0   # running distortion proxy (see end_pic)
+        # Rate-quantization model: bits(qp) ~= cplx * 2^(-qp/6), one
+        # complexity estimate per slice type, EWMA-updated from actual
+        # (bits, qp) pairs in end_pic.  This plays the role of the
+        # reference's pic/vbv correctors (hmr_rate_control.c:261-337)
+        # but at frame granularity: the model picks the QP that lands
+        # the target, and the VBV caps below enforce buffer bounds.
+        self.cplx_i = None
+        self.cplx_p = None
 
     # -- per picture --------------------------------------------------
     def _intra_period(self) -> int:
@@ -58,16 +66,45 @@ class RateControl:
             self.target_pict_size = \
                 (self.average_pict_size * ip - intra_avg) / max(ip - 1, 1)
 
-        min_vbv = min(self.vbv_fullness, self.vbv_size * 0.95)
-        vbv_corrector = 1.0 - _clip(min_vbv / self.vbv_size, 0.0, 1.0)
-        qp = vbv_corrector * MAX_QP
+        cplx = self.cplx_i if is_intra else self.cplx_p
+        if cplx is not None:
+            # model QP that lands the per-picture target
+            qp = 6.0 * math.log2(cplx / max(self.target_pict_size, 1.0))
+            # VBV underflow cap: never plan to spend more than what the
+            # buffer (plus this picture's channel refill) holds
+            avail = 0.9 * (self.vbv_fullness + self.average_pict_size)
+            if avail <= 1.0:
+                qp = MAX_QP
+            else:
+                qp = max(qp, 6.0 * math.log2(cplx / avail))
+            # VBV overflow cap: when the buffer is near full, spend at
+            # least the surplus so fullness stays in bounds
+            surplus = (self.vbv_fullness + self.average_pict_size
+                       - 0.95 * self.vbv_size)
+            if surplus > 1.0:
+                qp = min(qp, 6.0 * math.log2(cplx / surplus))
+        else:
+            # no measurement yet: the reference's vbv_corrector law
+            min_vbv = min(self.vbv_fullness, self.vbv_size * 0.95)
+            vbv_corrector = 1.0 - _clip(min_vbv / self.vbv_size,
+                                        0.0, 1.0)
+            qp = vbv_corrector * MAX_QP
+            if self.cfg.intra_period > 1 and is_intra:
+                qp /= _clip(1.5 - self.avg_dist / 15000.0, 1.15, 1.5)
+            if self.num_encoded_frames == 0:
+                qp += 4
         if self.vbr and qp < self.qp_min:
             qp = self.qp_min
-        if self.cfg.intra_period > 1 and is_intra:
-            qp /= _clip(1.5 - self.avg_dist / 15000.0, 1.15, 1.5)
-        if self.num_encoded_frames == 0:
-            qp += 4
         return int(_clip(qp + 0.5, 1.0, MAX_QP))
+
+    def predict_bits(self, qp: int, is_intra: bool) -> float:
+        """Model-predicted bits for a picture at `qp` (used by the
+        chunk projection; falls back to the on-target assumption when
+        the model has no measurement for the slice type yet)."""
+        cplx = self.cplx_i if is_intra else self.cplx_p
+        if cplx is None:
+            return float(self.target_pict_size)
+        return cplx * 2.0 ** (-qp / 6.0)
 
     def project_chunk(self, k: int) -> list[int]:
         """Per-frame QPs for the next k P frames (closed-loop RC inside
@@ -85,12 +122,20 @@ class RateControl:
         shadow.load_state_dict(self.state_dict())
         qps = []
         for _ in range(k):
-            qps.append(shadow.start_pic(False))
-            shadow.end_pic(int(shadow.target_pict_size), False)
+            q = shadow.start_pic(False)
+            qps.append(q)
+            # advance the shadow VBV on the MODEL-predicted bits (not
+            # the target): under pressure the predicted overshoot keeps
+            # draining the shadow buffer, so later frames in the chunk
+            # ramp QP — the within-chunk analogue of the reference's
+            # per-CTU running-bits feedback
+            shadow.end_pic(int(shadow.predict_bits(q, False)), False,
+                           qp=q, learn=False)
         return qps
 
     def end_pic(self, bits: int, is_intra: bool,
-                avg_dist: float | None = None):
+                avg_dist: float | None = None,
+                qp: int | None = None, learn: bool = True):
         """VBV update after a picture (ref hmr_rc_end_pic): I-frame cost
         is halved immediately and the rest amortized over the period via
         acc_rate; VBR nudges drift against the target."""
@@ -99,6 +144,14 @@ class RateControl:
             self.avg_dist = 0.75 * self.avg_dist + 0.25 * avg_dist
         if not self.enabled:
             return
+        if learn and qp is not None and bits > 0:
+            obs = float(bits) * 2.0 ** (qp / 6.0)
+            if is_intra:
+                self.cplx_i = obs if self.cplx_i is None \
+                    else 0.5 * self.cplx_i + 0.5 * obs
+            else:
+                self.cplx_p = obs if self.cplx_p is None \
+                    else 0.6 * self.cplx_p + 0.4 * obs
         consumed = float(bits)
         period = self._intra_period() if self.cfg.intra_period != 0 \
             else 100
@@ -128,10 +181,14 @@ class RateControl:
 
     # -- checkpoint/resume (GOP-boundary state, SURVEY.md §5) ----------
     def state_dict(self) -> dict:
+        # "no measurement yet" serializes as -1.0 (numeric, so the
+        # checkpoint's np.savez stays pickle-free)
         return dict(vbv_fullness=self.vbv_fullness,
                     acc_rate=self.acc_rate, acc_avg=self.acc_avg,
                     num_encoded_frames=self.num_encoded_frames,
-                    avg_dist=self.avg_dist)
+                    avg_dist=self.avg_dist,
+                    cplx_i=-1.0 if self.cplx_i is None else self.cplx_i,
+                    cplx_p=-1.0 if self.cplx_p is None else self.cplx_p)
 
     def load_state_dict(self, st: dict):
         self.vbv_fullness = st["vbv_fullness"]
@@ -139,6 +196,10 @@ class RateControl:
         self.acc_avg = st["acc_avg"]
         self.num_encoded_frames = st["num_encoded_frames"]
         self.avg_dist = st["avg_dist"]
+        ci = st.get("cplx_i", -1.0)
+        cp = st.get("cplx_p", -1.0)
+        self.cplx_i = None if ci is None or ci < 0 else ci
+        self.cplx_p = None if cp is None or cp < 0 else cp
 
 
 def _clip(v, lo, hi):

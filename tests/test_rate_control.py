@@ -86,13 +86,16 @@ def test_project_chunk_is_pure_and_per_frame():
     qps = rc.project_chunk(4)
     assert rc.state_dict() == before
     assert len(qps) == 4 and all(isinstance(q, int) for q in qps)
-    # recurrence check: a shadow fed on-target bits reproduces the QPs
+    # recurrence check: a shadow fed model-predicted bits (no model
+    # learning) reproduces the QPs
     sh = RateControl(cfg)
     sh.load_state_dict(before)
     expect = []
     for _ in range(4):
-        expect.append(sh.start_pic(False))
-        sh.end_pic(int(sh.target_pict_size), False)
+        q = sh.start_pic(False)
+        expect.append(q)
+        sh.end_pic(int(sh.predict_bits(q, False)), False, qp=q,
+                   learn=False)
     assert qps == expect
 
 
