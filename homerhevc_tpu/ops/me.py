@@ -147,10 +147,16 @@ def _stacked_window_sads(win, cur_b, bs: int, r: int):
     instead of (2r+1)^2 sequential slice+sum pairs.  Includes the
     |dy|+|dx| tie-break.  win: [n, bs+2r, bs+2r]; returns [(2r+1)^2, n]."""
     k = 2 * r + 1
-    rows = jnp.stack([win[:, dy:dy + bs, :] for dy in range(k)])
+    # int16 stacking: every caller's pixel values fit int16 (full-res
+    # pixels <= 255, pooled sums <= 4080), so the materialized
+    # [k, k, n, bs, bs] stacks ship half the HBM bytes; |a-b| is exact
+    # in int16 and the reduction accumulates in int32
+    win16 = win.astype(jnp.int16)
+    cur16 = cur_b.astype(jnp.int16)
+    rows = jnp.stack([win16[:, dy:dy + bs, :] for dy in range(k)])
     wins = jnp.stack([rows[..., dx:dx + bs] for dx in range(k)], 1)
-    sads = jnp.sum(jnp.abs(wins - cur_b[None, None]), (-1, -2)) \
-        .reshape(k * k, -1)
+    sads = jnp.sum(jnp.abs(wins - cur16[None, None])
+                   .astype(jnp.int32), (-1, -2)).reshape(k * k, -1)
     pen = (np.abs(np.arange(k) - r)[:, None]
            + np.abs(np.arange(k) - r)[None, :]).reshape(-1)
     return sads + jnp.asarray(pen, sads.dtype)[:, None]

@@ -44,39 +44,22 @@ def _gsizes(size: int):
     DMA slices must be tile-aligned in BOTH offset and shape (Mosaic
     tiling (8, 128)), so the kernel copies rows [y&~7, y&~7+ROWS) and
     lanes [x&~127, x&~127+256): ROWS covers the 0..7 row phase plus
-    the window; 256 lanes cover the 0..127 lane phase plus size<=128."""
+    the window; 256 lanes cover the 0..127 lane phase plus size<=128.
+    ROWS is padded to a POWER OF TWO: the dynamic sublane roll the
+    kernel extracts phases with miscompiles on this toolchain for
+    non-power-of-2 sublane counts (verified 2026-08: 24/40/80/88 roll
+    wrong on hardware, 16/32/64/128 correct; caught by
+    me.pallas_selftest)."""
     s_out = (size + 7) // 8 * 8
-    rows = (size + 7 + 7) // 8 * 8
+    need = size + 7
+    rows = 8
+    while rows < need:
+        rows *= 2
     return s_out, rows
 
 
-def _extract(win_f, by_phase, bx_phase, s_out: int, chunk: int,
-             rows: int):
-    """Shift each [rows, 256] superwindow so the true origin lands at
-    (0, 0), via exact one-hot selection matmuls (dynamic lane slices
-    are not expressible on the TPU tile grid; 0/1-weight f32 matmuls
-    are, and they are exact for the int32 pixel/pooled-sum range).
-    win_f [chunk, rows, 256] f32; *_phase: [chunk] scalars lists."""
-    rid = jax.lax.broadcasted_iota(jnp.int32, (_LANES, s_out), 0)
-    cid = jax.lax.broadcasted_iota(jnp.int32, (_LANES, s_out), 1)
-    colsel = jnp.stack([(rid - cid == dx).astype(jnp.float32)
-                        for dx in bx_phase])      # [chunk, 256, S]
-    rid2 = jax.lax.broadcasted_iota(jnp.int32, (s_out, rows), 0)
-    cid2 = jax.lax.broadcasted_iota(jnp.int32, (s_out, rows), 1)
-    rowsel = jnp.stack([(cid2 - rid2 == dy).astype(jnp.float32)
-                        for dy in by_phase])      # [chunk, S, rows]
-    t = jax.lax.dot_general(
-        win_f, colsel, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)      # [chunk, rows, S]
-    return jax.lax.dot_general(
-        rowsel, t, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)      # [chunk, S, S]
-
-
 def _gather_kernel(by_ref, bx_ref, ref_hbm, out_ref, scratch, sems, *,
-                   chunk: int, rows: int, s_out: int):
+                   chunk: int, rows: int, s_out: int, nsteps: int):
     i = pl.program_id(0)
 
     def dma(j):
@@ -91,10 +74,14 @@ def _gather_kernel(by_ref, bx_ref, ref_hbm, out_ref, scratch, sems, *,
         dma(j).start()
     for j in range(chunk):
         dma(j).wait()
-    byp = [by_ref[i * chunk + j] % 8 for j in range(chunk)]
-    bxp = [bx_ref[i * chunk + j] % 128 for j in range(chunk)]
-    out_ref[:] = _extract(scratch[:].astype(jnp.float32), byp, bxp,
-                          s_out, chunk, rows).astype(jnp.int32)
+    # phase extraction via dynamic VPU rolls (1.8x the one-hot-matmul
+    # extract this replaced: the f32-HIGHEST dot_generals paid the
+    # multi-pass MXU emulation for what is a pure lane/sublane shift)
+    for j in range(chunk):
+        k = i * chunk + j
+        r = pltpu.roll(pltpu.roll(scratch[j], -(by_ref[k] % 8), 0),
+                       -(bx_ref[k] % 128), 1)
+        out_ref[j] = r[:s_out, :s_out]
 
 
 def gather_windows_pallas(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
@@ -115,19 +102,21 @@ def gather_windows_pallas(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
     # the overhang exists (the junk lands in lanes/rows >= size, which
     # the final slice drops)
     refp = jnp.pad(ref_pad, ((0, rows), (0, _LANES)))
+    nsteps = n_pad // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_pad // chunk,),
+        grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (chunk, s_out, s_out), lambda i, by, bx: (i, 0, 0),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((chunk, rows, _LANES), ref_pad.dtype),
+        scratch_shapes=[pltpu.VMEM((chunk, rows, _LANES),
+                                   ref_pad.dtype),
                         pltpu.SemaphoreType.DMA((chunk,))],
     )
     out = pl.pallas_call(
         functools.partial(_gather_kernel, chunk=chunk, rows=rows,
-                          s_out=s_out),
+                          s_out=s_out, nsteps=nsteps),
         out_shape=jax.ShapeDtypeStruct((n_pad, s_out, s_out),
                                        ref_pad.dtype),
         grid_spec=grid_spec,
@@ -138,7 +127,7 @@ def gather_windows_pallas(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
 
 def _gather_ref_kernel(ri_ref, by_ref, bx_ref, ref_hbm, out_ref,
                        scratch, sems, *, chunk: int, rows: int,
-                       s_out: int):
+                       s_out: int, nsteps: int):
     i = pl.program_id(0)
 
     def dma(j):
@@ -153,10 +142,11 @@ def _gather_ref_kernel(ri_ref, by_ref, bx_ref, ref_hbm, out_ref,
         dma(j).start()
     for j in range(chunk):
         dma(j).wait()
-    byp = [by_ref[i * chunk + j] % 8 for j in range(chunk)]
-    bxp = [bx_ref[i * chunk + j] % 128 for j in range(chunk)]
-    out_ref[:] = _extract(scratch[:].astype(jnp.float32), byp, bxp,
-                          s_out, chunk, rows).astype(jnp.int32)
+    for j in range(chunk):
+        k = i * chunk + j
+        r = pltpu.roll(pltpu.roll(scratch[j], -(by_ref[k] % 8), 0),
+                       -(bx_ref[k] % 128), 1)
+        out_ref[j] = r[:s_out, :s_out]
 
 
 def gather_windows_ref_pallas(ref_pads: jnp.ndarray,
@@ -177,9 +167,10 @@ def gather_windows_ref_pallas(ref_pads: jnp.ndarray,
     by = jnp.pad(jnp.clip(base_y, 0, hp - size), (0, n_pad - n))
     bx = jnp.pad(jnp.clip(base_x, 0, wp - size), (0, n_pad - n))
     refp = jnp.pad(ref_pads, ((0, 0), (0, rows), (0, _LANES)))
+    nsteps = n_pad // chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_pad // chunk,),
+        grid=(nsteps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
             (chunk, s_out, s_out), lambda i, ri, by, bx: (i, 0, 0),
@@ -190,7 +181,7 @@ def gather_windows_ref_pallas(ref_pads: jnp.ndarray,
     )
     out = pl.pallas_call(
         functools.partial(_gather_ref_kernel, chunk=chunk, rows=rows,
-                          s_out=s_out),
+                          s_out=s_out, nsteps=nsteps),
         out_shape=jax.ShapeDtypeStruct((n_pad, s_out, s_out),
                                        ref_pads.dtype),
         grid_spec=grid_spec,
