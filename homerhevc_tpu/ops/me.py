@@ -186,23 +186,22 @@ def coarse_search(cur: jnp.ndarray, ref: jnp.ndarray, block: int,
     row0 = jnp.asarray(row0, jnp.int32)
     cur_h = _block_sum(cur, 2)                       # 2x2 sums
     ref_h = _block_sum(ref, 2)
-    cur_q = _block_sum(cur, 4)                       # 4x4 sums
-    ref_q = _block_sum(ref, 4)
     cur_e = _block_sum(cur, 8)                       # 8x8 sums
     ref_e = _block_sum(ref, 8)
     mv_e = _slab_search(cur_e, ref_e, block // 8, COARSE_RY, COARSE_RX,
                         row0 // 8)
-    mv_q = _gather_refine(cur_q, ref_q, block // 4, 2, mv_e * 2,
-                          row0 // 4, max_base=2 * COARSE_RX + 2)
-    mv_h = _gather_refine(cur_h, ref_h, block // 2, 2, mv_q * 2,
+    # ONE exhaustive ±6 half-res pass around 4*mv_e: covers the exact
+    # reachable set of the former two-stage quarter(±2) -> half(±2)
+    # greedy walk (2a+b, a,b in [-2,2] spans [-6,6]) with a full
+    # search, one per-block gather instead of two
+    mv_h = _gather_refine(cur_h, ref_h, block // 2, 6, mv_e * 4,
                           row0 // 2, max_base=4 * COARSE_RX + 8)
     # zero chain anchored at HALF res (the eighth/quarter levels are
     # blind to shifts below one pooled pixel, so anchoring any deeper
     # loses the small-motion signal): ±3 half-res = ±6 full-res, and
-    # the caller's full-res ±REFINE_R pass recovers the exact offset
-    z_h = _gather_refine(cur_h, ref_h, block // 2, 3,
-                         jnp.zeros_like(mv_e), row0 // 2,
-                         max_base=4)
+    # the caller's full-res ±REFINE_R pass recovers the exact offset.
+    # Base 0 for every block -> static slab search, NO per-block gather
+    z_h = _slab_search(cur_h, ref_h, block // 2, 3, 3, row0 // 2)
     return jnp.stack([z_h * 2, mv_h * 2])
 
 
