@@ -17,6 +17,8 @@ derives merge/skip/AMVP from the MV field decoder-exactly
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -280,7 +282,9 @@ def _merge_skip_rd(cur_b, ref_pad, pos_y, pos_x, mv_own, pred_own,
     # (mv, qpel counts; pixels; levels |.|<=2^15) is an exact f32.
     oh = (jnp.arange(nc_all)[:, None] == best[None]) \
         .astype(jnp.float32)                                # [nc, n]
-    hp = jax.lax.Precision.HIGHEST
+    # one-hot selection: 3-pass bf16 split is exact for int values
+    # within f32 range (device-gated by me.pallas_selftest)
+    hp = jax.lax.Precision.HIGH
 
     def pick3(a):  # [nc*n, S, S] -> [n, S, S]
         af = a.reshape(nc_all, n, -1).astype(jnp.float32)
@@ -816,13 +820,6 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
     amask = np.stack([avail["bottomleft"], avail["left"],
                       avail["corner"], avail["top"],
                       avail["topright"]], -1).reshape(nb, 5)
-    seg = np.zeros((5, 4 * s + 1), dtype=bool)
-    seg[0, 0:s] = True
-    seg[1, s:2 * s] = True
-    seg[2, 2 * s] = True
-    seg[3, 2 * s + 1:3 * s + 1] = True
-    seg[4, 3 * s + 1:] = True
-    pix_avail = jnp.asarray(amask @ seg > 0)          # [nb, 4S+1]
 
     pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * s, bw)
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * s, bh)
@@ -870,9 +867,9 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
         # references gathered for the SELECTED blocks only)
         buf = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32)
         buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
-        adi_sel = intra.substitute_refs(
+        adi_sel = _substitute_static(
             _gather_adi_blocks(buf, pos_y[sel], pos_x[sel], s),
-            pix_avail[sel])
+            sel, amask, s)
         preds = intra.predict_all_modes(adi_sel, s, True)
         cur_sel = cur_b[sel]
         sads = jnp.sum(jnp.abs(preds - cur_sel[:, None]), (-1, -2))
@@ -897,18 +894,64 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
             cand_count, rounds_out, amask)
 
 def _gather_adi_blocks(b, py, px, size):
-    """ADI L-shapes for k blocks as ONE flat gather ([k, 4S+1] linear
-    indices into the raveled buffer) — the vmapped dynamic_slice form
-    lowered to ~25k tiny slices per frame (measured 5 ms/frame)."""
-    w = b.shape[1]
-    base = py * w + px                                    # [k] corner
-    # left part: adi[j] = p(2S-1-j, -1) -> rows py+2S .. py+1 at col px
-    left_off = jnp.arange(2 * size, 0, -1, dtype=jnp.int32) * w
-    # top part: corner + top row p(-1, 0..2S-1) -> b[py, px + 0..2S]
-    top_off = jnp.arange(2 * size + 1, dtype=jnp.int32)
-    idx = jnp.concatenate([base[:, None] + left_off[None],
-                           base[:, None] + top_off[None]], -1)
-    return jnp.take(b.reshape(-1), idx, axis=0)
+    """ADI L-shapes for k blocks: ONE (2S+1)-square window gather per
+    block (rides the Pallas DMA kernel on TPU), then static slices of
+    the window's first row/column.  The previous [k, 4S+1] flat
+    jnp.take lowered to an elementwise XLA gather (~0.9 ms/frame)."""
+    win = me._gather_windows(b, py, px, 2 * size + 1)
+    left = win[:, np.arange(2 * size, 0, -1), 0]   # p(-1+j..) bottom-up
+    top = win[:, 0, :]                             # corner + top row
+    return jnp.concatenate([left, top], -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _fill_tables_np(amask_key, s: int):
+    """Static reference-substitution machinery for the fallback blocks:
+    (pattern_id [nb] int32, M [npat, 4S+2, 4S+1] f32 fill matrices).
+    The availability pattern per block is STATIC (block grid position),
+    so the spec 8.4.4.2.2 forward-fill becomes, per pattern, a 0/1
+    selection matrix over the adi extended with a constant-128 slot —
+    replacing both the on-device associative_scan (~1.1 ms/frame) and
+    its take_along_axis successor (same cost: element-wise gather)."""
+    amask = np.frombuffer(amask_key, dtype=bool).reshape(-1, 5)
+    n = 4 * s + 1
+    seg = np.zeros((5, n), dtype=bool)
+    seg[0, 0:s] = True
+    seg[1, s:2 * s] = True
+    seg[2, 2 * s] = True
+    seg[3, 2 * s + 1:3 * s + 1] = True
+    seg[4, 3 * s + 1:] = True
+    pats, inv = np.unique(amask, axis=0, return_inverse=True)
+    av = pats @ seg > 0                            # [npat, n]
+    pos = np.arange(n)
+    ff = np.maximum.accumulate(np.where(av, pos, -1), -1)
+    first = av.argmax(-1)
+    fidx = np.where(ff >= 0, ff, first[:, None])   # [npat, n]
+    m = np.zeros((pats.shape[0], n + 1, n), np.float32)
+    for p in range(pats.shape[0]):
+        if av[p].any():
+            m[p, fidx[p], pos] = 1.0
+        else:
+            m[p, n, :] = 1.0                       # all-unavailable: 128
+    return inv.astype(np.int32), m
+
+
+def _substitute_static(adi, sel, amask, s: int):
+    """substitute_refs with the fill precomputed from the static
+    availability mask as per-pattern selection matmuls (one-hot x 0/1 x
+    8-bit samples: 1-pass bf16 exact); bit-identical to
+    intra.substitute_refs."""
+    inv, m = _fill_tables_np(np.ascontiguousarray(
+        amask, dtype=bool).tobytes(), s)
+    oh = jax.nn.one_hot(jnp.asarray(inv)[sel], m.shape[0],
+                        dtype=jnp.float32)               # [k, npat]
+    mb = jnp.einsum("kp,pij->kij", oh, jnp.asarray(m),
+                    precision=jax.lax.Precision.DEFAULT)
+    adi_ext = jnp.concatenate(
+        [adi, jnp.full(adi.shape[:-1] + (1,), 128, adi.dtype)], -1)
+    return jnp.einsum("ki,kij->kj", adi_ext.astype(jnp.float32), mb,
+                      precision=jax.lax.Precision.DEFAULT) \
+        .astype(jnp.int32)
 
 
 def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
@@ -921,18 +964,11 @@ def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
     pfull = _unblocks(plane_blocks, h // 2, w // 2)
     cbuf = jnp.zeros((1 + h // 2 + cs, 1 + w // 2 + cs), jnp.int32)
     cbuf = cbuf.at[1:1 + h // 2, 1:1 + w // 2].set(pfull)
-    segc = np.zeros((5, 4 * cs + 1), dtype=bool)
-    segc[0, 0:cs] = True
-    segc[1, cs:2 * cs] = True
-    segc[2, 2 * cs] = True
-    segc[3, 2 * cs + 1:3 * cs + 1] = True
-    segc[4, 3 * cs + 1:] = True
-    pix_c = jnp.asarray(amask @ segc > 0)[sel]
     pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * 2 * cs, bw)
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 2 * cs, bh)
-    adi_c = intra.substitute_refs(
+    adi_c = _substitute_static(
         _gather_adi_blocks(cbuf, pos_y[sel] // 2, pos_x[sel] // 2, cs),
-        pix_c)
+        sel, amask, cs)
     pred_c = intra.predict_single_mode(adi_c, best, cs, False)
     orig_c = _blocks(jnp.asarray(plane_full, jnp.int32), cs)[sel]
     qpc_sel = qp_c[sel] if jnp.ndim(qp_c) > 0 else qp_c

@@ -89,10 +89,12 @@ def satd(resid: jnp.ndarray, size: int) -> jnp.ndarray:
     """Sum of absolute Hadamard-transformed differences (the HM/Homer
     mode-decision metric).  resid: [..., S, S] -> [...]."""
     h = jnp.asarray(_hadamard(size))
-    # HIGHEST precision: exact-integer f32 values; the default bf16
-    # matmul would make mode decisions platform-dependent
+    # HIGH precision: the +/-1 Hadamard operand is bf16-exact, so the
+    # 3-pass bf16 split reproduces the exact integer result (1-pass
+    # bf16 would round the intermediate and make mode decisions
+    # platform-dependent; device-gated by me.pallas_selftest)
     t = jnp.einsum("ij,...jk,kl->...il", h, resid.astype(jnp.float32), h,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=jax.lax.Precision.HIGH)
     return jnp.sum(jnp.abs(t), (-1, -2)) / size
 
 
@@ -126,7 +128,8 @@ def _sbh_by_mode(level, du, mode, size: int, sign_hiding: bool):
     ver = (mode >= 6) & (mode <= 14)
     hor = (mode >= 22) & (mode <= 30)
     sel = jnp.where(ver, 2, jnp.where(hor, 1, 0))
-    hp = jax.lax.Precision.HIGHEST
+    # one-hot / 0-1 permutation contractions: 3-pass bf16 exact
+    hp = jax.lax.Precision.HIGH
     oh = jax.nn.one_hot(sel, 3, dtype=jnp.float32)
     m_n = jnp.einsum("...k,kij->...ij", oh, perms, precision=hp)
     shp = level.shape

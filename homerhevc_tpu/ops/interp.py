@@ -43,7 +43,16 @@ CHROMA_FILTERS = np.array([
     [-2, 10, 58, -2],
 ], dtype=np.int32)
 
-_P = jax.lax.Precision.HIGHEST
+# Matmul precision tiers (TPU: DEFAULT = 1-pass bf16, HIGH = 3-pass
+# bf16 splitting, HIGHEST = 6-pass).  The 1-pass product of two values
+# that are EXACT in bf16 (ints |v| <= 256, all filter taps) is exact;
+# the 3-pass form is exact whenever ONE operand is bf16-exact and the
+# other an int within f32 range (v = hi+lo splits exactly, and the
+# dropped lo*lo term is zero).  So the 8-bit first filter stage runs
+# 1-pass and the 18-bit second stage 3-pass, both bit-exact — verified
+# ON DEVICE by me.pallas_selftest against the scalar int path.
+_P8 = jax.lax.Precision.DEFAULT      # both operands bf16-exact
+_P = jax.lax.Precision.HIGH          # one operand bf16-exact
 
 
 @functools.lru_cache(maxsize=None)
@@ -65,7 +74,7 @@ def fir_h(win: jnp.ndarray, fx: int, size: int, luma: bool,
     w = win.shape[-1]
     mv = jnp.asarray(_band_np(fx, luma, size, w, ox))
     return jnp.einsum("...yx,xo->...yo", win.astype(jnp.float32), mv,
-                      precision=_P)
+                      precision=_P8)
 
 
 def fir_v(t: jnp.ndarray, fy: int, size: int, luma: bool,
@@ -99,10 +108,10 @@ def mc_separable_phases(win, fy_idx, fx_idx, size: int, luma: bool):
                                   for p in range(phases)]))  # [P, wsz, S]
     oh_x = jax.nn.one_hot(fx_idx, phases, dtype=jnp.float32)
     oh_y = jax.nn.one_hot(fy_idx, phases, dtype=jnp.float32)
-    bh_n = jnp.einsum("np,pxo->nxo", oh_x, b_all, precision=_P)
-    bv_n = jnp.einsum("np,pyz->nyz", oh_y, b_all, precision=_P)
+    bh_n = jnp.einsum("np,pxo->nxo", oh_x, b_all, precision=_P8)
+    bv_n = jnp.einsum("np,pyz->nyz", oh_y, b_all, precision=_P8)
     t = jnp.einsum("nyx,nxo->nyo", win.astype(jnp.float32), bh_n,
-                   precision=_P)
+                   precision=_P8)
     return finish_uni(jnp.einsum("nyo,nyz->nzo", t, bv_n, precision=_P))
 
 

@@ -43,12 +43,16 @@ def _block_sum(x: jnp.ndarray, b: int) -> jnp.ndarray:
     Exact for pixel inputs: values <= 255, first contraction <= 2040,
     HIGHEST keeps the second contraction's f32 inputs unrounded."""
     h, w = x.shape[-2:]
-    hp = jax.lax.Precision.HIGHEST
+    # pixels <= 255 are bf16-exact, the 0/1 pool matrix too -> 1-pass
+    # bf16 first stage is exact; the second stage's inputs (<= 2040)
+    # need the 3-pass split (one operand exact -> exact).  Verified on
+    # device by me.pallas_selftest.
     t = jnp.einsum("...hw,wx->...hx", x.astype(jnp.float32),
-                   jnp.asarray(_pool_matrix(w, b)), precision=hp)
+                   jnp.asarray(_pool_matrix(w, b)),
+                   precision=jax.lax.Precision.DEFAULT)
     return jnp.einsum("...hx,hy->...yx", t,
                       jnp.asarray(_pool_matrix(h, b)),
-                      precision=hp).astype(jnp.int32)
+                      precision=jax.lax.Precision.HIGH).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -93,7 +97,8 @@ def slab_search_jnp(cur_s, slab, bs: int, ry: int, rx: int):
     small sequential ops (which were dispatch-latency-bound)."""
     h, w = cur_s.shape
     ny, nx = 2 * ry + 1, 2 * rx + 1
-    hp = jax.lax.Precision.HIGHEST
+    # |d| <= 2*8-pooled sums fits f32; 0/1 pools -> 3-pass exact
+    hp = jax.lax.Precision.HIGH
     pr = jnp.asarray(_pool_matrix(h, bs))            # [h, bh]
     pc = jnp.asarray(_pool_matrix(w, bs))            # [w, bw]
     cf = cur_s.astype(jnp.float32)
@@ -279,7 +284,54 @@ def pallas_selftest():
     got = pallas_kernels.gather_windows_ref_pallas(refs, ri, by, bx, 23)
     assert np.array_equal(np.asarray(got), np.asarray(want)), \
         "gather_windows_ref_pallas hardware mismatch"
+    _precision_selftest()
     return True
+
+
+def _precision_selftest():
+    """ON-DEVICE bit-equality gate for the bf16 1-pass/3-pass matmul
+    tiers (the hot one-hot / pooling / filter einsums dropped from
+    HIGHEST to DEFAULT/HIGH on the exactness argument in ops/interp —
+    this verifies the toolchain actually honors it, on worst-case
+    integer ranges)."""
+    from homerhevc_tpu.ops import interp, quant
+    from homerhevc_tpu import tables
+    from homerhevc_tpu.models.intra_frame import satd
+    rng = np.random.default_rng(1)
+    # 1. MC phases vs the int32 scalar path at extreme pixel values
+    win = jnp.asarray(
+        np.concatenate([rng.integers(0, 256, (256, 23, 23)),
+                        np.full((2, 23, 23), 255)]), jnp.int32)
+    fy = jnp.asarray(rng.integers(0, 4, 258), jnp.int32)
+    fx = jnp.asarray(rng.integers(0, 4, 258), jnp.int32)
+    got = interp.mc_separable_phases(win, fy, fx, 16, True)
+    want = jax.vmap(lambda w, a, b: interp.mc_luma(w, b, a, 16))(
+        win, fy, fx)
+    assert np.array_equal(np.asarray(got), np.asarray(want)), \
+        "mc_separable_phases precision-tier hardware mismatch"
+    # 2. block-sum pooling vs reshape-sum
+    x = jnp.asarray(rng.integers(0, 256, (64, 128)), jnp.int32)
+    want2 = np.asarray(x).reshape(8, 8, 16, 8).sum((1, 3))
+    got2 = _block_sum(x, 8)
+    assert np.array_equal(np.asarray(got2), want2), \
+        "_block_sum precision-tier hardware mismatch"
+    # 3. scan permutation on full int16-range levels
+    lv = jnp.asarray(rng.integers(-32768, 32768, (40, 256)), jnp.int32)
+    scan = tuple(tables.scan_order(16, tables.SCAN_DIAG))
+    pm = quant._perm_matrix(scan, 256)
+    got3 = quant._permute(lv, pm)
+    want3 = np.asarray(lv)[:, list(scan)]
+    assert np.array_equal(np.asarray(got3), want3), \
+        "_permute precision-tier hardware mismatch"
+    # 4. SATD vs float64 numpy on max-range residuals
+    res = jnp.asarray(rng.integers(-255, 256, (32, 8, 8)), jnp.int32)
+    h8 = np.array([[1]], np.float64)
+    while h8.shape[0] < 8:
+        h8 = np.block([[h8, h8], [h8, -h8]])
+    want4 = np.abs(h8 @ np.asarray(res, np.float64) @ h8).sum((1, 2)) / 8
+    got4 = satd(res, 8)
+    assert np.allclose(np.asarray(got4), want4, rtol=0, atol=0), \
+        "satd precision-tier hardware mismatch"
 
 
 def _gather_windows(ref_pad: jnp.ndarray, base_y: jnp.ndarray,
@@ -353,11 +405,15 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
                                       (dx >> 2) + 1) for _, dx in offs])
     bv_np = np.stack([interp._band_np(dy & 3, True, block, wsz,
                                       (dy >> 2) + 1) for dy, _ in offs])
-    hp = jax.lax.Precision.HIGHEST
+    # precision tiers as in ops/interp: pixels x taps 1-pass bf16
+    # exact; 18-bit second stage 3-pass exact (device-gated by
+    # pallas_selftest)
     wf = win9.astype(jnp.float32)
-    t = jnp.einsum("nyx,pxo->pnyo", wf, jnp.asarray(bh_np), precision=hp)
+    t = jnp.einsum("nyx,pxo->pnyo", wf, jnp.asarray(bh_np),
+                   precision=jax.lax.Precision.DEFAULT)
     preds = interp.finish_uni(
-        jnp.einsum("pnyo,pyz->pnzo", t, jnp.asarray(bv_np), precision=hp))
+        jnp.einsum("pnyo,pyz->pnzo", t, jnp.asarray(bv_np),
+                   precision=jax.lax.Precision.HIGH))
     sads = jnp.sum(jnp.abs(preds - cur_blocks[None]),
                    axis=(-1, -2)).astype(jnp.float32)  # [P, n]
     if anchor is not None and sqrt_lam is not None:
@@ -373,8 +429,10 @@ def subpel_search(cur_blocks, ref_pad, pos_y, pos_x, mv_int, block: int,
     sad = jnp.min(sads, axis=0)
     dmv = jnp.asarray(offs, jnp.int32)[best]
     onehot = jax.nn.one_hot(best, len(offs), axis=0, dtype=jnp.float32)
+    # one-hot x pixels (both bf16-exact) -> 1-pass exact
     pred = jnp.einsum("pn,pnij->nij", onehot,
-                      preds.astype(jnp.float32), precision=hp) \
+                      preds.astype(jnp.float32),
+                      precision=jax.lax.Precision.DEFAULT) \
         .astype(jnp.int32)
     return mv_int * 4 + dmv, sad, pred
 

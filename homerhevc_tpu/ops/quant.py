@@ -192,6 +192,8 @@ def _perm_matrix(scan: tuple, n: int) -> jnp.ndarray:
 
 
 def _permute(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    # 0/1 permutation matrix (bf16-exact) x int levels -> the 3-pass
+    # bf16 split is exact (device-gated by me.pallas_selftest)
     y = jnp.einsum("...i,ij->...j", x.astype(jnp.float32), m,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=jax.lax.Precision.HIGH)
     return y.astype(jnp.int32)

@@ -152,8 +152,9 @@ def residual_bits(level: jnp.ndarray, size: int) -> jnp.ndarray:
     pm = jnp.asarray(_scan_perm_mat(size))
     lv_r = jnp.abs(level).reshape(*level.shape[:-2], n)
     lv = jnp.einsum("...n,nm->...m", lv_r.astype(jnp.float32), pm,
-                    precision=jax.lax.Precision.HIGHEST) \
-        .astype(jnp.int32)                           # scan order
+                    precision=jax.lax.Precision.HIGH) \
+        .astype(jnp.int32)                           # scan order (0/1
+    # permutation: 3-pass bf16 split exact for int levels)
     nz = lv > 0
     idx = jnp.arange(n, dtype=jnp.int32)
     any_nz = nz.any(-1)

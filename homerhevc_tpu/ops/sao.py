@@ -77,12 +77,15 @@ def _ctu_sum(x: jnp.ndarray, ctb: int):
     <= 255 and per-CTU sums < 2^24; HIGHEST precision keeps the second
     contraction's f32 inputs unrounded."""
     h, w = x.shape[-2:]
-    hp = jax.lax.Precision.HIGHEST
+    # |x| <= 255 (bf16-exact) x 0/1 pools -> 1-pass exact; second
+    # stage inputs <= 2^14 -> 3-pass exact (device-gated by
+    # me.pallas_selftest)
     t = jnp.einsum("...hw,wx->...hx", x.astype(jnp.float32),
-                   jnp.asarray(_pool_mat_np(w, ctb)), precision=hp)
+                   jnp.asarray(_pool_mat_np(w, ctb)),
+                   precision=jax.lax.Precision.DEFAULT)
     return jnp.einsum("...hx,hy->...yx", t,
                       jnp.asarray(_pool_mat_np(h, ctb)),
-                      precision=hp).astype(jnp.int32)
+                      precision=jax.lax.Precision.HIGH).astype(jnp.int32)
 
 
 def sao_stats(org: jnp.ndarray, rec: jnp.ndarray, ctb: int):
