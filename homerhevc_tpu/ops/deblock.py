@@ -18,6 +18,7 @@ boundaries are simply bs=0 columns.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,18 @@ BETA_TABLE = jnp.asarray(
     [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 6, 7, 8, 9, 10, 11,
      12, 13, 14, 15, 16, 17, 18, 20, 22, 24, 26, 28, 30, 32, 34, 36, 38,
      40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64], dtype=jnp.int32)
+
+
+def _lut(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Small-table lookup as a one-hot matmul (table values <= 64 are
+    bf16-exact, one-hot is 0/1 -> 1-pass exact).  The gather form
+    lowered to ~1.3k tiny per-element device ops per frame."""
+    n = table.shape[0]
+    oh = (idx[..., None] == jnp.arange(n, dtype=idx.dtype)) \
+        .astype(jnp.float32)
+    return jnp.einsum("...n,n->...", oh, table.astype(jnp.float32),
+                      precision=jax.lax.Precision.DEFAULT) \
+        .astype(jnp.int32)
 
 
 def _luma_pass(y: jnp.ndarray, bs: jnp.ndarray, qp) -> jnp.ndarray:
@@ -50,8 +63,8 @@ def _luma_pass(y: jnp.ndarray, bs: jnp.ndarray, qp) -> jnp.ndarray:
     p = win[..., 3::-1]                                # p0..p3 = idx 0..3
     q = win[..., 4:]                                   # q0..q3
 
-    beta = BETA_TABLE[jnp.clip(qp, 0, 51)]             # [G, nE]
-    tc = TC_TABLE[jnp.clip(qp + 2 * (bs - 1), 0, 53)]
+    beta = _lut(BETA_TABLE, jnp.clip(qp, 0, 51))       # [G, nE]
+    tc = _lut(TC_TABLE, jnp.clip(qp + 2 * (bs - 1), 0, 53))
 
     def d2(v, line):
         return jnp.abs(v[:, line, :, 2] - 2 * v[:, line, :, 1]
@@ -135,7 +148,7 @@ def _chroma_pass(c: jnp.ndarray, bs: jnp.ndarray, qp_c) -> jnp.ndarray:
     bs = bs[:, 1:]
     qp_c = jnp.broadcast_to(jnp.asarray(qp_c, jnp.int32),
                             (h // 2, w // 8))[:, 1:]
-    tc = TC_TABLE[jnp.clip(qp_c + 2, 0, 53)]           # [H/2, nE]
+    tc = _lut(TC_TABLE, jnp.clip(qp_c + 2, 0, 53))     # [H/2, nE]
     tc_l = jnp.repeat(tc, 2, axis=0)                   # per line [H, nE]
     on = jnp.repeat(bs >= 2, 2, axis=0)
 
