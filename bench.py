@@ -43,8 +43,51 @@ def synthetic_video(n, h, w, seed=7):
     return ys, us, vs
 
 
+def hostile_video(n, h, w, seed=17):
+    """Hostile content for the honest-fps number (VERDICT r4 item 7):
+    per-frame dynamic noise over a fast pan with a counter-moving
+    block — nothing folds to skip, splits/fallback stay busy."""
+    rng = np.random.default_rng(seed)
+    m = 8 * n + 80
+    yy, xx = np.mgrid[0:h + m, 0:w + m]
+    base = np.clip(((xx * 5) ^ (yy * 3)) % 220, 0, 255).astype(np.uint8)
+    ys, us, vs = [], [], []
+    for i in range(n):
+        dx, dy = 7 * i, 2 * i
+        y = np.clip(base[dy:dy + h, dx:dx + w].astype(np.int16)
+                    + rng.integers(-12, 13, (h, w)), 0, 255) \
+            .astype(np.uint8)
+        oy, ox = 100 + (11 * i) % (h - 132), (w - 128) - (9 * i) % (w - 140)
+        y[oy:oy + 96, ox:ox + 96] = base[16:112, 16:112]
+        ys.append(y)
+        us.append(np.clip(128 + rng.integers(-6, 7, (h // 2, w // 2)),
+                          0, 255).astype(np.uint8))
+        vs.append(np.clip(128 + rng.integers(-6, 7, (h // 2, w // 2)),
+                          0, 255).astype(np.uint8))
+    return ys, us, vs
+
+
+def _run_fps(Encoder, cfg, ys, us, vs):
+    enc = Encoder(cfg)
+    n = len(ys)
+    k = max(cfg.frames_per_launch, 1)
+    for i in range(1 + k):
+        enc.encode_async(ys[i % n], us[i % n], vs[i % n])
+    enc.flush()
+    enc.control(cfg)  # reset stream state after warmup
+    t0 = time.perf_counter()
+    for i in range(n):
+        for f in enc.encode_async(ys[i], us[i], vs[i]):
+            pass
+    for f in enc.flush():
+        pass
+    return n / (time.perf_counter() - t0)
+
+
 def main():
     import jax
+    import homerhevc_tpu
+    homerhevc_tpu.enable_compile_cache()
     from homerhevc_tpu.api import Encoder
     from homerhevc_tpu.config import EncoderConfig
     from homerhevc_tpu.ops import me as _me
@@ -81,6 +124,17 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
+    # honest second number: fps on hostile content (same config; the
+    # bench pan flatters skip/compaction).  Kept out of the primary
+    # metric line's value but shipped in the same JSON object.
+    hostile_fps = None
+    if not os.environ.get("BENCH_SKIP_HOSTILE"):
+        hn = min(n_frames, 25)
+        hys, hus, hvs = hostile_video(hn, h, w)
+        hostile_fps = _run_fps(Encoder, cfg, hys, hus, hvs)
+        print(f"# hostile-content fps: {hostile_fps:.2f}",
+              file=sys.stderr)
+
     measured = ROOT / "BASELINE_MEASURED.json"
     vs = None
     if measured.exists():
@@ -90,12 +144,15 @@ def main():
     if vs is None:
         vs = round(fps / 100.0, 4)  # proxy until reference fps is measured
 
-    print(json.dumps({
+    out = {
         "metric": "frames_per_sec_720p_ippp_qp32",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(vs, 4),
-    }))
+    }
+    if hostile_fps is not None:
+        out["hostile_fps_720p"] = round(hostile_fps, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -15,26 +15,31 @@ reference's WPP/engine threads.
 
 __version__ = "0.1.0"
 
-import os as _os
 
-# Persistent XLA compilation cache: the encoder's chunk programs are
-# large (20-40 s compiles); caching them makes every tool/bench start
-# warm.  Opt out with HEVC_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("HEVC_TPU_NO_COMPILE_CACHE"):
+def enable_compile_cache():
+    """Turn on the persistent XLA compilation cache (explicit opt-in;
+    ADVICE r3: no global JAX config mutation at import time).
+
+    The encoder's chunk programs are large (20-40 s compiles); caching
+    them makes every tool/bench start warm.  The CLI, bench.py and the
+    profiling tools call this; library users opt in themselves.  A
+    cache dir already configured (env var or programmatically) wins.
+    """
+    import os
+    if os.environ.get("HEVC_TPU_NO_COMPILE_CACHE"):
+        return
     try:
-        import jax as _jax
-        # respect a cache dir the user set programmatically BEFORE
-        # importing this package (env var already wins via the
-        # fallback below)
-        if _jax.config.jax_compilation_cache_dir is None:
-            _cache = _os.environ.get(
+        import jax
+        if jax.config.jax_compilation_cache_dir is None:
+            cache = os.environ.get(
                 "JAX_COMPILATION_CACHE_DIR",
-                _os.path.expanduser("~/.cache/hevc_tpu_xla"))
-            _os.makedirs(_cache, exist_ok=True)
-            _jax.config.update("jax_compilation_cache_dir", _cache)
-            _jax.config.update(
+                os.path.expanduser("~/.cache/hevc_tpu_xla"))
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
-from homerhevc_tpu.config import EncoderConfig  # noqa: F401
+
+from homerhevc_tpu.config import EncoderConfig  # noqa: E402,F401

@@ -267,17 +267,19 @@ class Encoder:
         vps = np.stack([_pad_plane(np.asarray(f[2], np.uint8), ctu // 2)
                         for f in frames])
         qp = self._rc.start_pic(True)
+        s8 = cfg.rd_mode != RDMode.RD_ULTRAFAST \
+            and cfg.max_pred_depth >= 3
         ikw = dict(
             ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
-            search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
-            and cfg.max_pred_depth >= 3,
+            search_8x8=s8,
             search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset,
             tiles=cfg.tiles,
-            rd_refine=cfg.rd_mode == RDMode.RD_FULL)
+            rd_refine=cfg.rd_mode == RDMode.RD_FULL,
+            tu_split=s8 and cfg.max_intra_tr_depth >= 1)
         mesh = self._chip_mesh(k)
         if mesh is not None:
             # cfg.num_chips > 1: shard the chunk's frame axis over the
@@ -322,19 +324,21 @@ class Encoder:
         # inter-engine RC exchange (hmr_encoder_lib.c:2773).
         qp = self._rc.start_pic(True)
         self._gop_poc = 0
+        s8 = cfg.rd_mode != RDMode.RD_ULTRAFAST \
+            and cfg.max_pred_depth >= 3
         out = intra_frame.encode_frame_jit(
             yp, up, vp, qp=qp, ctu=ctu,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao,
             # the 8x8 split RD is time-amortized (one I frame per GOP)
             # and RD-positive; only rd=ultrafast skips it
-            search_8x8=cfg.rd_mode != RDMode.RD_ULTRAFAST
-            and cfg.max_pred_depth >= 3,
+            search_8x8=s8,
             search_nxn=self._search_nxn,
             scaling_lists=cfg.scaling_lists,
             chroma_qp_offset=cfg.chroma_qp_offset,
             tiles=cfg.tiles,
-            rd_refine=cfg.rd_mode == RDMode.RD_FULL)
+            rd_refine=cfg.rd_mode == RDMode.RD_FULL,
+            tu_split=s8 and cfg.max_intra_tr_depth >= 1)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self._ref2 = None
         _start_d2h(out["packed"])

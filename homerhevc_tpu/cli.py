@@ -17,6 +17,7 @@ import time
 
 import numpy as np
 
+import homerhevc_tpu
 from homerhevc_tpu.api import Encoder
 from homerhevc_tpu.config import BitrateMode, EncoderConfig, PerfMode, RDMode
 from homerhevc_tpu.metrics import FrameStats, StatsSink
@@ -159,6 +160,7 @@ def read_frame(f, w, h):
 
 
 def main(argv=None):
+    homerhevc_tpu.enable_compile_cache()
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print("no args passed!\ntype -h for help")

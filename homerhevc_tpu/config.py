@@ -56,6 +56,12 @@ class EncoderConfig:
     vbv_size: float = 1.0        # seconds at target bitrate
     vbv_init: float = 0.35
     sign_hiding: bool = True
+    # code the TRUE picture size (min-CU multiple) with implicit
+    # boundary CTU splits instead of the CTU-padded size — no bits
+    # on the pad band (parity with the reference, which encodes
+    # true dims).  Gated while the device-side boundary semantics
+    # (ref repad, availability/deblock/SAO masks) land.
+    code_true_size: bool = False
     sao: bool = True
     # SPS default scaling lists (capability parity with the reference,
     # which signals them: hmr_encoder_lib.c:1281).  Default OFF: on the
@@ -128,13 +134,27 @@ class EncoderConfig:
         return self.padded_height // self.ctu_size
 
     @property
+    def coded_width(self) -> int:
+        """SPS picture width: the visible width rounded up to the min
+        CU (8).  The device computes on CTU-padded planes, but only
+        the coded picture is WRITTEN — partial border CTUs use the
+        spec's implicit quadtree splits (7.3.8.4), so no bits are
+        spent on the pad band (the reference encodes true dims too,
+        hmr_encoder_lib.c:762 pads only to 8)."""
+        return (self.width + 7) // 8 * 8
+
+    @property
+    def coded_height(self) -> int:
+        return (self.height + 7) // 8 * 8
+
+    @property
     def conf_win_right(self) -> int:
         # conformance window offsets in chroma units (4:2:0 -> /2)
-        return (self.padded_width - self.width) // 2
+        return (self.coded_width - self.width) // 2
 
     @property
     def conf_win_bottom(self) -> int:
-        return (self.padded_height - self.height) // 2
+        return (self.coded_height - self.height) // 2
 
     @property
     def tiles(self):

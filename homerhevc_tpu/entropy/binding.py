@@ -28,7 +28,7 @@ class CHevcCfg(ctypes.Structure):
         "strong_intra_smoothing", "cu_qp_delta_enabled",
         "diff_cu_qp_delta_depth", "frame_rate_num", "frame_rate_den",
         "chroma_qp_offset", "scaling_list_enabled", "wpp_enabled",
-        "tile_cols", "tile_rows")]
+        "tile_cols", "tile_rows", "coded_width", "coded_height")]
 
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -77,6 +77,11 @@ def load_library():
         _lib.hevc_encode_slice.argtypes = [
             ctypes.POINTER(CHevcCfg), ctypes.POINTER(CFrameRec),
             ctypes.c_char_p, ctypes.c_int32]
+        _lib.hevc_encode_slice_stats.restype = ctypes.c_int32
+        _lib.hevc_encode_slice_stats.argtypes = [
+            ctypes.POINTER(CHevcCfg), ctypes.POINTER(CFrameRec),
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double)]
     return _lib
 
 
@@ -185,8 +190,17 @@ def make_cfg(cfg) -> CHevcCfg:
     c = CHevcCfg()
     c.width = cfg.padded_width
     c.height = cfg.padded_height
-    c.conf_win_right = cfg.conf_win_right
-    c.conf_win_bottom = cfg.conf_win_bottom
+    # coded picture dims: true (min-CU-multiple) picture coding with
+    # implicit boundary splits; gated until the device side (ref
+    # repad, boundary availability/deblock/SAO masks) lands
+    if getattr(cfg, "code_true_size", False):
+        c.coded_width = cfg.coded_width
+        c.coded_height = cfg.coded_height
+    else:
+        c.coded_width = cfg.padded_width
+        c.coded_height = cfg.padded_height
+    c.conf_win_right = (c.coded_width - cfg.width) // 2
+    c.conf_win_bottom = (c.coded_height - cfg.height) // 2
     c.ctu_size = cfg.ctu_size
     c.min_cu_size = 8
     c.min_tu_size = 4
@@ -237,3 +251,18 @@ def encode_slice(ccfg: CHevcCfg, record: FrameRecord) -> bytes:
     n = lib.hevc_encode_slice(ctypes.byref(ccfg), ctypes.byref(rec), buf, cap)
     assert n > 0, "slice buffer overflow"
     return buf.raw[:n]
+
+
+def encode_slice_stats(ccfg: CHevcCfg, record: FrameRecord):
+    """encode_slice + the live-context fractional CABAC bits spent in
+    residual_coding() (the honest calibration target for ops/rdbits)."""
+    lib = load_library()
+    cap = record.width * record.height * 4 + (1 << 16)
+    buf = ctypes.create_string_buffer(cap)
+    rec = record.to_ctypes()
+    rb = (ctypes.c_double * 4)()
+    n = lib.hevc_encode_slice_stats(ctypes.byref(ccfg), ctypes.byref(rec),
+                                    buf, cap, rb)
+    assert n > 0, "slice buffer overflow"
+    return buf.raw[:n], (float(rb[0]), float(rb[1]), float(rb[2]),
+                         float(rb[3]))

@@ -54,7 +54,7 @@ def _unblocks(blocks: jnp.ndarray, h: int, w: int):
 _PAD_DIST_W = 0.0625
 
 
-def _rd_zero(level, recon, pred, cur, lam, inv=None):
+def _rd_zero(level, recon, pred, cur, lam, inv=None, qp=None):
     """Zero-residual RD decision (role of the reference's merge/skip
     zero-residual pass, check_rd_cost_merge_2nx2n hmr_motion_inter.c:
     2699-2786 and the cost_rd coefficient-sum heuristic hmr_common.h:50):
@@ -72,7 +72,7 @@ def _rd_zero(level, recon, pred, cur, lam, inv=None):
     # CABAC-LUT bit estimate (role of the reference's counter env,
     # hmr_binary_encoding.c:280): exact binarization structure replaces
     # the old 3*sum|level| proxy
-    bits = rdbits.residual_bits(level, level.shape[-1]) + 2.0
+    bits = rdbits.residual_bits(level, level.shape[-1], qp=qp) + 2.0
     zero = ssd_zero <= ssd_coded + lam * bits
     level = jnp.where(zero[:, None, None], 0, level)
     recon = jnp.where(zero[:, None, None], pred, recon)
@@ -148,7 +148,8 @@ def _cand_rd(cur_c, preds, qp, lam, s, sbh_scan, scaling, bits_mv, nc,
                               ssd_coded)
         ssd_zero = jnp.where(inv[None], ssd_zero * _PAD_DIST_W,
                              ssd_zero)
-    bits_resid = (rdbits.residual_bits(level, s) + 2.0).reshape(nc, n)
+    bits_resid = (rdbits.residual_bits(level, s, qp=qp_cands)
+                  + 2.0).reshape(nc, n)
     cost_coded = ssd_coded + lam * (bits_mv + bits_resid)
     cost_zero = ssd_zero + lam * (bits_mv + 1.0)
     use_zero = cost_zero <= cost_coded
@@ -434,7 +435,8 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
         rec16 = rec16.reshape(g, n * n, 16, 16)
         ssd16 = tile_ssd(rec16, o_tiles)
         rb16 = jnp.sum(rdbits.residual_bits(
-            l16.reshape(-1, 16, 16), 16).reshape(g, n * n), -1)
+            l16.reshape(-1, 16, 16), 16, qp=qp_tile)
+            .reshape(g, n * n), -1)
         cost_tr1 = ssd16 + lam_g * (bits_mv + rb16 + 5.0)
         big = 32
     else:
@@ -450,7 +452,8 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
         qp_q = jnp.repeat(qp_g, 4) if jnp.ndim(qp) > 0 else qp
         lB, rrB = _tq(q, 32, qp_q, False, sbh_scan_big, scaling)
         recB = jnp.clip(_split_quads64(pred_big) + rrB, 0, 255)
-        rbB = jnp.sum(rdbits.residual_bits(lB, 32).reshape(g, 4), -1)
+        rbB = jnp.sum(rdbits.residual_bits(lB, 32, qp=qp_q)
+                      .reshape(g, 4), -1)
         lvl_big = _join_quads64(lB)
         rec_big = _join_quads64(recB)
         cbf_big_q = jnp.any(lB != 0, (-1, -2)).reshape(g, 4)
@@ -458,7 +461,7 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
         lvl_big, rrB = _tq(orig_big - pred_big, 32, qp_g, False,
                            sbh_scan_big, scaling)
         rec_big = jnp.clip(pred_big + rrB, 0, 255)
-        rbB = rdbits.residual_bits(lvl_big, 32)
+        rbB = rdbits.residual_bits(lvl_big, 32, qp=qp_g)
         cbf_big_q = jnp.any(lvl_big != 0, (-1, -2))[:, None]
     ssd_big = tile_ssd(_split_tiles(rec_big, n), o_tiles)
     cost_big = ssd_big + lam_g * (bits_mv + rbB + 4.0)
@@ -1368,7 +1371,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             # per-sub-CU zero-residual fold (skip-style) — each 8x8 CU
             # decides independently (selected blocks are never in the
             # conformance padding, so no inv weighting here)
-            lvl8, rec8 = _rd_zero(lvl8, rec8, pred8, cur8, lam_q)
+            lvl8, rec8 = _rd_zero(lvl8, rec8, pred8, cur8, lam_q,
+                                  qp=qp_q)
             rec_nxn = _asm8(rec8)                       # [capb, 16, 16]
             lvl_nxn = _asm8(lvl8)
             orig_sel = cur_b[bsel]
@@ -1379,7 +1383,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             # MV kept the parent (a neighbour will carry it) else mvd
             cu_bits = 3.0 + jnp.where((mvd8 == 0).all(-1), 2.0,
                                       rdbits.mvd_bits(mvd8) + 4.0)
-            rb_q = rdbits.residual_bits(lvl8, 8)
+            rb_q = rdbits.residual_bits(lvl8, 8, qp=qp_q)
             bits16 = (cu_bits + rb_q).reshape(-1, 4).sum(-1) + 1.0
             cost_nxn = ssd_n + lam_t[bsel] * bits16
             diverged = (mvd8 != 0).any(-1).reshape(-1, 4).any(-1)
@@ -1471,7 +1475,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                             scaling_lists)
             rec8 = jnp.clip(cpred + rr8, 0, 255)
             lvl8, rec8 = _rd_zero(lvl8, rec8, cpred, cb,
-                                  lam_ct * chroma_rd_scale, inv=inv16)
+                                  lam_ct * chroma_rd_scale, inv=inv16,
+                                  qp=qp_ct)
             # TB16 path over 2x2 groups of chroma blocks
             g2h, g2w = bh // 2, bw // 2
             asm = lambda t: t.reshape(g2h, 2, g2w, 2, cs, cs) \
@@ -1491,7 +1496,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                     & inv16.reshape(bh, bw)[1::2, 1::2].reshape(-1)
             lvl16c, rec16c = _rd_zero(lvl16c, rec16c, pred16, orig16,
                                       lam_ct_g * chroma_rd_scale,
-                                      inv=inv16g)
+                                      inv=inv16g, qp=qp_ct_g)
             cbf16c = jnp.any(lvl16c != 0, (-1, -2))      # [g2]
 
             def tiles(p16):   # [g2, 2cs, 2cs] -> [bh, bw, cs, cs]
@@ -1574,7 +1579,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                             scaling_lists)
             rec4 = jnp.clip(pn + rr4, 0, 255)
             lvl4, rec4 = _rd_zero(lvl4, rec4, pn, orig4,
-                                  lamc_sel * chroma_rd_scale)
+                                  lamc_sel * chroma_rd_scale,
+                                  qp=qpc_sel)
             cbf4 = jnp.any(lvl4 != 0, (-1, -2))        # [2*4capb]
             slots = jnp.where(okb, bsel, nb)
             level_u = level_u.at[slots].set(

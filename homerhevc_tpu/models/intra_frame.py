@@ -98,11 +98,11 @@ def satd(resid: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.sum(jnp.abs(t), (-1, -2)) / size
 
 
-def _rd_zero_intra(level, recon, pred, orig, lam):
+def _rd_zero_intra(level, recon, pred, orig, lam, qp=None):
     """Zero-residual RD with CABAC-LUT bit pricing."""
     ssd_coded = jnp.sum((recon - orig) ** 2, (-1, -2)).astype(jnp.float32)
     ssd_zero = jnp.sum((pred - orig) ** 2, (-1, -2)).astype(jnp.float32)
-    bits = rdbits.residual_bits(level, level.shape[-1]) + 2.0
+    bits = rdbits.residual_bits(level, level.shape[-1], qp=qp) + 2.0
     zero = ssd_zero <= ssd_coded + lam * bits
     level = jnp.where(zero[..., None, None], 0, level)
     recon = jnp.where(zero[..., None, None],
@@ -171,7 +171,8 @@ def _tq_recon(orig, pred, size, qp, lam, mode=None, sign_hiding=False,
                            scaling=scaling)
     r = transform.inverse_transform(deq, size, is_dst=is_dst)
     recon = jnp.clip(pred + r, 0, 255)
-    level, recon = _rd_zero_intra(level, recon, pred, orig, lam)
+    level, recon = _rd_zero_intra(level, recon, pred, orig, lam,
+                                  qp=qp)
     cbf = jnp.any(level != 0, axis=(-1, -2))
     return level, recon, cbf
 
@@ -442,7 +443,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  cu: int = None, split_8x8: bool = None,
                  dec_y=None, dec_u=None, dec_v=None,
                  search_nxn: bool = False, tiles=None,
-                 rd_refine: bool = False):
+                 rd_refine: bool = False, tu_split: bool = False):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).  `cu` and
@@ -489,6 +490,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     coeff_u0 = jnp.zeros((h // 2, w // 2), jnp.int32)
     coeff_v0 = jnp.zeros_like(coeff_u0)
     modes8_0 = jnp.full((2 * bh, 2 * bw), 1, jnp.int32)
+    cmodes8_0 = jnp.full((2 * bh, 2 * bw), 1, jnp.int32)
     cbf8_0 = jnp.zeros((3, 2 * bh, 2 * bw), jnp.int32)
     depth0 = jnp.full((bh, bw), 2, jnp.int32)
     nxn8_0 = jnp.zeros((2 * bh, 2 * bw), jnp.int32)
@@ -496,8 +498,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
     # ---- pass 2: wavefront reconstruction over 32x32 slots
     def step(carry, inp):
-        (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cbf8_map,
-         depth_map, nxn8_map, pu4_map) = carry
+        (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map,
+         cmodes8_map, cbf8_map, depth_map, nxn8_map, pu4_map) = carry
         by, bx, valid, av32, av16, av8, av4 = inp
         nb = by.shape[0]
         y0 = by * 32
@@ -536,7 +538,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                                          scaling=scaling_lists)
             costK = (jnp.sum((recK - origK) ** 2, (-1, -2))
                      .astype(jnp.float32)
-                     + lamf * rdbits.residual_bits(lvlK, 32)) \
+                     + lamf * rdbits.residual_bits(lvlK, 32, qp=qp)) \
                 .reshape(K, nb) + lamf * mb32k
             kb = jnp.argmin(costK, 0)                      # [nb]
 
@@ -621,7 +623,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         def sub16_body(carry, xk):
             patch, lvl_ch, cost_children = carry
             (off, av16_k, av8_k, av4_k, m16, m8_k, m4_k, m16k,
-             mb16k) = xk
+             mb16k, cm8_k) = xk
             oy, ox = off[0], off[1]
             adi16 = intra.substitute_refs(
                 _patch_adi(patch, oy, ox, 16), _avail_mask(av16_k, 16))
@@ -641,7 +643,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                                              scaling=scaling_lists)
                 base = (jnp.sum((r16K - o16K) ** 2, (-1, -2))
                         .astype(jnp.float32)
-                        + lamf * rdbits.residual_bits(l16K, 16)) \
+                        + lamf * rdbits.residual_bits(l16K, 16,
+                                                      qp=qp)) \
                     .reshape(K, nb)
                 kb16 = jnp.argmin(base + lamf * mb16k, 0)   # [nb]
 
@@ -661,28 +664,69 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                                           scaling=scaling_lists)
                 cost16 = jnp.sum((r16 - o16) ** 2, (-1, -2)) \
                     .astype(jnp.float32) + lamf * (
-                        rdbits.residual_bits(l16, 16) + _CU_HDR_BITS)
+                        rdbits.residual_bits(l16, 16, qp=qp)
+                        + _CU_HDR_BITS)
             if search_8x8:
                 offs8 = jnp.asarray(
                     [[8 * r[0], 8 * r[1]] for r in _SUB_OFF], jnp.int32)
 
                 def sub8_body(c8carry, x8):
                     patch8, l8s, cost8 = c8carry
-                    off8, av8_kk, av4_kk, m8, m4s = x8
+                    off8, av8_kk, av4_kk, m8, m4s, cm8 = x8
                     o8y, o8x = oy + off8[0], ox + off8[1]
                     adi8 = intra.substitute_refs(
                         _patch_adi(patch8, o8y, o8x, 8),
                         _avail_mask(av8_kk, 8))
-                    pr8 = intra.predict_single_mode(adi8, m8, 8, True)
                     o8 = jax.lax.dynamic_slice(orig32, (0, o8y, o8x),
                                                (nb, 8, 8))
-                    l8, r8, c8 = _tq_recon(o8, pr8, 8, qp, lam_rd,
-                                           mode=m8,
-                                           sign_hiding=sign_hiding,
-                                           scaling=scaling_lists)
-                    cost_2n = jnp.sum((r8 - o8) ** 2, (-1, -2)) \
-                        .astype(jnp.float32) + lamf * (
-                            rdbits.residual_bits(l8, 8) + _CU_HDR_BITS)
+                    if tu_split:
+                        # free-standing TU-split candidate (VERDICT
+                        # r4 item 5; ref loop 3 hmr_motion_intra.c:
+                        # 1440): ALSO evaluate this sub-8 at the
+                        # PARENT 16's mode — when all four take it,
+                        # the record stage folds the quartet into ONE
+                        # 16 CU with split_transform_flag=1 (mode
+                        # paid once): the exact shared-mode 4-TB
+                        # candidate.  1-bit discount ~ MPM/fold
+                        # saving.  Veto when the sub's chroma mode 34
+                        # would leave the new DM list (not codeable).
+                        m2 = jnp.concatenate([m8, m16])
+                        pr2 = intra.predict_single_mode(
+                            jnp.tile(adi8, (2, 1)), m2, 8, True)
+                        l2, r2, c2 = _tq_recon(
+                            jnp.tile(o8, (2, 1, 1)), pr2, 8, qp,
+                            lam_rd, mode=m2,
+                            sign_hiding=sign_hiding,
+                            scaling=scaling_lists)
+                        cost2 = jnp.sum(
+                            (r2 - jnp.tile(o8, (2, 1, 1))) ** 2,
+                            (-1, -2)).astype(jnp.float32) + lamf * (
+                                rdbits.residual_bits(l2, 8, qp=qp)
+                                + _CU_HDR_BITS)
+                        m16_in_def = (m16 == 0) | (m16 == 26) \
+                            | (m16 == 10) | (m16 == 1)
+                        chroma_ok = (cm8 != 34) | m16_in_def
+                        take_p = (cost2[nb:] - lamf * 1.0
+                                  < cost2[:nb]) & (m16 != m8) \
+                            & chroma_ok
+                        tp = take_p[:, None, None]
+                        l8 = jnp.where(tp, l2[nb:], l2[:nb])
+                        r8 = jnp.where(tp, r2[nb:], r2[:nb])
+                        c8 = jnp.where(take_p, c2[nb:], c2[:nb])
+                        m8 = jnp.where(take_p, m16, m8)
+                        cost_2n = jnp.where(take_p, cost2[nb:],
+                                            cost2[:nb])
+                    else:
+                        pr8 = intra.predict_single_mode(adi8, m8, 8,
+                                                        True)
+                        l8, r8, c8 = _tq_recon(o8, pr8, 8, qp,
+                                               lam_rd, mode=m8,
+                                               sign_hiding=sign_hiding,
+                                               scaling=scaling_lists)
+                        cost_2n = jnp.sum((r8 - o8) ** 2, (-1, -2)) \
+                            .astype(jnp.float32) + lamf * (
+                                rdbits.residual_bits(l8, 8, qp=qp)
+                                + _CU_HDR_BITS)
                     if search_nxn:
                         # NxN: four 4x4 PUs in z-order with own modes,
                         # DST TBs and intra-CU recon feedback (ref NxN
@@ -710,7 +754,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                             cost_n = cost_n + jnp.sum(
                                 (r4 - o4) ** 2, (-1, -2)) \
                                 .astype(jnp.float32) + lamf * \
-                                rdbits.residual_bits(l4, 4)
+                                rdbits.residual_bits(l4, 4, qp=qp)
                             p4 = jax.lax.dynamic_update_slice(
                                 p4, r4, (0, o4y + 1, o4x + 1))
                             l4s = jax.lax.dynamic_update_slice(
@@ -749,7 +793,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                         (patch, jnp.zeros((nb, 16, 16), jnp.int32),
                          jnp.broadcast_to(lamf * _SPLIT_BITS, (nb,))),
                         (offs8, av8_k, jnp.moveaxis(av4_k, 1, 0),
-                         m8_k, m4_k))
+                         m8_k, m4_k, cm8_k))
                 rec8 = jax.lax.dynamic_slice(patch8, (0, oy + 1, ox + 1),
                                              (nb, 16, 16))
                 sp16 = cost8 < cost16
@@ -793,7 +837,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                 (offs, jnp.moveaxis(av16, 1, 0),
                  jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
                  jnp.moveaxis(av4, 1, 0),
-                 m16_all, m8_all, m4_all, m16k_all, mb16k_all))
+                 m16_all, m8_all, m4_all, m16k_all, mb16k_all,
+                 cm8_all))
         rec_children = patch[:, 1:33, 1:33]
         m16_sel = m16_y                            # [4, nb]
         sp16_sel = sp16_y                          # [4, nb]
@@ -801,6 +846,14 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             # chroma DM follows the refined per-quadrant luma mode
             cm16_all = jnp.where(cm16_all == m16_all, m16_sel,
                                  cm16_all)
+        if tu_split:
+            # DM chroma picks follow the parent-mode winners (the
+            # chroma pass below predicts with the UPDATED map, so
+            # the stream stays self-consistent; same rule as the
+            # rd_refine DM follow-up)
+            cm8_all = jnp.where((cm8_all == m8_all)
+                                & (m8_y2 != m8_all), m8_y2,
+                                cm8_all)
         modes_q8 = jnp.moveaxis(m8_y2, 2, 0)       # [nb, 4, 4]
         cbf_q8 = jnp.moveaxis(cbf_y2, 2, 0)
         nxn_q8 = jnp.moveaxis(nxn_y2, 2, 0)        # [nb, 4, 4]
@@ -810,7 +863,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         # in-loop RD decision: one 32x32 CU vs the four children
         cost32 = jnp.sum((rec32 - orig32) ** 2, (-1, -2)) \
             .astype(jnp.float32) + lamf * (
-                rdbits.residual_bits(lvl32, 32) + _CU_HDR_BITS)
+                rdbits.residual_bits(lvl32, 32, qp=qp)
+                + _CU_HDR_BITS)
         sp32 = cost_children < cost32
         sp32m = sp32[:, None, None]
         recon = jnp.where(sp32m, rec_children, rec32)
@@ -829,6 +883,16 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         # NxN CUs force chroma DM = PU0's luma mode (the signalled list
         # derives from PU0, spec 7.4.9.5; m8_y2 already carries it)
         cm8_eff = jnp.where(nxn_y2, m8_y2, cm8_all)
+        # committed chroma modes per 8-granule (the RECORD must carry
+        # the wavefront's DM adjustments — rd_refine/tu_split follows,
+        # NxN PU0 — not the raw decision maps)
+        cm8_e_q = jnp.moveaxis(cm8_eff, 2, 0)         # [nb, 4, 4]
+        cm16_q = jnp.moveaxis(cm16_all, 1, 0)[:, :, None]
+        cmodes_q = jnp.where(
+            sp32[:, None, None],
+            jnp.where(sp16_q[:, :, None], cm8_e_q,
+                      jnp.broadcast_to(cm16_q, cm8_e_q.shape)),
+            cm32[:, None, None])
         cy0 = y0 // 2
         cx0 = x0 // 2
 
@@ -960,6 +1024,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         r8x = (4 * bx[:, None, None] + 2 * qx[None, :, None]
                + qx[None, None, :])
         modes8_map = modes8_map.at[r8y, r8x].set(modes_q, mode="drop")
+        cmodes8_map = cmodes8_map.at[r8y, r8x].set(cmodes_q,
+                                                   mode="drop")
         cbf8_map = cbf8_map.at[0, r8y, r8x].set(
             cbf_q.astype(jnp.int32), mode="drop")
         cbf8_map = cbf8_map.at[1, r8y, r8x].set(
@@ -981,31 +1047,28 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             pu4_map = pu4_map.at[r4y, r4x].set(
                 pu4_q + (cbf4_q.astype(jnp.int32) << 8), mode="drop")
         return (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map,
-                cbf8_map, depth_map, nxn8_map, pu4_map), None
+                cmodes8_map, cbf8_map, depth_map, nxn8_map,
+                pu4_map), None
 
     xs = (jnp.asarray(plan["by"]), jnp.asarray(plan["bx"]),
           jnp.asarray(plan["valid"]), jnp.asarray(plan["av32"]),
           jnp.asarray(plan["av16"]), jnp.asarray(plan["av8"]),
           jnp.asarray(plan["av4"]))
     carry0 = (recon_y0, recon_u0, recon_v0, coeff_y0, coeff_u0,
-              coeff_v0, modes8_0, cbf8_0, depth0, nxn8_0, pu4_0)
+              coeff_v0, modes8_0, cmodes8_0, cbf8_0, depth0, nxn8_0,
+              pu4_0)
     carry, _ = jax.lax.scan(step, carry0, xs)
-    (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cbf8_map,
-     depth_map, nxn8_map, pu4_map) = carry
+    (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map, cmodes8_map,
+     cbf8_map, depth_map, nxn8_map, pu4_map) = carry
 
     out_y = rec_y[1:1 + h, 1:1 + w]
     out_u = rec_u[1:1 + h // 2, 1:1 + w // 2]
     out_v = rec_v[1:1 + h // 2, 1:1 + w // 2]
 
-    # chroma-mode granule map (8-granule, matches modes8_map): the
-    # dense per-level decisions selected by the final CU depth
+    # chroma-mode granule map: carried out of the wavefront scan (the
+    # committed modes incl. DM follow-ups; a dec-map rebuild here once
+    # desynced record vs prediction when modes changed in-loop)
     rep2 = lambda g, k: jnp.repeat(jnp.repeat(g, k, 0), k, 1)
-    depth8 = rep2(depth_map, 2)                    # [2bh, 2bw]
-    cmodes8_map = jnp.where(
-        depth8 == 1, rep2(dec["cmode32"], 4),
-        jnp.where(depth8 == 2, rep2(dec["cmode16"], 2), dec["cmode8"]))
-    # NxN CUs signal chroma DM of PU0 (modes8_map carries PU0's mode)
-    cmodes8_map = jnp.where(nxn8_map > 0, modes8_map, cmodes8_map)
     # RC distortion signal: mean per-16x16-block luma SAD (pre-filter)
     dist16 = jnp.sum(jnp.abs(out_y - y32)) // (bh * bw)
 
@@ -1138,7 +1201,7 @@ encode_frame_jit = jax.jit(
                                    "sao_enabled", "search_8x8",
                                    "chroma_qp_offset", "scaling_lists",
                                    "cu", "split_8x8", "search_nxn",
-                                   "tiles", "rd_refine"))
+                                   "tiles", "rd_refine", "tu_split"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -1157,7 +1220,7 @@ encode_i_chunk_jit = jax.jit(
                                      "chroma_qp_offset",
                                      "scaling_lists", "cu", "split_8x8",
                                      "search_nxn", "tiles",
-                                     "rd_refine"))
+                                     "rd_refine", "tu_split"))
 
 
 def encode_i_chunk_sharded(ys, us, vs, qp, *, mesh, axis="gop",
@@ -1183,4 +1246,4 @@ encode_i_chunk_sharded_jit = jax.jit(
                      "rd_lambda_scale", "deblocking", "sao_enabled",
                      "search_8x8", "chroma_qp_offset", "scaling_lists",
                      "cu", "split_8x8", "search_nxn", "tiles",
-                     "rd_refine"))
+                     "rd_refine", "tu_split"))

@@ -10,6 +10,9 @@ namespace hevc {
 void write_parameter_sets_impl(const HevcCfg* cfg, std::vector<uint8_t>& out);
 std::vector<uint8_t> encode_slice_rbsp(const HevcCfg* cfg,
                                        const FrameRec* rec);
+std::vector<uint8_t> encode_slice_rbsp(const HevcCfg* cfg,
+                                       const FrameRec* rec,
+                                       double* resid_bits);
 }  // namespace hevc
 
 extern "C" {
@@ -21,6 +24,22 @@ int32_t hevc_write_parameter_sets(const HevcCfg* cfg, uint8_t* out,
   if (static_cast<int32_t>(buf.size()) > cap) return -1;
   memcpy(out, buf.data(), buf.size());
   return static_cast<int32_t>(buf.size());
+}
+
+// stats[0] (optional, may be null): live-context fractional CABAC bits
+// spent inside residual_coding() — the calibration target for the
+// device-side rdbits estimator.
+int32_t hevc_encode_slice_stats(const HevcCfg* cfg, const FrameRec* rec,
+                                uint8_t* out, int32_t cap,
+                                double* stats) {
+  std::vector<uint8_t> rbsp = hevc::encode_slice_rbsp(cfg, rec, stats);
+  std::vector<uint8_t> nalu;
+  nalu.reserve(rbsp.size() + 16);
+  int nal_type = rec->is_idr ? 19 /*IDR_W_RADL*/ : 1 /*TRAIL_R*/;
+  hevc::Bitstream::write_nalu(nalu, nal_type, 0, rbsp);
+  if (static_cast<int32_t>(nalu.size()) > cap) return -1;
+  memcpy(out, nalu.data(), nalu.size());
+  return static_cast<int32_t>(nalu.size());
 }
 
 int32_t hevc_encode_slice(const HevcCfg* cfg, const FrameRec* rec,

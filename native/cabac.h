@@ -5,6 +5,7 @@
 #ifndef HEVC_CABAC_H
 #define HEVC_CABAC_H
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -30,9 +31,34 @@ inline uint8_t ctx_init(int init_value, int qp) {
   return static_cast<uint8_t>(((mps ? s - 64 : 63 - s) << 1) | mps);
 }
 
+// Fractional bit-cost table for the live-context counter (role of the
+// reference's g_bc_entropy_bits, hmr_binary_encoding.c:280): cost in
+// bits of coding the MPS / LPS in each of the 64 states, from the
+// standard CABAC state probability model p_lps(s) = 0.5 * alpha^s,
+// alpha = (0.01875 / 0.5)^(1/63).
+inline const double* bin_cost_table() {
+  static double t[128];
+  static bool init = false;
+  if (!init) {
+    const double alpha = std::pow(0.01875 / 0.5, 1.0 / 63.0);
+    double p = 0.5;
+    for (int s = 0; s < 64; ++s) {
+      t[2 * s + 0] = -std::log2(1.0 - p);   // MPS cost
+      t[2 * s + 1] = -std::log2(p);         // LPS cost
+      p *= alpha;
+    }
+    init = true;
+  }
+  return t;
+}
+
 class CabacEncoder {
  public:
   explicit CabacEncoder(Bitstream* bs) : bs_(bs) {}
+
+  // live-context fractional bit counter (always on; one lookup+add per
+  // bin).  frac_bits() deltas bracket syntax regions for calibration.
+  double frac_bits() const { return frac_bits_; }
 
   // retarget the byte sink (WPP substreams: one Bitstream per CTU row)
   void set_stream(Bitstream* bs) { bs_ = bs; }
@@ -48,6 +74,8 @@ class CabacEncoder {
   void encode_bin(uint8_t* ctx, int bin) {
     uint32_t state = *ctx >> 1;
     uint32_t mps = *ctx & 1;
+    frac_bits_ += bin_cost_table()[
+        2 * state + (static_cast<uint32_t>(bin) != mps ? 1 : 0)];
     uint32_t lps = kLpsTable[state][(range_ >> 6) & 3];
     range_ -= lps;
     if (static_cast<uint32_t>(bin) != mps) {
@@ -70,6 +98,7 @@ class CabacEncoder {
   }
 
   void encode_bypass(int bin) {
+    frac_bits_ += 1.0;
     low_ <<= 1;
     if (bin) low_ += range_;
     --bits_left_;
@@ -144,6 +173,7 @@ class CabacEncoder {
   int bits_left_ = 23;
   int num_buffered_ = 0;
   uint32_t buffered_ = 0xff;
+  double frac_bits_ = 0.0;
 };
 
 // ---------------------------------------------------------------------

@@ -72,8 +72,11 @@ std::vector<uint8_t> make_sps(const HevcCfg* cfg) {
   profile_tier_level(b);
   b.ue(0);  // sps_seq_parameter_set_id
   b.ue(1);  // chroma_format_idc 4:2:0
-  b.ue(cfg->width);
-  b.ue(cfg->height);
+  // CODED picture dims (min-CU multiple; width/height are the padded
+  // plane strides when coded_* set — implicit boundary splits cover
+  // the partial CTUs, spec 7.3.8.4)
+  b.ue(cfg->coded_width > 0 ? cfg->coded_width : cfg->width);
+  b.ue(cfg->coded_height > 0 ? cfg->coded_height : cfg->height);
   const bool conf = cfg->conf_win_right || cfg->conf_win_bottom;
   b.put(conf, 1);
   if (conf) {

@@ -48,6 +48,12 @@ typedef struct HevcCfg {
   int32_t tile_cols;    // PPS tiles (uniform spacing, spec 6.5.1);
   int32_t tile_rows;    // <=1 each = no tiles; mutually exclusive with
                         // wpp_enabled (Main profile allows either)
+  int32_t coded_width;   // CODED picture dims (multiple of min CU; the
+  int32_t coded_height;  // SPS dims).  0 = width/height (legacy
+                         // CTU-padded coding).  width/height stay the
+                         // MAP/COEFF plane strides; CUs beyond the
+                         // coded bounds are never walked (implicit
+                         // boundary splits, spec 7.3.8.4).
 } HevcCfg;
 
 // Per-4x4-block dense maps, row-major [height/4][width/4].

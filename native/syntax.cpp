@@ -86,10 +86,12 @@ class SliceWriter {
     w_ = cfg_.width;
     h_ = cfg_.height;
     w4_ = w_ >> 2;
+    cw_ = cfg_.coded_width > 0 ? cfg_.coded_width : w_;
+    ch_ = cfg_.coded_height > 0 ? cfg_.coded_height : h_;
     ctu_log2_ = log2i(cfg_.ctu_size);
     min_cu_log2_ = log2i(cfg_.min_cu_size);
-    ctus_x_ = w_ >> ctu_log2_;
-    ctus_y_ = h_ >> ctu_log2_;
+    ctus_x_ = (cw_ + cfg_.ctu_size - 1) >> ctu_log2_;
+    ctus_y_ = (ch_ + cfg_.ctu_size - 1) >> ctu_log2_;
     h4_ = h_ >> 2;
     is_p_ = rec_.slice_type != 2;
     // tile grid (uniform spacing, spec 6.5.1): per-CTU tile id and
@@ -309,7 +311,7 @@ class SliceWriter {
                         + (xc >> ctu_log2_)];
   }
   bool zavail(int xn, int yn, int xc, int yc) const {
-    if (xn < 0 || yn < 0 || xn >= w_ || yn >= h_) return false;
+    if (xn < 0 || yn < 0 || xn >= cw_ || yn >= ch_) return false;
     if (!same_tile(xn, yn, xc, yc)) return false;
     int cn = ctu_rank_[(yn >> ctu_log2_) * ctus_x_ + (xn >> ctu_log2_)];
     int cc = ctu_rank_[(yc >> ctu_log2_) * ctus_x_ + (xc >> ctu_log2_)];
@@ -338,12 +340,17 @@ class SliceWriter {
   }
 
   void derive_qt(int x0, int y0, int log2, int depth) {
-    if (depth_at(x0, y0) > depth) {
+    bool boundary = x0 + (1 << log2) > cw_ || y0 + (1 << log2) > ch_;
+    if (boundary || depth_at(x0, y0) > depth) {
       int half = 1 << (log2 - 1);
       derive_qt(x0, y0, log2 - 1, depth + 1);
-      derive_qt(x0 + half, y0, log2 - 1, depth + 1);
-      derive_qt(x0, y0 + half, log2 - 1, depth + 1);
-      derive_qt(x0 + half, y0 + half, log2 - 1, depth + 1);
+      if (x0 + half < cw_)
+        derive_qt(x0 + half, y0, log2 - 1, depth + 1);
+      if (y0 + half < ch_) {
+        derive_qt(x0, y0 + half, log2 - 1, depth + 1);
+        if (x0 + half < cw_)
+          derive_qt(x0 + half, y0 + half, log2 - 1, depth + 1);
+      }
       return;
     }
     int s = 1 << log2;
@@ -521,8 +528,11 @@ class SliceWriter {
   // ---- coding quadtree (spec 7.3.8.4) ----
   void quadtree(int x0, int y0, int log2, int depth) {
     int size = 1 << log2;
-    bool split = depth_at(x0, y0) > depth;
-    if (log2 > min_cu_log2_) {
+    // spec 7.3.8.4: split_cu_flag inferred 1 when the block
+    // overhangs the coded picture; children outside are not walked
+    bool boundary = x0 + size > cw_ || y0 + size > ch_;
+    bool split = boundary || depth_at(x0, y0) > depth;
+    if (!boundary && log2 > min_cu_log2_) {
       int ctx = 0;
       if (zavail(x0 - 1, y0, x0, y0) && depth_at(x0 - 1, y0) > depth)
         ++ctx;
@@ -533,9 +543,13 @@ class SliceWriter {
     if (split) {
       int half = size >> 1;
       quadtree(x0, y0, log2 - 1, depth + 1);
-      quadtree(x0 + half, y0, log2 - 1, depth + 1);
-      quadtree(x0, y0 + half, log2 - 1, depth + 1);
-      quadtree(x0 + half, y0 + half, log2 - 1, depth + 1);
+      if (x0 + half < cw_)
+        quadtree(x0 + half, y0, log2 - 1, depth + 1);
+      if (y0 + half < ch_) {
+        quadtree(x0, y0 + half, log2 - 1, depth + 1);
+        if (x0 + half < cw_)
+          quadtree(x0 + half, y0 + half, log2 - 1, depth + 1);
+      }
     } else {
       coding_unit(x0, y0, log2);
     }
@@ -869,6 +883,7 @@ class SliceWriter {
   }
 
   void residual(int x0, int y0, int log2, int c_idx, bool intra) {
+    const double fb0 = cabac_.frac_bits();  // calibration bracket
     c1_of_prev_cg_ = 1;  // greater1 context-set state resets per TB
     int n = 1 << log2;
     int16_t blk[32 * 32];
@@ -1017,6 +1032,10 @@ class SliceWriter {
         if (abs_coeff[i] >= 2) first_coeff2 = 0;
       }
     }
+    double d = cabac_.frac_bits() - fb0;
+    resid_frac_bits_ += d;
+    resid_frac_by_c_[c_idx] += d;
+    ++resid_tb_count_[c_idx == 0 ? 0 : 1];
   }
 
   static int cg_coded(const uint8_t* cg_flags,
@@ -1129,6 +1148,7 @@ class SliceWriter {
   CabacEncoder cabac_;
   ContextSet ctx_;
   int w_, h_, w4_, h4_, ctu_log2_, min_cu_log2_, ctus_x_, ctus_y_;
+  int cw_ = 0, ch_ = 0;   // coded picture dims (<= strides w_, h_)
   bool is_p_ = false;
   // tiles (uniform spacing, spec 6.5.1)
   int tcols_ = 1, trows_ = 1;
@@ -1138,14 +1158,33 @@ class SliceWriter {
   std::vector<int16_t> d_mvdx_, d_mvdy_;
   int x_parent_ = 0, y_parent_ = 0;
   int c1_of_prev_cg_ = 1;
+
+ public:
+  // live-context calibration counters (residual_coding() only)
+  double resid_frac_bits_ = 0.0;
+  double resid_frac_by_c_[3] = {0.0, 0.0, 0.0};
+  int64_t resid_tb_count_[2] = {0, 0};
 };
 
 }  // namespace
 
 std::vector<uint8_t> encode_slice_rbsp(const HevcCfg* cfg,
-                                       const FrameRec* rec) {
+                                       const FrameRec* rec,
+                                       double* resid_bits) {
   SliceWriter w(cfg, rec);
-  return w.encode();
+  std::vector<uint8_t> out = w.encode();
+  if (resid_bits) {
+    resid_bits[0] = w.resid_frac_bits_;
+    resid_bits[1] = w.resid_frac_by_c_[0];
+    resid_bits[2] = w.resid_frac_by_c_[1];
+    resid_bits[3] = w.resid_frac_by_c_[2];
+  }
+  return out;
+}
+
+std::vector<uint8_t> encode_slice_rbsp(const HevcCfg* cfg,
+                                       const FrameRec* rec) {
+  return encode_slice_rbsp(cfg, rec, nullptr);
 }
 
 }  // namespace hevc

@@ -28,13 +28,14 @@ from homerhevc_tpu.config import EncoderConfig         # noqa: E402
 from homerhevc_tpu.ops import rdbits                   # noqa: E402
 
 
-def tb_est(plane, tb_size_map4, size):
+def tb_est(plane, tb_size_map4, size, qp=None):
     """Sum residual_bits over TBs of `size` whose map cell says so."""
     h, w = plane.shape
     n = size
     blocks = plane.reshape(h // n, n, w // n, n) \
         .transpose(0, 2, 1, 3).reshape(-1, n, n).astype(np.int32)
-    r = np.asarray(rdbits.residual_bits(blocks, n)) \
+    kw = {} if qp is None else dict(qp=qp)
+    r = np.asarray(rdbits.residual_bits(blocks, n, **kw)) \
         .reshape(h // n, w // n)
     sel = tb_size_map4[::n // 4, ::n // 4] == size
     return float(r[sel].sum())
