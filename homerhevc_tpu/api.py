@@ -279,7 +279,9 @@ class Encoder:
             chroma_qp_offset=cfg.chroma_qp_offset,
             tiles=cfg.tiles,
             rd_refine=cfg.rd_mode == RDMode.RD_FULL,
-            tu_split=s8 and cfg.max_intra_tr_depth >= 1)
+            tu_split=s8 and cfg.max_intra_tr_depth >= 1,
+            vis_h=cfg.height, vis_w=cfg.width,
+            true_size=cfg.code_true_size)
         mesh = self._chip_mesh(k)
         if mesh is not None:
             # cfg.num_chips > 1: shard the chunk's frame axis over the
@@ -338,7 +340,9 @@ class Encoder:
             chroma_qp_offset=cfg.chroma_qp_offset,
             tiles=cfg.tiles,
             rd_refine=cfg.rd_mode == RDMode.RD_FULL,
-            tu_split=s8 and cfg.max_intra_tr_depth >= 1)
+            tu_split=s8 and cfg.max_intra_tr_depth >= 1,
+            vis_h=cfg.height, vis_w=cfg.width,
+            true_size=cfg.code_true_size)
         self._ref = (out["recon_y"], out["recon_u"], out["recon_v"])
         self._ref2 = None
         _start_d2h(out["packed"])
@@ -406,6 +410,8 @@ class Encoder:
             buf_dev, *self._ref, k=k, qp=qp_vec, qp_maps=qp_maps,
             block=16, **mesh_kw,
             vis_h=cfg.height, vis_w=cfg.width,
+            true_size=cfg.code_true_size,
+            wpp_substreams=cfg.wpp_substreams,
             **ref2_kw,
             sign_hiding=cfg.sign_hiding, deblocking=cfg.deblocking,
             sao_enabled=cfg.sao, ctu=ctu,
@@ -663,6 +669,16 @@ class Encoder:
                   & (d16q == 2).all((1, 3)) & (t16q == 0).all((1, 3))
                   & (m16q == m16q[:, :1, :, :1]).all((1, 3))
                   & (c16q == c16q[:, :1, :, :1]).all((1, 3)))
+        if cfg.code_true_size:
+            # a 32-CU straddling the coded bounds cannot be signalled
+            # (the writer implicit-splits it, and TB16s under trd=1
+            # would not match the folded recon) — keep such quartets
+            # as 16-CUs
+            j32 = np.arange(same16.shape[1])
+            i32 = np.arange(same16.shape[0])
+            inside32 = ((32 * (j32 + 1) <= cfg.coded_width)[None, :]
+                        & (32 * (i32 + 1) <= cfg.coded_height)[:, None])
+            same16 = same16 & inside32
         m32 = np.zeros((bh, bw), bool)          # odd grid tails stay
         m32[:bh // 2 * 2, :bw // 2 * 2] = \
             np.repeat(np.repeat(same16, 2, 0), 2, 1)

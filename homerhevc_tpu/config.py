@@ -56,12 +56,13 @@ class EncoderConfig:
     vbv_size: float = 1.0        # seconds at target bitrate
     vbv_init: float = 0.35
     sign_hiding: bool = True
-    # code the TRUE picture size (min-CU multiple) with implicit
-    # boundary CTU splits instead of the CTU-padded size — no bits
-    # on the pad band (parity with the reference, which encodes
-    # true dims).  Gated while the device-side boundary semantics
-    # (ref repad, availability/deblock/SAO masks) land.
-    code_true_size: bool = False
+    # code the TRUE picture size (16-multiple; conformance window for
+    # the remainder) with implicit boundary CTU splits instead of the
+    # CTU-padded size — no bits on the pad band (parity with the
+    # reference, which encodes true dims).  The device still computes
+    # on CTU-padded planes; references are edge-repadded from the
+    # coded bounds, and availability/deblock/SAO honor them.
+    code_true_size: bool = True
     sao: bool = True
     # SPS default scaling lists (capability parity with the reference,
     # which signals them: hmr_encoder_lib.c:1281).  Default OFF: on the
@@ -77,9 +78,9 @@ class EncoderConfig:
     # WPP substreams: one CABAC substream per CTU row with entry-point
     # offsets (ref hmr_encoder_lib.c:785-804) — lets conformant
     # decoders (and multi-core hosts) entropy-process rows in parallel.
-    # Incompatible with per-CTU QP (QpY_prev resets per row, spec
-    # 8.6.1, which the device QP chain does not model); the binding
-    # disables it when cu_qp_delta is active.
+    # Coexists with per-CTU QP: the device's effective-QP chain models
+    # the per-row QpY_prev reset (spec 8.6.1 with
+    # entropy_coding_sync) when this flag is set (VERDICT r4 item 6).
     wpp_substreams: bool = False
     # Tiles (uniform spacing, spec 6.5.1): break intra prediction
     # dependencies at tile boundaries, shortening the device wavefront
@@ -141,11 +142,17 @@ class EncoderConfig:
         spec's implicit quadtree splits (7.3.8.4), so no bits are
         spent on the pad band (the reference encodes true dims too,
         hmr_encoder_lib.c:762 pads only to 8)."""
-        return (self.width + 7) // 8 * 8
+        return (self.width + 15) // 16 * 16
 
     @property
     def coded_height(self) -> int:
-        return (self.height + 7) // 8 * 8
+        # 16-multiples (not the minimal 8): the device's base coding
+        # granule is 16x16, so 16-alignment keeps every committed CU
+        # inside the coded picture (only 32-CUs can straddle, which
+        # the wavefront forces split); the conformance window covers
+        # the <=15 px remainder — same choice as x264/x265 coding
+        # 1920x1088 for 1080p content
+        return (self.height + 15) // 16 * 16
 
     @property
     def conf_win_right(self) -> int:

@@ -226,8 +226,7 @@ def make_cfg(cfg) -> CHevcCfg:
     c.chroma_qp_offset = cfg.chroma_qp_offset
     c.scaling_list_enabled = 1 if getattr(cfg, "scaling_lists", False) \
         else 0
-    c.wpp_enabled = 1 if (getattr(cfg, "wpp_substreams", False)
-                          and not c.cu_qp_delta_enabled) else 0
+    c.wpp_enabled = 1 if getattr(cfg, "wpp_substreams", False) else 0
     tiles = getattr(cfg, "tiles", None)
     c.tile_cols, c.tile_rows = tiles if tiles else (1, 1)
     if tiles:

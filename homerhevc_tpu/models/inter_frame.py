@@ -327,7 +327,7 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
                     recon_y, cost_child, elig_tile, qp, lam, bh, bw,
                     n: int, sbh_scan16, sbh_scan_big, scaling=False,
                     ref_flat=None, ref_pad=None, ref_pads=None,
-                    y0=0, inv=None):
+                    y0=0, inv=None, coded=None):
     """One consolidation level: fold n x n groups of 16x16 tiles into a
     (16n)x(16n) CU when the parent RD (with TU-size RDO) beats the sum
     of the children (TPU redesign of consolidate_prediction_info +
@@ -470,6 +470,16 @@ def _quadtree_level(cur_b, pred_sel, mv_flat, level_y,
                               cost_zero)
     maj_ok = ref_uni if ref_pad is not None else uniform
     elig = maj_ok & ~(elig_tile[flat].reshape(g, n * n).any(-1))
+    if coded is not None:
+        # merged CUs straddling the coded bounds cannot be signalled
+        # (implicit boundary splits would re-tile their TBs)
+        s_big2 = 16 * n
+        gpy2 = y0 + (jnp.arange(gh, dtype=jnp.int32)
+                     * s_big2)[:, None]
+        gpx2 = (jnp.arange(gw, dtype=jnp.int32) * s_big2)[None, :]
+        inside = ((gpx2 + s_big2 <= coded[0])
+                  & (gpy2 + s_big2 <= coded[1]))
+        elig = elig & jnp.broadcast_to(inside, (gh, gw)).reshape(-1)
     children = jnp.sum(cost_child[flat].reshape(g, n * n), -1) \
         + lam_g * 1.0
     take = elig & (parent_cost < children)
@@ -541,7 +551,8 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
                          recon_y, cost16, is_intra_blk, qp, lam,
                          bh: int, bw: int, sign_hiding: bool,
                          scaling: bool = False, ref_flat=None,
-                         ref_pad=None, ref_pads=None, y0=0, inv=None):
+                         ref_pad=None, ref_pads=None, y0=0, inv=None,
+                         coded=None):
     """Full bottom-up CU consolidation 16 -> 32 -> 64 with TU RDO.
 
     Returns (mv [bh,bw,2], level_y, recon_y, cbf_y [bh,bw],
@@ -559,7 +570,7 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
      trd32, tidx32) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost16, intra_t, qp, lam, bh, bw, 2, sbh16, sbh32, scaling,
-        ref_flat, ref_pad, ref_pads, y0, inv)
+        ref_flat, ref_pad, ref_pads, y0, inv, coded)
 
     # level 64: with the majority-MV path any ref-uniform, intra-free
     # group is eligible — the parent is evaluated at the 16 tiles'
@@ -570,7 +581,7 @@ def quadtree_consolidate(cur_b, pred_sel, mv, level_y,
      trd64, tidx64) = _quadtree_level(
         cur_b, pred_sel, mv_flat, level_y, recon_y,
         cost32_tile, intra_t, qp, lam, bh, bw, 4, sbh16,
-        sbh32, scaling, ref_flat, ref_pad, ref_pads, y0, inv)
+        sbh32, scaling, ref_flat, ref_pad, ref_pads, y0, inv, coded)
 
     # granule maps
     cu_depth = jnp.full((bh * bw,), 2, jnp.int32)
@@ -800,7 +811,8 @@ _NXN_CAP = 512               # max inter-NxN CUs per P frame (chroma
 
 def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
                          qp, s, bh, bw, h, w, sbh_scan,
-                         scaling=False, rounds: int = 2, inv=None):
+                         scaling=False, rounds: int = 2, inv=None,
+                         geom=None):
     """Luma half of the intra fallback: replace up to _FALLBACK_CAP
     inter CUs per round by intra CUs, over `rounds` batched passes.
 
@@ -872,7 +884,7 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
         buf = buf.at[1:1 + h, 1:1 + w].set(plane_y)
         adi_sel = _substitute_static(
             _gather_adi_blocks(buf, pos_y[sel], pos_x[sel], s),
-            sel, amask, s)
+            sel, amask, s, geom)
         preds = intra.predict_all_modes(adi_sel, s, True)
         cur_sel = cur_b[sel]
         sads = jnp.sum(jnp.abs(preds - cur_sel[:, None]), (-1, -2))
@@ -908,7 +920,7 @@ def _gather_adi_blocks(b, py, px, size):
 
 
 @functools.lru_cache(maxsize=None)
-def _fill_tables_np(amask_key, s: int):
+def _fill_tables_np(amask_key, s: int, geom=None):
     """Static reference-substitution machinery for the fallback blocks:
     (pattern_id [nb] int32, M [npat, 4S+2, 4S+1] f32 fill matrices).
     The availability pattern per block is STATIC (block grid position),
@@ -924,14 +936,28 @@ def _fill_tables_np(amask_key, s: int):
     seg[2, 2 * s] = True
     seg[3, 2 * s + 1:3 * s + 1] = True
     seg[4, 3 * s + 1:] = True
-    pats, inv = np.unique(amask, axis=0, return_inverse=True)
-    av = pats @ seg > 0                            # [npat, n]
+    av_blk = amask @ seg > 0                       # [nb, n]
+    if geom is not None:
+        # clip reference pixels at the CODED picture bounds (the
+        # decoder substitutes samples beyond them, spec 8.4.4.2.2)
+        bw_, step, cwt, cht = geom
+        idx = np.arange(av_blk.shape[0])
+        px = (idx % bw_) * step
+        py = (idx // bw_) * step
+        j = np.arange(n)
+        row = np.where(j < 2 * s, py[:, None] + 2 * s - 1 - j,
+                       py[:, None] - 1)
+        col = np.where(j <= 2 * s, px[:, None] - 1,
+                       px[:, None] + (j - 2 * s - 1))
+        av_blk &= (row < cht) & (col < cwt)
+    pats, inv = np.unique(av_blk, axis=0, return_inverse=True)
+    av = pats                                      # [npat, n]
     pos = np.arange(n)
     ff = np.maximum.accumulate(np.where(av, pos, -1), -1)
     first = av.argmax(-1)
     fidx = np.where(ff >= 0, ff, first[:, None])   # [npat, n]
-    m = np.zeros((pats.shape[0], n + 1, n), np.float32)
-    for p in range(pats.shape[0]):
+    m = np.zeros((av.shape[0], n + 1, n), np.float32)
+    for p in range(av.shape[0]):
         if av[p].any():
             m[p, fidx[p], pos] = 1.0
         else:
@@ -939,13 +965,13 @@ def _fill_tables_np(amask_key, s: int):
     return inv.astype(np.int32), m
 
 
-def _substitute_static(adi, sel, amask, s: int):
+def _substitute_static(adi, sel, amask, s: int, geom=None):
     """substitute_refs with the fill precomputed from the static
     availability mask as per-pattern selection matmuls (one-hot x 0/1 x
     8-bit samples: 1-pass bf16 exact); bit-identical to
     intra.substitute_refs."""
     inv, m = _fill_tables_np(np.ascontiguousarray(
-        amask, dtype=bool).tobytes(), s)
+        amask, dtype=bool).tobytes(), s, geom)
     oh = jax.nn.one_hot(jnp.asarray(inv)[sel], m.shape[0],
                         dtype=jnp.float32)               # [k, npat]
     mb = jnp.einsum("kp,pij->kij", oh, jnp.asarray(m),
@@ -959,7 +985,7 @@ def _substitute_static(adi, sel, amask, s: int):
 
 def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
                            sel, slot, best, amask, qp_c, cs, bh, bw,
-                           h, w, scan, scaling=False):
+                           h, w, scan, scaling=False, geom=None):
     """Chroma (DM) for the fallback blocks, run AFTER the inter chroma
     coding so the ADI neighbours are the final reconstruction (fallback
     neighbourhoods are excluded from CU merging, so those pixels are
@@ -971,7 +997,7 @@ def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
     pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * 2 * cs, bh)
     adi_c = _substitute_static(
         _gather_adi_blocks(cbuf, pos_y[sel] // 2, pos_x[sel] // 2, cs),
-        sel, amask, cs)
+        sel, amask, cs, geom)
     pred_c = intra.predict_single_mode(adi_c, best, cs, False)
     orig_c = _blocks(jnp.asarray(plane_full, jnp.int32), cs)[sel]
     qpc_sel = qp_c[sel] if jnp.ndim(qp_c) > 0 else qp_c
@@ -1000,6 +1026,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    merge_rounds: int = 2, fallback_rounds: int = 2,
                    quadtree_majority: bool = True,
                    inter_nxn: bool = False,
+                   true_size: bool = False,
+                   wpp_substreams: bool = False,
                    axis_name: str = None, n_bands: int = 1):
     """Encode one P frame against one or two references.
 
@@ -1088,6 +1116,32 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     sbh_scan_c = tuple(tables.scan_order(cs, tables.SCAN_DIAG)) \
         if sign_hiding else None
 
+    # true-size coding: the decoder's DPB holds only the CODED
+    # picture and clamps MC reads at its bounds — equivalent to an
+    # edge-replicated pad.  Rebuild every reference plane that way
+    # so prediction matches the decoder bit-exactly; the pad-band
+    # content of previous reconstructions is never referenced.
+    cw8 = ch8 = None
+    if true_size and vis_w is not None:
+        cw8 = (vis_w + 15) // 16 * 16
+        ch8 = (vis_h + 15) // 16 * 16
+        if cw8 == w and ch8 == h:
+            cw8 = ch8 = None
+    if cw8 is not None:
+        def _repad(p, bh_, bw_):
+            p = jnp.asarray(p, jnp.int32)
+            return jnp.pad(p[:bh_, :bw_],
+                           ((0, p.shape[0] - bh_),
+                            (0, p.shape[1] - bw_)), mode="edge")
+        ref_y = _repad(ref_y, ch8, cw8)
+        ref_u = _repad(ref_u, ch8 // 2, cw8 // 2)
+        ref_v = _repad(ref_v, ch8 // 2, cw8 // 2)
+        if ref2_y is not None:
+            ref2_y = _repad(ref2_y, ch8, cw8)
+            ref2_u = _repad(ref2_u, ch8 // 2, cw8 // 2)
+            ref2_v = _repad(ref2_v, ch8 // 2, cw8 // 2)
+    geom_l = None if cw8 is None else (bw, s, cw8, ch8)
+    geom_c = None if cw8 is None else (bw, s // 2, cw8 // 2, ch8 // 2)
     cur = jnp.asarray(y, jnp.int32)
     refy = jnp.asarray(ref_y, jnp.int32)
     lam = tables.rd_lambda(qp, False)
@@ -1217,7 +1271,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
                 h, w, sbh_scan, scaling_lists,
-                rounds=fallback_rounds, inv=inv16)
+                rounds=fallback_rounds, inv=inv16, geom=geom_l)
     elif intra_fallback:
         # banded: the fallback's global top-k selection and its intra
         # reference pixels cross band boundaries, and the stage is a
@@ -1232,7 +1286,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             allg_rows(cur_b), allg_rows(recon_y), allg_rows(level_y),
             allg_rows(cbf_y), allg_rows(pred),
             qtf, s, BH, bw, h, w, sbh_scan, scaling_lists,
-            rounds=fallback_rounds, inv=invf)
+            rounds=fallback_rounds, inv=invf, geom=geom_l)
         recon_y = band_rows(rec_f.reshape(BH, bw, s, s)) \
             .reshape(-1, s, s)
         level_y = band_rows(lvl_f.reshape(BH, bw, s, s)) \
@@ -1433,7 +1487,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 ref_flat=None if not multi_ref else ref_sel.reshape(-1),
                 ref_pad=ref_pad if quadtree_majority else None,
                 ref_pads=ref_pads if quadtree_majority else None,
-                y0=row0, inv=inv16)
+                y0=row0, inv=inv16,
+                coded=None if cw8 is None else (cw8, ch8))
         # split blocks become four 8x8 CUs (depth 3, TU8 leaves)
         cu_depth = jnp.where(nxn16.reshape(bh, bw), 3, cu_depth)
         mv_f = mv.reshape(-1, 2)
@@ -1614,11 +1669,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             recon_u, level_u, cbf_u = _intra_fallback_chroma(
                 recon_u, u, level_u, cbf_u, fb_sel, fb_slot, fb_best,
                 fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
-                scaling_lists)
+                scaling_lists, geom=geom_c)
             recon_v, level_v, cbf_v = _intra_fallback_chroma(
                 recon_v, v, level_v, cbf_v, fb_sel, fb_slot, fb_best,
                 fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
-                scaling_lists)
+                scaling_lists, geom=geom_c)
     elif intra_fallback:
         # banded: replicated like the luma fallback (fb_rounds carry
         # FULL-frame block indices), then slice the band back out
@@ -1632,11 +1687,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             ru_f, lu_f, cu_f = _intra_fallback_chroma(
                 ru_f, u_f, lu_f, cu_f, fb_sel, fb_slot, fb_best,
                 fb_amask, qct_f, cs, BH, bw, h, w, sbh_scan_c,
-                scaling_lists)
+                scaling_lists, geom=geom_c)
             rv_f, lv_f, cv_f = _intra_fallback_chroma(
                 rv_f, v_f, lv_f, cv_f, fb_sel, fb_slot, fb_best,
                 fb_amask, qct_f, cs, BH, bw, h, w, sbh_scan_c,
-                scaling_lists)
+                scaling_lists, geom=geom_c)
         bslc = lambda a: band_rows(a.reshape(BH, bw, cs, cs)) \
             .reshape(-1, cs, cs)
         recon_u, level_u = bslc(ru_f), bslc(lu_f)
@@ -1718,16 +1773,37 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         # the z-scan start of the first cbf-carrying CU.  All maps here
         # are FULL-frame (the decoding-order chain crosses bands).
         cbf_any_g = (cbf_y_full | cbf_u | cbf_v)           # [BH, bw]
-        has_cbf_ctu = cbf_any_g.reshape(
-            ncy, r16, ncx, r16).any((1, 3)).reshape(-1)
-        posc = jnp.arange(ncy * ncx, dtype=jnp.int32)
-        ff = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(has_cbf_ctu, posc, -1))
-        eff = jnp.where(ff >= 0,
-                        qp_map.reshape(-1)[jnp.maximum(ff, 0)], qp)
-        # QP that PRECEDES each CTU (prediction for its leading CUs)
-        prev_eff = jnp.concatenate(
-            [jnp.broadcast_to(qp, (1,)), eff[:-1]])
+        has_cbf_ctu2 = cbf_any_g.reshape(
+            ncy, r16, ncx, r16).any((1, 3))                # [ncy, ncx]
+        if wpp_substreams:
+            # WPP substreams: QpY_prev resets to the slice QP at
+            # each CTU row (spec 8.6.1 with entropy_coding_sync; the
+            # writer's encode_wpp does the same) — the forward-fill
+            # chain runs PER ROW
+            colc = jnp.arange(ncx, dtype=jnp.int32)[None, :]
+            ffr = jax.lax.associative_scan(
+                jnp.maximum,
+                jnp.where(has_cbf_ctu2, colc, -1), axis=1)
+            eff2 = jnp.where(
+                ffr >= 0,
+                jnp.take_along_axis(qp_map, jnp.maximum(ffr, 0), 1),
+                qp)                                        # [ncy, ncx]
+            prev2 = jnp.concatenate(
+                [jnp.broadcast_to(qp, (ncy, 1)), eff2[:, :-1]], 1)
+            eff = eff2.reshape(-1)
+            prev_eff = prev2.reshape(-1)
+        else:
+            has_cbf_ctu = has_cbf_ctu2.reshape(-1)
+            posc = jnp.arange(ncy * ncx, dtype=jnp.int32)
+            ff = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(has_cbf_ctu, posc, -1))
+            eff = jnp.where(ff >= 0,
+                            qp_map.reshape(-1)[jnp.maximum(ff, 0)],
+                            qp)
+            # QP that PRECEDES each CTU (prediction for its leading
+            # CUs)
+            prev_eff = jnp.concatenate(
+                [jnp.broadcast_to(qp, (1,)), eff[:-1]])
         z_np = tables.zscan_of_raster(r16)                 # [r16, r16]
         z_g = jnp.asarray(np.tile(z_np, (ncy, ncx)), jnp.int32)
         cstart = jnp.where(cu_depth == 2, z_g,
@@ -1754,6 +1830,10 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             else None,
             nxn=nxn16.reshape(BH, bw) if inter_nxn else None,
             cbf8=cbf8_y.reshape(2 * BH, 2 * bw) if inter_nxn else None)
+        if cw8 is not None:
+            # no edges at/past the coded picture bounds
+            bs_v = bs_v.at[:, cw8 // 8:].set(0)
+            bs_h = bs_h.at[ch8 // 8:, :].set(0)
         qp_v, qp_h = _edge_qp_maps(qp_g16, h, w, 16)
         # vertical pass: row-local -> band-local (slice the band's rows
         # of the full maps; identity single-device)
@@ -1764,6 +1844,9 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         if intra_fallback:
             # chroma filters only BS==2 edges (intra-adjacent)
             bs_vc, bs_hc = chroma_boundary_strength(ii, s, h // 2, w // 2)
+            if cw8 is not None:
+                bs_vc = bs_vc.at[:, cw8 // 16:].set(0)
+                bs_hc = bs_hc.at[ch8 // 16:, :].set(0)
             qpcv, qpch = _edge_qp_maps_chroma(qp_g16, h, w, 16,
                                               chroma_qp_offset)
             out_u = deblock._chroma_pass(out_u, bs_vc, qpcv)
@@ -1782,7 +1865,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         out_y, out_u, out_v, sao_fields = sao.sao_frame(
             y_full, jnp.asarray(u, jnp.int32),
             jnp.asarray(v, jnp.int32), out_y, out_u, out_v,
-            lam, lam_c, ctu)
+            lam, lam_c, ctu,
+            coded=None if cw8 is None else (ch8, cw8))
 
     out = dict(
         recon_y=out_y, recon_u=out_u, recon_v=out_v,
@@ -1851,7 +1935,7 @@ encode_p_frame_jit = jax.jit(
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
                      "fallback_rounds", "quadtree_majority", "inter_nxn",
-                     "axis_name", "n_bands"))
+                     "true_size", "wpp_substreams", "axis_name", "n_bands"))
 
 
 def encode_p_chunk(ys, us, vs, ref_y, ref_u, ref_v, qp, qp_maps=None,
@@ -1994,7 +2078,8 @@ encode_p_chunk_jit = jax.jit(
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
                      "fallback_rounds", "quadtree_majority", "inter_nxn",
-                     "mesh", "row_axis", "axis_name", "n_bands"))
+                     "true_size", "wpp_substreams", "mesh", "row_axis",
+                     "axis_name", "n_bands"))
 
 
 def encode_p_chunk_packed(buf, ref_y, ref_u, ref_v, *, k, vis_h,
@@ -2032,4 +2117,4 @@ encode_p_chunk_packed_jit = jax.jit(
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
                      "fallback_rounds", "quadtree_majority", "inter_nxn",
-                     "mesh", "row_axis"))
+                     "true_size", "wpp_substreams", "mesh", "row_axis"))

@@ -54,6 +54,27 @@ def _segment_avail_layout(s: int) -> np.ndarray:
     return seg
 
 
+def _pix_masks_np(av5, px, py, s: int, cw: int, ch: int,
+                  chroma: bool = False) -> np.ndarray:
+    """Per-PIXEL ADI availability [..., 4S+1]: z-order segment
+    availability (av5 [..., 5]) clipped at the CODED picture bounds
+    (cw, ch) — the decoder substitutes reference samples outside the
+    coded picture (spec 8.4.4.2.2), which matters once the coded size
+    is smaller than the padded compute planes (code_true_size).
+    px/py: the block's LUMA pixel coords; chroma masks halve them.
+    s: block size in the TARGET plane."""
+    seg = _segment_avail_layout(s)
+    base = (av5.astype(np.int32) @ seg.astype(np.int32)) > 0
+    if chroma:
+        px, py, cw, ch = px // 2, py // 2, cw // 2, ch // 2
+    px = np.asarray(px)[..., None]
+    py = np.asarray(py)[..., None]
+    j = np.arange(4 * s + 1)
+    row = np.where(j < 2 * s, py + 2 * s - 1 - j, py - 1)
+    col = np.where(j <= 2 * s, px - 1, px + (j - 2 * s - 1))
+    return base & (row < ch) & (col < cw)
+
+
 def _avail_mask(seg_av, s: int):
     """[..., 5] segment availability -> [..., 4S+1] pixel mask."""
     layout = jnp.asarray(_segment_avail_layout(s), jnp.int32)
@@ -374,7 +395,8 @@ _SUB_OFF = ((0, 0), (0, 1), (1, 0), (1, 1))     # z-order (qy, qx)
 
 
 @functools.lru_cache(maxsize=None)
-def build_plan(width: int, height: int, ctu: int = 64, tiles=None):
+def build_plan(width: int, height: int, ctu: int = 64, tiles=None,
+               coded=None):
     """Static wavefront plan over 32x32 slots, with per-slot
     sub-16 / sub-8 availability baked in (numpy; jit constants).
     With a (cols, rows) tile grid the dependency chains break at tile
@@ -392,28 +414,48 @@ def build_plan(width: int, height: int, ctu: int = 64, tiles=None):
     valid = by >= 0
     by_c = np.where(valid, by, 0)
     bx_c = np.where(valid, bx, 0)
-    av32 = _avail_np(width, height, 32, ctu, tiles)[by_c, bx_c]
+    cw, ch = coded if coded is not None else (width, height)
+    av32s = _avail_np(width, height, 32, ctu, tiles)[by_c, bx_c]
     av16_g = _avail_np(width, height, 16, ctu, tiles)
     av8_g = _avail_np(width, height, 8, ctu, tiles)
     av4_g = _avail_np(width, height, 4, ctu, tiles)
-    # z-ordered sub-block availability per slot
-    av16 = np.zeros((n_steps, nb, 4, 5), dtype=bool)
-    av8 = np.zeros((n_steps, nb, 4, 4, 5), dtype=bool)
-    av4 = np.zeros((n_steps, nb, 4, 4, 4, 5), dtype=bool)
+    px32, py32 = 32 * bx_c, 32 * by_c
+    av32 = _pix_masks_np(av32s, px32, py32, 32, cw, ch)
+    av32c = _pix_masks_np(av32s, px32, py32, 16, cw, ch, chroma=True)
+    # z-ordered sub-block PER-PIXEL availability per slot
+    av16 = np.zeros((n_steps, nb, 4, 65), dtype=bool)
+    av16c = np.zeros((n_steps, nb, 4, 33), dtype=bool)
+    av8 = np.zeros((n_steps, nb, 4, 4, 33), dtype=bool)
+    av8c = np.zeros((n_steps, nb, 4, 4, 17), dtype=bool)
+    av4 = np.zeros((n_steps, nb, 4, 4, 4, 17), dtype=bool)
     for k16, (qy, qx) in enumerate(_SUB_OFF):
-        av16[:, :, k16] = av16_g[2 * by_c + qy, 2 * bx_c + qx]
+        p16x, p16y = px32 + 16 * qx, py32 + 16 * qy
+        a = av16_g[2 * by_c + qy, 2 * bx_c + qx]
+        av16[:, :, k16] = _pix_masks_np(a, p16x, p16y, 16, cw, ch)
+        av16c[:, :, k16] = _pix_masks_np(a, p16x, p16y, 8, cw, ch,
+                                         chroma=True)
         for k8, (ry, rx) in enumerate(_SUB_OFF):
-            av8[:, :, k16, k8] = av8_g[4 * by_c + 2 * qy + ry,
-                                       4 * bx_c + 2 * qx + rx]
+            p8x, p8y = p16x + 8 * rx, p16y + 8 * ry
+            a = av8_g[4 * by_c + 2 * qy + ry, 4 * bx_c + 2 * qx + rx]
+            av8[:, :, k16, k8] = _pix_masks_np(a, p8x, p8y, 8, cw, ch)
+            av8c[:, :, k16, k8] = _pix_masks_np(a, p8x, p8y, 4, cw,
+                                                ch, chroma=True)
             for k4, (ty, tx) in enumerate(_SUB_OFF):
-                av4[:, :, k16, k8, k4] = av4_g[
-                    8 * by_c + 4 * qy + 2 * ry + ty,
-                    8 * bx_c + 4 * qx + 2 * rx + tx]
+                a = av4_g[8 * by_c + 4 * qy + 2 * ry + ty,
+                          8 * bx_c + 4 * qx + 2 * rx + tx]
+                av4[:, :, k16, k8, k4] = _pix_masks_np(
+                    a, p8x + 4 * tx, p8y + 4 * ty, 4, cw, ch)
+    # 32-slots that straddle the coded bounds cannot be committed as
+    # 32-CUs (a straddling CU's TB32 does not decompose into the
+    # implicit-split children's TB16s) — the wavefront forces the
+    # children there
+    force32 = (px32 + 32 > cw) | (py32 + 32 > ch)
     return dict(
         n_steps=n_steps, nb=nb,
         by=np.asarray(by_c, np.int32), bx=np.asarray(bx_c, np.int32),
-        valid=np.asarray(valid), av32=np.asarray(av32),
-        av16=av16, av8=av8, av4=av4,
+        valid=np.asarray(valid), av32=np.asarray(av32), av32c=av32c,
+        av16=av16, av16c=av16c, av8=av8, av8c=av8c, av4=av4,
+        force32=force32,
     )
 
 
@@ -443,7 +485,9 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                  cu: int = None, split_8x8: bool = None,
                  dec_y=None, dec_u=None, dec_v=None,
                  search_nxn: bool = False, tiles=None,
-                 rd_refine: bool = False, tu_split: bool = False):
+                 rd_refine: bool = False, tu_split: bool = False,
+                 vis_h: int = None, vis_w: int = None,
+                 true_size: bool = False):
     """Encode one all-intra frame; planes uint8, CTU-padded.
 
     Returns dict of device arrays (FrameRecord fields).  `cu` and
@@ -455,7 +499,15 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     if split_8x8 is not None:
         search_8x8 = split_8x8
     h, w = y.shape
-    plan = build_plan(w, h, ctu, tiles)
+    # coded picture bounds (true-size coding: the decoder treats
+    # samples beyond them as unavailable; identity when the coded
+    # pic equals the padded planes)
+    if true_size and vis_w is not None:
+        cw8 = (vis_w + 15) // 16 * 16
+        ch8 = (vis_h + 15) // 16 * 16
+    else:
+        cw8, ch8 = w, h
+    plan = build_plan(w, h, ctu, tiles, coded=(cw8, ch8))
     qp = jnp.asarray(qp, jnp.int32)   # traced (per-frame rate control)
     qp_c = jnp.asarray(tables.CHROMA_QP_TABLE)[
         jnp.clip(qp + chroma_qp_offset, 0, 57)]
@@ -500,7 +552,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     def step(carry, inp):
         (rec_y, rec_u, rec_v, cf_y, cf_u, cf_v, modes8_map,
          cmodes8_map, cbf8_map, depth_map, nxn8_map, pu4_map) = carry
-        by, bx, valid, av32, av16, av8, av4 = inp
+        (by, bx, valid, av32, av32c, av16, av16c, av8, av8c,
+         av4, force32) = inp
         nb = by.shape[0]
         y0 = by * 32
         x0 = bx * 32
@@ -518,7 +571,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
         adi32 = intra.substitute_refs(
             jax.vmap(lambda yy, xx: g_adi(rec_y, yy, xx, 32))(y0, x0),
-            _avail_mask(av32, 32))
+            av32)
         if rd_refine:
             # full-RD mode refinement over the SATD top-K (role of the
             # reference's loop-3 candidate RD, hmr_motion_intra.c:1226):
@@ -622,11 +675,11 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
         def sub16_body(carry, xk):
             patch, lvl_ch, cost_children = carry
-            (off, av16_k, av8_k, av4_k, m16, m8_k, m4_k, m16k,
-             mb16k, cm8_k) = xk
+            (off, av16_k, av8_k, av4_k, m16, m8_k, m4_k,
+             m16k, mb16k, cm8_k) = xk
             oy, ox = off[0], off[1]
             adi16 = intra.substitute_refs(
-                _patch_adi(patch, oy, ox, 16), _avail_mask(av16_k, 16))
+                _patch_adi(patch, oy, ox, 16), av16_k)
             o16 = jax.lax.dynamic_slice(orig32, (0, oy, ox),
                                         (nb, 16, 16))
             if rd_refine:
@@ -675,8 +728,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                     off8, av8_kk, av4_kk, m8, m4s, cm8 = x8
                     o8y, o8x = oy + off8[0], ox + off8[1]
                     adi8 = intra.substitute_refs(
-                        _patch_adi(patch8, o8y, o8x, 8),
-                        _avail_mask(av8_kk, 8))
+                        _patch_adi(patch8, o8y, o8x, 8), av8_kk)
                     o8 = jax.lax.dynamic_slice(orig32, (0, o8y, o8x),
                                                (nb, 8, 8))
                     if tu_split:
@@ -741,7 +793,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                             o4x = o8x + 4 * tx
                             adi4 = intra.substitute_refs(
                                 _patch_adi(p4, o4y, o4x, 4),
-                                _avail_mask(av4_kk[:, k4], 4))
+                                av4_kk[:, k4])
                             m4v = m4s[k4]
                             pr4 = intra.predict_single_mode(
                                 adi4, m4v, 4, True)
@@ -865,7 +917,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             .astype(jnp.float32) + lamf * (
                 rdbits.residual_bits(lvl32, 32, qp=qp)
                 + _CU_HDR_BITS)
-        sp32 = cost_children < cost32
+        sp32 = (cost_children < cost32) | force32
         sp32m = sp32[:, None, None]
         recon = jnp.where(sp32m, rec_children, rec32)
         level = jnp.where(sp32m, lvl_ch, lvl32)
@@ -902,7 +954,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
             adi_c = intra.substitute_refs(
                 jax.vmap(lambda yy, xx: g_adi(rec_p, yy, xx, 16))(
                     cy0, cx0),
-                _avail_mask(av32, 16))
+                av32c)
             pr_c16 = intra.predict_single_mode(adi_c, cm32, 16, False)
             lc16, rc16, cc16 = _tq_recon(orig_c, pr_c16, 16, qp_c,
                                          lam_rd_c,
@@ -917,11 +969,10 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
             def csub16_body(carry, xk):
                 cpatch, lv_ch = carry
-                off, av16_k, av8_k, m16, m8_k, sp16 = xk
+                off, av16c_k, av8c_k, m16, m8_k, sp16 = xk
                 oy, ox = off[0], off[1]
                 adi8 = intra.substitute_refs(
-                    _patch_adi(cpatch, oy, ox, 8),
-                    _avail_mask(av16_k, 8))
+                    _patch_adi(cpatch, oy, ox, 8), av16c_k)
                 pr8 = intra.predict_single_mode(adi8, m16, 8, False)
                 o8 = jax.lax.dynamic_slice(orig_c, (0, oy, ox),
                                            (nb, 8, 8))
@@ -938,7 +989,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                         o4y, o4x = oy + off4[0], ox + off4[1]
                         adi4 = intra.substitute_refs(
                             _patch_adi(cpatch4, o4y, o4x, 4),
-                            _avail_mask(av8_kk, 4))
+                            av8_kk)
                         pr4 = intra.predict_single_mode(adi4, m8, 4,
                                                         False)
                         o4 = jax.lax.dynamic_slice(
@@ -956,7 +1007,7 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
                     (cpatch4, l4s), cbf4_y = jax.lax.scan(
                         csub8_body,
                         (cpatch, jnp.zeros((nb, 8, 8), jnp.int32)),
-                        (coffs4, av8_k, m8_k))
+                        (coffs4, av8c_k, m8_k))
                     r4q = jax.lax.dynamic_slice(
                         cpatch4, (0, oy + 1, ox + 1), (nb, 8, 8))
                     spm = sp16[:, None, None]
@@ -975,8 +1026,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
             (cpatch, lv_ch), cbf_y4 = jax.lax.scan(
                 csub16_body, (cpatch, lv_ch0),
-                (coffs, jnp.moveaxis(av16, 1, 0),
-                 jnp.moveaxis(av8, 1, 0).swapaxes(1, 2),
+                (coffs, jnp.moveaxis(av16c, 1, 0),
+                 jnp.moveaxis(av8c, 1, 0).swapaxes(1, 2),
                  cm16_all, cm8_eff, sp16_sel))
             rc_children = cpatch[:, 1:17, 1:17]
             spm32 = sp32[:, None, None]
@@ -1052,8 +1103,10 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
 
     xs = (jnp.asarray(plan["by"]), jnp.asarray(plan["bx"]),
           jnp.asarray(plan["valid"]), jnp.asarray(plan["av32"]),
-          jnp.asarray(plan["av16"]), jnp.asarray(plan["av8"]),
-          jnp.asarray(plan["av4"]))
+          jnp.asarray(plan["av32c"]), jnp.asarray(plan["av16"]),
+          jnp.asarray(plan["av16c"]), jnp.asarray(plan["av8"]),
+          jnp.asarray(plan["av8c"]), jnp.asarray(plan["av4"]),
+          jnp.asarray(plan["force32"]))
     carry0 = (recon_y0, recon_u0, recon_v0, coeff_y0, coeff_u0,
               coeff_v0, modes8_0, cmodes8_0, cbf8_0, depth0, nxn8_0,
               pu4_0)
@@ -1077,9 +1130,18 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
         # boundaries follow the chosen tree (32 TBs switch interior
         # edges OFF, 8x8 splits switch them on)
         bs_v, bs_h = _intra_bs_from_tree(depth_map, h, w)
+        if cw8 < w or ch8 < h:
+            # no edges at/past the coded picture bounds (the decoder
+            # has no Q side there; filtering would touch visible P
+            # pixels)
+            bs_v = bs_v.at[:, cw8 // 8:].set(0)
+            bs_h = bs_h.at[ch8 // 8:, :].set(0)
         out_y = deblock.deblock_luma(out_y, bs_v, bs_h, qp)
         bs_vc, bs_hc = _intra_bs_chroma_from_tree(depth_map, h // 2,
                                                   w // 2)
+        if cw8 < w or ch8 < h:
+            bs_vc = bs_vc.at[:, cw8 // 16:].set(0)
+            bs_hc = bs_hc.at[ch8 // 16:, :].set(0)
         out_u = deblock.deblock_chroma(out_u, bs_vc, bs_hc, qp_c)
         out_v = deblock.deblock_chroma(out_v, bs_vc, bs_hc, qp_c)
 
@@ -1087,7 +1149,8 @@ def encode_frame(y, u, v, qp: int, ctu: int = 64,
     if sao_enabled:
         out_y, out_u, out_v, sao_fields = sao.sao_frame(
             y32, u32, v32, out_y, out_u, out_v, lamf, lamcf, ctu,
-            tiles=tiles)
+            tiles=tiles,
+            coded=(ch8, cw8) if (cw8 < w or ch8 < h) else None)
 
     out = dict(
         recon_y=out_y,
@@ -1201,7 +1264,8 @@ encode_frame_jit = jax.jit(
                                    "sao_enabled", "search_8x8",
                                    "chroma_qp_offset", "scaling_lists",
                                    "cu", "split_8x8", "search_nxn",
-                                   "tiles", "rd_refine", "tu_split"))
+                                   "tiles", "rd_refine", "tu_split",
+                                   "vis_h", "vis_w", "true_size"))
 
 
 def encode_i_chunk(ys, us, vs, qp, **flags):
@@ -1220,7 +1284,9 @@ encode_i_chunk_jit = jax.jit(
                                      "chroma_qp_offset",
                                      "scaling_lists", "cu", "split_8x8",
                                      "search_nxn", "tiles",
-                                     "rd_refine", "tu_split"))
+                                     "rd_refine", "tu_split",
+                                     "vis_h", "vis_w",
+                                     "true_size"))
 
 
 def encode_i_chunk_sharded(ys, us, vs, qp, *, mesh, axis="gop",
@@ -1246,4 +1312,5 @@ encode_i_chunk_sharded_jit = jax.jit(
                      "rd_lambda_scale", "deblocking", "sao_enabled",
                      "search_8x8", "chroma_qp_offset", "scaling_lists",
                      "cu", "split_8x8", "search_nxn", "tiles",
-                     "rd_refine", "tu_split"))
+                     "rd_refine", "tu_split", "vis_h", "vis_w",
+                     "true_size"))

@@ -39,13 +39,16 @@ def _shift(p, dy, dx):
     return jnp.roll(p, (-dy, -dx), (0, 1))
 
 
-def eo_class_maps(rec: jnp.ndarray):
+def eo_class_maps(rec: jnp.ndarray, bounds=None):
     """Per-pixel mapped edge categories for the 4 EO types.
 
     Returns (cls [4, H, W] int32 in 0..4 (0 = no offset), valid
     [4, H, W] bool — False where a needed neighbor is outside the
-    picture; those pixels are never modified (spec 8.7.3))."""
+    picture; those pixels are never modified (spec 8.7.3)).
+    `bounds` (bh, bw): the CODED picture bounds when smaller than
+    the compute plane (code_true_size)."""
     h, w = rec.shape
+    bh, bw = bounds if bounds is not None else (h, w)
     yy, xx = jnp.mgrid[0:h, 0:w]
     cls_all, valid_all = [], []
     for (ady, adx, bdy, bdx) in _EO_NEIGHBORS:
@@ -54,9 +57,9 @@ def eo_class_maps(rec: jnp.ndarray):
         raw = 2 + jnp.sign(rec - a) + jnp.sign(rec - b)
         mapped = jnp.where(raw == 2, 0,
                            jnp.where(raw < 2, raw + 1, raw))
-        ok = ((yy + ady >= 0) & (yy + ady < h) & (xx + adx >= 0)
-              & (xx + adx < w) & (yy + bdy >= 0) & (yy + bdy < h)
-              & (xx + bdx >= 0) & (xx + bdx < w))
+        ok = ((yy + ady >= 0) & (yy + ady < bh) & (xx + adx >= 0)
+              & (xx + adx < bw) & (yy + bdy >= 0) & (yy + bdy < bh)
+              & (xx + bdx >= 0) & (xx + bdx < bw))
         cls_all.append(mapped.astype(jnp.int32))
         valid_all.append(ok)
     return jnp.stack(cls_all), jnp.stack(valid_all)
@@ -88,14 +91,15 @@ def _ctu_sum(x: jnp.ndarray, ctb: int):
                       precision=jax.lax.Precision.HIGH).astype(jnp.int32)
 
 
-def sao_stats(org: jnp.ndarray, rec: jnp.ndarray, ctb: int):
+def sao_stats(org: jnp.ndarray, rec: jnp.ndarray, ctb: int,
+              bounds=None):
     """Per-CTU statistics. Returns (eo_diff, eo_cnt [4, 5, by, bx],
     bo_diff, bo_cnt [32, by, bx]) plus the cached class maps.
 
     One-hot batched with the category/band axis LEADING (a trailing
     one-hot axis put the tiny channel dim in lanes — slow), reduced by
     the GEMM pooling of _ctu_sum."""
-    cls, valid = eo_class_maps(rec)
+    cls, valid = eo_class_maps(rec, bounds)
     diff = (org - rec).astype(jnp.int32)
     cats = jnp.arange(5, dtype=jnp.int32)
     oh = ((cls[None] == cats[:, None, None, None]) & valid[None]) \
@@ -347,10 +351,12 @@ def merge_adopt_rdo(stats_y, stats_cb, stats_cr, expl, expl_cost,
     return fin
 
 
-def sao_component(org, rec, ctb: int, lam, secondary: bool = False):
+def sao_component(org, rec, ctb: int, lam, secondary: bool = False,
+                  bounds=None):
     """Stats -> params for one plane;
     returns (params, stats, cls, valid)."""
-    eo_d, eo_c, bo_d, bo_c, cls, valid = sao_stats(org, rec, ctb)
+    eo_d, eo_c, bo_d, bo_c, cls, valid = sao_stats(org, rec, ctb,
+                                                   bounds)
     st = (eo_d, eo_c, bo_d, bo_c)
     return derive_params(st, lam, secondary), st, cls, valid
 
@@ -374,7 +380,7 @@ def _avail_lu_np(by: int, bx: int, tiles):
 
 def sao_frame(org_y, org_u, org_v, rec_y, rec_u, rec_v,
               lam_y: float, lam_c: float, ctu: int = 64,
-              tiles=None, merge_rdo: bool = True):
+              tiles=None, merge_rdo: bool = True, coded=None):
     """Full-frame SAO encode: decide + apply for Y/Cb/Cr.
 
     Returns (new_y, new_u, new_v, sao_fields) where sao_fields is a
@@ -383,13 +389,18 @@ def sao_frame(org_y, org_u, org_v, rec_y, rec_u, rec_v,
     chroma shares its type idx between Cb and Cr).  With merge_rdo a
     CTU may adopt its left neighbour's params when RD-cheaper (merge
     flags are then emitted by the host coincidence pass)."""
+    by = bc = None
+    if coded is not None:
+        by = (coded[0], coded[1])
+        bc = (coded[0] // 2, coded[1] // 2)
     py, sy, cy, vy = sao_component(org_y.astype(jnp.int32), rec_y, ctu,
-                                   jnp.float32(lam_y))
+                                   jnp.float32(lam_y), bounds=by)
     pcb, scb, ccb, vcb = sao_component(org_u.astype(jnp.int32), rec_u,
-                                       ctu // 2, jnp.float32(lam_c))
+                                       ctu // 2, jnp.float32(lam_c),
+                                       bounds=bc)
     pcr, scr, ccr, vcr = sao_component(org_v.astype(jnp.int32), rec_v,
                                        ctu // 2, jnp.float32(lam_c),
-                                       secondary=True)
+                                       secondary=True, bounds=bc)
     t_y, off_y, bp_y, cost_y = select_luma(py)
     t_c, off_cb, off_cr, bp_cb, bp_cr, cost_c = select_chroma(pcb, pcr)
     if merge_rdo and t_y.size > 1:
