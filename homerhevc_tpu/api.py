@@ -786,10 +786,15 @@ class Encoder:
             # small-tier overflow: one extra pull of this frame's full
             # tier (graceful; content-dependent, rare at normal QPs)
             cap_y, cap_c, esc_y, esc_c = p_caps(nb)
-            pf = pend["out"]["packed_full"]
+            # ONE pull for the whole chunk's full tier, cached on the
+            # SHARED out dict (per-frame pends are copies; per-frame
+            # pulls cost a tunnel round trip each)
+            if "_pf_host" not in pend["out"]:
+                pend["out"]["_pf_host"] = np.asarray(
+                    pend["out"]["packed_full"])
+            pf = pend["out"]["_pf_host"]
             if pf.ndim == 2:
                 pf = pf[pend["k"]]
-            pf = np.asarray(pf)
             sz_y = packing.compact_i8_size(cap_y, 16, esc_y)
             sz_c = packing.compact_i8_size(cap_c, 8, esc_c)
             if blk_y is None:

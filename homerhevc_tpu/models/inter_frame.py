@@ -626,11 +626,16 @@ def _even(x: int, nb: int) -> int:
 def p_caps(nb: int):
     """Full-tier compaction capacities: (luma blocks, chroma blocks,
     luma escape BLOCKS, chroma escape BLOCKS); block caps must be even
-    (int8 row-pairing)."""
-    cap_y = _even(min(nb, max(64, nb * 60 // 100)), nb)
-    cap_c = _even(min(nb, max(32, nb * 35 // 100)), nb)
-    return cap_y, cap_c, min(cap_y, max(16, nb // 64)), \
-        min(cap_c, max(8, nb // 128))
+    (int8 row-pairing).  The full tier lives in HBM and ships only on
+    small-tier overflow, so its block caps are 100% — dense (hostile)
+    content must not fall through to per-plane raw pulls, which cost
+    a tunnel round trip each (measured 500+ ms/chunk).  Escapes
+    (|level| > 127) keep a bounded cap; the raw-plane fallback remains
+    the ultimate safety."""
+    cap_y = _even(nb, nb)
+    cap_c = _even(nb, nb)
+    return cap_y, cap_c, min(cap_y, max(64, nb // 4)), \
+        min(cap_c, max(32, nb // 8))
 
 
 def p_caps_small(nb: int):
