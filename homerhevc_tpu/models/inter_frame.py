@@ -1351,6 +1351,21 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     nxn16 = jnp.zeros((nb,), bool)
     mv8_pu = None
     cbf8q = None
+    # intra-fallback dilation (8-neighbourhood): blocks whose recon the
+    # fallback's ADI may have read must NOT be re-coded by any later
+    # stage (split8/quadtree) — the decoder reconstructs the intra
+    # block from the FINAL neighbours (also feeds qt_excl below)
+    ig_full = (is_intra_blk.reshape(bh, bw) if ax is None
+               else allg_rows(is_intra_blk.reshape(bh, bw))) \
+        .astype(bool)
+    gh_f = ig_full.shape[0]
+    pad_i = jnp.pad(ig_full, 1)
+    dil_full = jnp.zeros_like(ig_full)
+    for ddy in (-1, 0, 1):
+        for ddx in (-1, 0, 1):
+            dil_full = dil_full | pad_i[1 + ddy:1 + ddy + gh_f,
+                                        1 + ddx:1 + ddx + bw]
+    dil = band_rows(dil_full)
     if inter_nxn:
         with jax.named_scope("inter_split8"):
             r8 = 3
@@ -1366,7 +1381,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
             # own members (<= cap slots).
             resid16 = jnp.sum(jnp.abs(cur_b - pred_sel),
                               (-1, -2)).astype(jnp.float32)
-            elig = (is_intra_blk == 0)
+            elig = (is_intra_blk == 0) & ~dil.reshape(-1)
             if inv16 is not None:
                 elig = elig & ~inv16
             key_band = jnp.where(elig, resid16, -1.0)
@@ -1469,20 +1484,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     # excluded so the fallback's intra reference pixels stay exactly
     # what the decoder reconstructs; NxN CUs are leaves by definition.
     with jax.named_scope("quadtree"):
-        # the 8-neighbour dilation crosses band boundaries: compute it
-        # on the full grid and slice the band back (identity when
-        # single-device)
-        ig_full = (is_intra_blk.reshape(bh, bw) if ax is None
-                   else allg_rows(is_intra_blk.reshape(bh, bw))) \
-            .astype(bool)
-        gh = ig_full.shape[0]
-        pad_i = jnp.pad(ig_full, 1)
-        dil_full = jnp.zeros_like(ig_full)
-        for ddy in (-1, 0, 1):
-            for ddx in (-1, 0, 1):
-                dil_full = dil_full | pad_i[1 + ddy:1 + ddy + gh,
-                                            1 + ddx:1 + ddx + bw]
-        dil = band_rows(dil_full)
+        # (dilation computed above, before split8)
         qt_excl = dil.reshape(-1) | nxn16
         (mv, level_y, recon_y, cbf_y, cu_depth, tr_depth, chroma16) = \
             quadtree_consolidate(

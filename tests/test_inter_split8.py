@@ -101,3 +101,32 @@ def test_split8_row_sharded_bit_transparent():
         return out
 
     assert run(2) == run(1)
+
+
+def test_split8_fallback_adjacency_qp12_noise():
+    """Regression: the 8x8-split stage must not re-code blocks whose
+    reconstruction the intra fallback's ADI already read (found as a
+    +-1 deblock-region mismatch at QP12 pure noise — split8 ran after
+    the fallback and changed its neighbours)."""
+    import numpy as np
+    from homerhevc_tpu.api import Encoder
+    from homerhevc_tpu.config import EncoderConfig
+    from tools import de265
+    rng = np.random.default_rng(3)
+    w, h = 192, 128
+    frames = [(rng.integers(0, 256, (h, w)).astype(np.uint8),
+               rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8),
+               rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8))
+              for _ in range(3)]
+    cfg = EncoderConfig(width=w, height=h, qp=12, intra_period=100,
+                        deblocking=True, sao=True, sign_hiding=True)
+    enc = Encoder(cfg)
+    stream, frs = b"", []
+    for f in frames:
+        fr = enc.encode(*f)
+        frs.append(fr)
+        stream += fr.nalus
+    dec = de265.decode(stream)
+    for i in range(3):
+        for d, r in zip(dec[i], frs[i].recon):
+            np.testing.assert_array_equal(np.asarray(d), r)
