@@ -817,7 +817,7 @@ _NXN_CAP = 512               # max inter-NxN CUs per P frame (chroma
 def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
                          qp, s, bh, bw, h, w, sbh_scan,
                          scaling=False, rounds: int = 2, inv=None,
-                         geom=None):
+                         geom=None, serial: int = 0):
     """Luma half of the intra fallback: replace up to _FALLBACK_CAP
     inter CUs per round by intra CUs, over `rounds` batched passes.
 
@@ -910,8 +910,92 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
         is_intra_blk = is_intra_blk.at[slot].set(1, mode="drop")
         intra_modes = intra_modes.at[slot].set(best, mode="drop")
         rounds_out.append((sel, slot, best))
+
+    # ---- SERIAL pass: contiguous candidate regions (pan-entry strips,
+    # uncovered bands) deadlock the isolation rule — no block is free
+    # of pending neighbours.  Commit up to `serial` remaining
+    # candidates ONE BY ONE in CODING order (CTU raster + z), chaining
+    # the reconstruction like the decoder does; a lax.cond skips the
+    # scan when no candidates remain (the common fold-friendly case).
+    serial_out = None
+    if serial > 0:
+        cap_s = min(serial, nb)
+        plane_y = _unblocks(recon_y, h, w)
+        pp = jnp.pad(plane_y, ((1, 0), (1, 0)), mode="edge")
+        top_sum = pp[0:h:s, 1:1 + w].reshape(bh, bw, s).sum(-1)
+        left_sum = pp[1:1 + h, 0:w:s].reshape(bh, s, bw).sum(1)
+        dc = ((top_sum + left_sum + s) // (2 * s)).reshape(nb)
+        dc_sad = jnp.sum(jnp.abs(cur_b - dc[:, None, None]), (-1, -2))
+        cand = (dc_sad.astype(jnp.float32) < 0.75 * inter_sad) \
+            & (is_intra_blk == 0)
+        if inv is not None:
+            cand = cand & ~inv
+        # blocks whose recon an already-committed intra block's ADI may
+        # have read must stay inter (8-neighbourhood of committed)
+        ig = is_intra_blk.reshape(bh, bw).astype(bool)
+        padg = jnp.pad(ig, 1)
+        nei = jnp.zeros_like(ig)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nei = nei | padg[1 + dy:1 + dy + bh, 1 + dx:1 + dx + bw]
+        cand = cand & ~nei.reshape(nb)
+        gain = jnp.where(cand, inter_sad - dc_sad, -1)
+        gv, sel0 = jax.lax.top_k(gain, cap_s)
+        ok0 = gv > 0
+        order = jnp.asarray(np.asarray(
+            schedule.coding_order(bw, bh, 64 // s), np.int32)
+            .reshape(-1))
+        rank = jnp.where(ok0, order[sel0], jnp.int32(1 << 30))
+        perm = jnp.argsort(rank)
+        sel_s = sel0[perm]
+        ok_s = ok0[perm]
+        buf0 = jnp.zeros((1 + h + s, 1 + w + s), jnp.int32) \
+            .at[1:1 + h, 1:1 + w].set(plane_y)
+
+        def sstep(carry, x):
+            buf, r_y, l_y, cbfl, isb, im = carry
+            sl, okk = x
+            py = pos_y[sl]
+            px = pos_x[sl]
+            win = jax.lax.dynamic_slice(buf, (py, px),
+                                        (2 * s + 1, 2 * s + 1))
+            adi = jnp.concatenate(
+                [jnp.flip(win[1:2 * s + 1, 0]), win[0, :]])[None]
+            adi = _substitute_static(adi, sl[None], amask, s, geom)
+            preds = intra.predict_all_modes(adi, s, True)[0]
+            cur1 = cur_b[sl]
+            sads = jnp.sum(jnp.abs(preds - cur1[None]), (-1, -2))
+            bst = jnp.argmin(sads).astype(jnp.int32)
+            pred1 = preds[bst]
+            qp1 = qp[sl] if jnp.ndim(qp) > 0 else qp
+            lvl1, rr1 = _tq(cur1[None] - pred1[None], s, qp1, True,
+                            sbh_scan, scaling)
+            rec1 = jnp.clip(pred1[None] + rr1, 0, 255)
+            slot1 = jnp.where(okk, sl, nb)
+            r_y = r_y.at[slot1].set(rec1[0], mode="drop")
+            l_y = l_y.at[slot1].set(lvl1[0], mode="drop")
+            cbfl = cbfl.at[slot1].set(jnp.any(lvl1 != 0), mode="drop")
+            isb = isb.at[slot1].set(1, mode="drop")
+            im = im.at[slot1].set(bst, mode="drop")
+            newbuf = jax.lax.dynamic_update_slice(
+                buf, rec1[0], (1 + py, 1 + px))
+            buf = jnp.where(okk, newbuf, buf)
+            return (buf, r_y, l_y, cbfl, isb, im), None
+
+        def run(c):
+            out, _ = jax.lax.scan(sstep, c, (sel_s, ok_s))
+            return out
+
+        carry0 = (buf0, recon_y, level_y, cbf_y.reshape(-1),
+                  is_intra_blk, intra_modes)
+        (_, recon_y, level_y, cbf_flat, is_intra_blk, intra_modes) = \
+            jax.lax.cond(ok_s.any(), run, lambda c: c, carry0)
+        cbf_y = cbf_flat.reshape(bh, bw)
+        slot_s = jnp.where(ok_s, sel_s, nb)
+        best_s = intra_modes[jnp.clip(sel_s, 0, nb - 1)]
+        serial_out = (sel_s, slot_s, best_s, ok_s)
     return (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
-            cand_count, rounds_out, amask)
+            cand_count, rounds_out, amask, serial_out)
 
 def _gather_adi_blocks(b, py, px, size):
     """ADI L-shapes for k blocks: ONE (2S+1)-square window gather per
@@ -1016,6 +1100,56 @@ def _intra_fallback_chroma(plane_blocks, plane_full, level_c, cbf_c,
     return plane_blocks, level_c, cbf_c
 
 
+def _intra_fallback_chroma_serial(plane_blocks, plane_full, level_c,
+                                  cbf_c, serial_out, amask, qp_c, cs,
+                                  bh, bw, h, w, scan, scaling=False,
+                                  geom=None):
+    """Chroma (DM) for the SERIAL fallback blocks: one lax.scan in the
+    same coding order, chaining the chroma reconstruction (the serial
+    blocks may be mutually adjacent, unlike the isolated rounds)."""
+    sel_s, slot_s, best_s, ok_s = serial_out
+    nb = bh * bw
+    pfull = _unblocks(plane_blocks, h // 2, w // 2)
+    cbuf0 = jnp.zeros((1 + h // 2 + cs, 1 + w // 2 + cs), jnp.int32) \
+        .at[1:1 + h // 2, 1:1 + w // 2].set(pfull)
+    pos_y = jnp.repeat(jnp.arange(bh, dtype=jnp.int32) * cs, bw)
+    pos_x = jnp.tile(jnp.arange(bw, dtype=jnp.int32) * cs, bh)
+    orig_b = _blocks(jnp.asarray(plane_full, jnp.int32), cs)
+
+    def cstep(carry, x):
+        cbuf, pb, lc, cc = carry
+        sl, slot1, bst, okk = x
+        cpy = pos_y[sl]
+        cpx = pos_x[sl]
+        win = jax.lax.dynamic_slice(cbuf, (cpy, cpx),
+                                    (2 * cs + 1, 2 * cs + 1))
+        adi = jnp.concatenate(
+            [jnp.flip(win[1:2 * cs + 1, 0]), win[0, :]])[None]
+        adi = _substitute_static(adi, sl[None], amask, cs, geom)
+        pred1 = intra.predict_single_mode(adi, bst[None], cs, False)[0]
+        orig1 = orig_b[sl]
+        qp1 = qp_c[sl] if jnp.ndim(qp_c) > 0 else qp_c
+        lvl1, rr1 = _tq(orig1[None] - pred1[None], cs, qp1, True,
+                        scan, scaling)
+        rec1 = jnp.clip(pred1[None] + rr1, 0, 255)
+        pb = pb.at[slot1].set(rec1[0], mode="drop")
+        lc = lc.at[slot1].set(lvl1[0], mode="drop")
+        cc = cc.at[slot1].set(jnp.any(lvl1 != 0), mode="drop")
+        newbuf = jax.lax.dynamic_update_slice(
+            cbuf, rec1[0], (1 + cpy, 1 + cpx))
+        cbuf = jnp.where(okk, newbuf, cbuf)
+        return (cbuf, pb, lc, cc), None
+
+    def run(c):
+        out, _ = jax.lax.scan(cstep, c, (sel_s, slot_s, best_s, ok_s))
+        return out
+
+    carry0 = (cbuf0, plane_blocks, level_c, cbf_c.reshape(-1))
+    (_, plane_blocks, level_c, cbf_flat) = jax.lax.cond(
+        ok_s.any(), run, lambda c: c, carry0)
+    return plane_blocks, level_c, cbf_flat.reshape(bh, bw)
+
+
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    sign_hiding: bool = False, deblocking: bool = False,
                    sao_enabled: bool = False, ctu: int = 64,
@@ -1029,6 +1163,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
                    vis_h: int = None, vis_w: int = None,
                    merge_rounds: int = 2, fallback_rounds: int = 2,
+                   fallback_serial: int = 32,
                    quadtree_majority: bool = True,
                    inter_nxn: bool = False,
                    true_size: bool = False,
@@ -1272,11 +1407,12 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
     cand_count = jnp.int32(0)
     if intra_fallback and ax is None:
         (recon_y, level_y, cbf_y, is_intra_blk, intra_modes,
-         cand_count, fb_rounds, fb_amask) = \
+         cand_count, fb_rounds, fb_amask, fb_serial) = \
             _intra_fallback_luma(
                 cur_b, recon_y, level_y, cbf_y, pred, qp_t, s, bh, bw,
                 h, w, sbh_scan, scaling_lists,
-                rounds=fallback_rounds, inv=inv16, geom=geom_l)
+                rounds=fallback_rounds, inv=inv16, geom=geom_l,
+                serial=fallback_serial)
     elif intra_fallback:
         # banded: the fallback's global top-k selection and its intra
         # reference pixels cross band boundaries, and the stage is a
@@ -1287,11 +1423,12 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
         qtf = qp_t_full.reshape(-1)
         invf = inv_full.reshape(-1) if inv_full is not None else None
         (rec_f, lvl_f, cbf_f, isb_f, im_f, cand_count, fb_rounds,
-         fb_amask) = _intra_fallback_luma(
+         fb_amask, fb_serial) = _intra_fallback_luma(
             allg_rows(cur_b), allg_rows(recon_y), allg_rows(level_y),
             allg_rows(cbf_y), allg_rows(pred),
             qtf, s, BH, bw, h, w, sbh_scan, scaling_lists,
-            rounds=fallback_rounds, inv=invf, geom=geom_l)
+            rounds=fallback_rounds, inv=invf, geom=geom_l,
+            serial=fallback_serial)
         recon_y = band_rows(rec_f.reshape(BH, bw, s, s)) \
             .reshape(-1, s, s)
         level_y = band_rows(lvl_f.reshape(BH, bw, s, s)) \
@@ -1681,6 +1818,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 recon_v, v, level_v, cbf_v, fb_sel, fb_slot, fb_best,
                 fb_amask, qp_ct, cs, bh, bw, h, w, sbh_scan_c,
                 scaling_lists, geom=geom_c)
+        if fb_serial is not None:
+            recon_u, level_u, cbf_u = _intra_fallback_chroma_serial(
+                recon_u, u, level_u, cbf_u, fb_serial, fb_amask,
+                qp_ct, cs, bh, bw, h, w, sbh_scan_c, scaling_lists,
+                geom=geom_c)
+            recon_v, level_v, cbf_v = _intra_fallback_chroma_serial(
+                recon_v, v, level_v, cbf_v, fb_serial, fb_amask,
+                qp_ct, cs, bh, bw, h, w, sbh_scan_c, scaling_lists,
+                geom=geom_c)
     elif intra_fallback:
         # banded: replicated like the luma fallback (fb_rounds carry
         # FULL-frame block indices), then slice the band back out
@@ -1699,6 +1845,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                 rv_f, v_f, lv_f, cv_f, fb_sel, fb_slot, fb_best,
                 fb_amask, qct_f, cs, BH, bw, h, w, sbh_scan_c,
                 scaling_lists, geom=geom_c)
+        if fb_serial is not None:
+            ru_f, lu_f, cu_f = _intra_fallback_chroma_serial(
+                ru_f, u_f, lu_f, cu_f, fb_serial, fb_amask,
+                qct_f, cs, BH, bw, h, w, sbh_scan_c, scaling_lists,
+                geom=geom_c)
+            rv_f, lv_f, cv_f = _intra_fallback_chroma_serial(
+                rv_f, v_f, lv_f, cv_f, fb_serial, fb_amask,
+                qct_f, cs, BH, bw, h, w, sbh_scan_c, scaling_lists,
+                geom=geom_c)
         bslc = lambda a: band_rows(a.reshape(BH, bw, cs, cs)) \
             .reshape(-1, cs, cs)
         recon_u, level_u = bslc(ru_f), bslc(lu_f)
@@ -1941,7 +2096,8 @@ encode_p_frame_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority", "inter_nxn",
+                     "fallback_rounds", "fallback_serial",
+                     "quadtree_majority", "inter_nxn",
                      "true_size", "wpp_substreams", "axis_name", "n_bands"))
 
 
@@ -2084,7 +2240,8 @@ encode_p_chunk_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority", "inter_nxn",
+                     "fallback_rounds", "fallback_serial",
+                     "quadtree_majority", "inter_nxn",
                      "true_size", "wpp_substreams", "mesh", "row_axis",
                      "axis_name", "n_bands"))
 
@@ -2123,5 +2280,6 @@ encode_p_chunk_packed_jit = jax.jit(
                      "chroma_rd_scale", "chroma_qp_offset",
                      "me_precision", "scaling_lists", "me_subpel_r",
                      "vis_h", "vis_w", "merge_rounds",
-                     "fallback_rounds", "quadtree_majority", "inter_nxn",
+                     "fallback_rounds", "fallback_serial",
+                     "quadtree_majority", "inter_nxn",
                      "true_size", "wpp_substreams", "mesh", "row_axis"))

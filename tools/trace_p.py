@@ -43,7 +43,7 @@ def main():
               sign_hiding=True, deblocking=True, sao_enabled=True,
               intra_fallback=True, chroma_rd_scale=1.0,
               chroma_qp_offset=2, me_precision=2, scaling_lists=False,
-              me_subpel_r=2)
+              me_subpel_r=2, true_size=True)
     out = inter_frame.encode_p_chunk_packed_jit(buf, ry, ru, rv, **kw)
     np.asarray(out["packed"].ravel()[0])   # compile + settle
 
