@@ -916,7 +916,10 @@ def _intra_fallback_luma(cur_b, recon_y, level_y, cbf_y, inter_pred,
     # of pending neighbours.  Commit up to `serial` remaining
     # candidates ONE BY ONE in CODING order (CTU raster + z), chaining
     # the reconstruction like the decoder does; a lax.cond skips the
-    # scan when no candidates remain (the common fold-friendly case).
+    # scan when no candidates remain.  DEFAULT OFF: each scan step is
+    # dispatch-bound (~2-4 ms of tiny ops), and with the current
+    # DC-proxy gate the pass measured RD-neutral on the hard-pan
+    # family — enable after the gate prices full-mode intra.
     serial_out = None
     if serial > 0:
         cap_s = min(serial, nb)
@@ -1163,7 +1166,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp: int, block: int = 16,
                    ref2_y=None, ref2_u=None, ref2_v=None, has_ref2=None,
                    vis_h: int = None, vis_w: int = None,
                    merge_rounds: int = 2, fallback_rounds: int = 2,
-                   fallback_serial: int = 32,
+                   fallback_serial: int = 0,
                    quadtree_majority: bool = True,
                    inter_nxn: bool = False,
                    true_size: bool = False,
